@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Dev-only replica of the driver's t2 gate: run Verify's dumped parquet
+against DuckDB executing oracle_sql.json over the same sf tables, and
+compare values exactly. Usage: selfcheck.py [sfdir] [outdir] [name...]"""
+import duckdb, sys, json, glob, os, math
+import pyarrow.parquet as pq
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+only = set(sys.argv[3:])
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf}/*.parquet"):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+ok, bad = [], []
+for name, sql in sorted(oracle.items()):
+    if only and name not in only:
+        continue
+    files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
+    if not files:
+        print(f"FAIL {name}: no spark output"); bad.append(name); continue
+    try:
+        rel = con.sql(sql)
+        ocols = list(rel.columns)
+        orows = rel.fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {e}"); bad.append(name); continue
+    import pyarrow as pa
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    scols = tbl.column_names
+    if sorted(scols) != sorted(ocols):
+        print(f"FAIL {name}: cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        bad.append(name); continue
+    srows = [tuple(r[c] for c in scols) for r in tbl.to_pylist()]
+    # reorder both to sorted-column order (mimics driver sort-by-name)
+    sidx = [scols.index(c) for c in sorted(scols)]
+    oidx = [ocols.index(c) for c in sorted(ocols)]
+    srows = [tuple(r[i] for i in sidx) for r in srows]
+    orows = [tuple(r[i] for i in oidx) for r in orows]
+    if len(srows) != len(orows):
+        print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
+        bad.append(name); continue
+
+    def norm(v):
+        if isinstance(v, float):
+            return ("f", repr(v))
+        try:
+            import decimal
+            if isinstance(v, decimal.Decimal):
+                return ("d", str(v.normalize()))
+        except Exception:
+            pass
+        return v
+
+    mismatch = None
+    for i, (srow, orow) in enumerate(zip(srows, orows)):
+        if tuple(map(norm, srow)) != tuple(map(norm, orow)):
+            mismatch = (i, srow, orow); break
+    if mismatch:
+        i, srow, orow = mismatch
+        print(f"FAIL {name}: row {i}\n  spark : {srow}\n  oracle: {orow}")
+        bad.append(name)
+    else:
+        print(f"ok   {name} ({len(srows)} rows)")
+        ok.append(name)
+
+print(f"\n{len(ok)} ok, {len(bad)} fail" + (f": {bad}" if bad else ""))
+sys.exit(1 if bad else 0)

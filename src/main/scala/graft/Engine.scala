@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Session + catalog plumbing for the engine.
+  *
+  * The reference's table registry is the `metadata/` dir of a ClickHouse
+  * server (reference `Dockerfile:185`); here the catalog is Spark temp
+  * views, one per Parquet table in the scale-factor dir — the
+  * Spark-native equivalent of `clickhouse-local` querying files in place
+  * (reference `Dockefile-ubuntu:52`).
+  */
+object Engine {
+
+  /** All driver-generated testdata tables (TESTDATA.md). */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table from the sf dir. Vectorized Parquet scan; Catalyst
+    * pushes filters/projections down to it (SURVEY §4). */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader can't
+    * represent natively; sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` so it arrives as an
+    * epoch-nanos Long. Truncate to micros — the same thing DuckDB's
+    * implicit TIMESTAMP_NS→TIMESTAMP cast does — and restore
+    * TimestampType so downstream date/window functions work. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+    else raw
+  }
+
+  /** Register every table as a temp view so `spark.sql` text queries
+    * resolve against the same data the DataFrame API reads. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    tableNames.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}

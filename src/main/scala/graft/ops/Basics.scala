@@ -1,0 +1,208 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{CH, Engine}
+
+/** Scan / projection / filter / predicate surface (SURVEY §2.A1/A8,
+  * §2.B) plus conditionals (H5) and conversions (H6), and the flagship
+  * pricing-summary query (SURVEY §7.3).
+  *
+  * Determinism contract (SURVEY §7.1): every query ends in a total
+  * ORDER BY over its output columns; money aggregates run in
+  * DecimalType and are emitted as DOUBLE so both engines hash the same
+  * IEEE value; per-row double arithmetic is already bit-deterministic.
+  */
+object Basics {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** SURVEY §7.3 flagship: TPC-H-Q1-shaped pricing summary.
+    * scan → pushed filter → hash agg (partial+final) → sort.
+    * At 100 TB this is a single shuffle on two low-cardinality keys;
+    * decimal sums are associative so map-side partial agg is exact. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Engine.t(spark, dir, "lineitem")
+    val qty   = CH.dec(col("l_quantity"))            // DECIMAL(12,2)
+    val price = CH.dec(col("l_extendedprice"))
+    val disc  = CH.dec(col("l_discount"), 8, 4)
+    val tax   = CH.dec(col("l_tax"), 8, 4)
+    // Keep multiplicand precision tight or Spark's decimal-precision
+    // promotion exceeds 38 and silently rounds the product to scale 6.
+    val oneMinusDisc = CH.dec(lit(1) - disc, 8, 4)
+    val onePlusTax   = CH.dec(lit(1) + tax, 8, 4)
+    l.filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(qty).cast("double").as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(price * oneMinusDisc).cast("double").as("sum_disc_price"),
+        sum(price * oneMinusDisc * onePlusTax).cast("double").as("sum_charge"),
+        (sum(qty).cast("double") / count(lit(1)).cast("double")).as("avg_qty"),
+        (sum(price).cast("double") / count(lit(1)).cast("double")).as("avg_price"),
+        (sum(disc).cast("double") / count(lit(1)).cast("double")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1OracleSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4)) * CAST(1 + CAST(l_tax AS DECIMAL(8,4)) AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_price,
+      |  CAST(CAST(sum(CAST(l_discount AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** A1: columnar scan with pushed filter + pruned columns (reference
+    * partition/mark-skipping surface, `Dockerfile:228,212`). The scan
+    * should show PushedFilters + a 2-column ReadSchema. */
+  private def a1Scan(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "lineitem")
+      .filter(col("l_quantity") < 3 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** A8: `file()`-style ad-hoc query over a path — exactly
+    * `clickhouse-local` mode (reference `Dockefile-ubuntu:52`). */
+  private def a8File(spark: SparkSession, dir: String): DataFrame =
+    Engine.events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(CH.dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy("event_type")
+
+  /** B1: projection, aliases, computed columns. */
+  private def b1Project(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_name")).as("p_name_u"),
+      concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+      (col("p_retailprice") * 0.9).as("discounted"),
+      (col("p_size") + 1).as("size1"))
+      .orderBy("p_partkey")
+
+  /** B2: WHERE with AND/OR/NOT, IN(list), BETWEEN, LIKE. */
+  private def b2Filter(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "orders")
+      .filter(
+        (col("o_orderstatus").isin("O", "F") &&
+          col("o_totalprice").between(1000, 50000) &&
+          col("o_orderpriority").like("1%")) ||
+        (!col("o_orderstatus").isin("O", "F", "P") && col("o_totalprice") > 400000))
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey")
+
+  /** B3: PREWHERE — in Spark the cheap selective predicate is simply
+    * pushed to the Parquet scan by Catalyst; semantics equal WHERE. */
+  private def b3Prewhere(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "lineitem")
+      .filter(col("l_quantity") <= 2)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date"))
+      .select("l_orderkey", "l_partkey", "l_quantity")
+      .orderBy("l_orderkey", "l_partkey", "l_quantity")
+
+  /** B4: IN (subquery) → left-semi join (Catalyst's own rewrite). */
+  private def b4InSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val c = Engine.t(spark, dir, "customer")
+    val bigOrders = Engine.t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 300000).select("o_custkey")
+    c.join(bigOrders, c("c_custkey") === bigOrders("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** H5: conditionals — multiIf, coalesce/nullif, greatest/least. */
+  private def h5Conditionals(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "customer")
+      .select(
+        CH.multiIf(
+          (col("c_acctbal") < 0, lit("neg")),
+          (col("c_acctbal") < 1000, lit("low")),
+          (col("c_acctbal") < 5000, lit("mid")))(lit("high")).as("bal_bucket"),
+        coalesce(nullif(col("c_mktsegment"), lit("AUTOMOBILE")), lit("OTHER")).as("seg"),
+        greatest(col("c_acctbal"), lit(0.0)).as("bal_floor"),
+        least(col("c_nationkey"), lit(10)).as("nk_cap"))
+      .groupBy("bal_bucket", "seg", "nk_cap")
+      .agg(count(lit(1)).as("n"), sum(CH.dec(col("bal_floor"))).cast("double").as("sum_bal"))
+      .orderBy("bal_bucket", "seg", "nk_cap")
+
+  /** H6: conversions — CAST across int/string/date/decimal, parse back. */
+  private def h6Conversions(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        col("o_orderkey").cast("string").as("key_str"),
+        floor(col("o_totalprice")).cast("long").as("price_floor"),
+        col("o_totalprice").cast("decimal(12,2)").cast("double").as("price_dec"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od_str"),
+        to_date(date_format(col("o_orderdate"), "yyyy-MM-dd")).cast("string").as("od_roundtrip"))
+      .orderBy("o_orderkey")
+
+  val queries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "a1_scan_prune" -> (a1Scan _),
+    "a8_file_query" -> (a8File _),
+    "b1_project_alias" -> (b1Project _),
+    "b2_filter_predicates" -> (b2Filter _),
+    "b3_prewhere" -> (b3Prewhere _),
+    "b4_in_subquery" -> (b4InSubquery _),
+    "h5_conditionals" -> (h5Conditionals _),
+    "h6_conversions" -> (h6Conversions _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1OracleSql,
+    "a1_scan_prune" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_quantity < 3 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "a8_file_query" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "b1_project_alias" ->
+      """SELECT p_partkey, upper(p_name) AS p_name_u,
+        |  p_brand || '#' || p_type AS brand_type,
+        |  p_retailprice * 0.9 AS discounted,
+        |  p_size + 1 AS size1
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "b2_filter_predicates" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE (o_orderstatus IN ('O','F') AND o_totalprice BETWEEN 1000 AND 50000
+        |       AND o_orderpriority LIKE '1%')
+        |   OR (o_orderstatus NOT IN ('O','F','P') AND o_totalprice > 400000)
+        |ORDER BY o_orderkey""".stripMargin,
+    "b3_prewhere" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+        |WHERE l_quantity <= 2 AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_partkey, l_quantity""".stripMargin,
+    "b4_in_subquery" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "h5_conditionals" ->
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+        |            WHEN c_acctbal < 1000 THEN 'low'
+        |            WHEN c_acctbal < 5000 THEN 'mid'
+        |            ELSE 'high' END AS bal_bucket,
+        |  coalesce(nullif(c_mktsegment, 'AUTOMOBILE'), 'OTHER') AS seg,
+        |  least(c_nationkey, 10) AS nk_cap,
+        |  count(*) AS n,
+        |  CAST(CAST(sum(CAST(greatest(c_acctbal, 0.0) AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |GROUP BY 1, 2, 3
+        |ORDER BY bal_bucket, seg, nk_cap""".stripMargin,
+    "h6_conversions" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderkey AS VARCHAR) AS key_str,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS od_str,
+        |  CAST(CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS VARCHAR) AS od_roundtrip
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
+}
