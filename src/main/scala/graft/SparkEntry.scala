@@ -12,10 +12,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Basics.queries
+    ops.Basics.queries ++ ops.Joins.queries ++ ops.Aggregates.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.Basics.oracles
+    ops.Basics.oracles ++ ops.Joins.oracles ++ ops.Aggregates.oracles
 }

@@ -1,0 +1,315 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{CH, Engine}
+
+/** Aggregation surface (SURVEY §2.D + §2.I4). Spark's
+  * HashAggregateExec partial→final is the same partial-state algebra as
+  * the reference engine's two-level agg (memory cap analog: reference
+  * `Dockerfile:246`); map-side partial aggregation means the shuffle
+  * carries one row per (partition × group), which is what keeps these
+  * shapes viable at 100 TB — every query here groups on low-cardinality
+  * keys, so the exchange is tiny regardless of input size.
+  *
+  * Determinism: money sums in DecimalType (exact, associative);
+  * float-native statistics rounded to 4-6 dp on both engines
+  * (SURVEY §7.1); collected lists always sorted.
+  */
+object Aggregates {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** D2: min/max/avg per group. */
+  private def d2MinMax(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "part")
+      .groupBy("p_brand")
+      .agg(
+        min(col("p_size")).as("min_size"),
+        max(col("p_size")).as("max_size"),
+        min(col("p_retailprice")).as("min_price"),
+        max(col("p_retailprice")).as("max_price"),
+        (sum(CH.dec(col("p_retailprice"))).cast("double") / count(lit(1)).cast("double")).as("avg_price"),
+        count(lit(1)).as("n"))
+      .orderBy("p_brand")
+
+  /** D3: -If combinators — countIf/sumIf as FILTERed aggregates. */
+  private def d3AggIf(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        CH.countIf(col("o_totalprice") > 200000).as("n_big"),
+        coalesce(CH.sumIf(CH.dec(col("o_totalprice")), col("o_orderpriority") === "1-URGENT"), lit(0))
+          .cast("double").as("sum_urgent"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  /** D4: uniqExact → count_distinct. */
+  private def d4UniqExact(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count_distinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** D5/I1: approx distinct (HLL++). Declared without oracle — sketch
+    * families differ across engines; spec tests bound the error. */
+  private def d5ApproxUniq(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"),
+        count_distinct(col("o_custkey")).as("exact_cust"))
+      .orderBy("o_orderstatus")
+
+  /** D6: exact quantiles with linear interpolation (= DuckDB
+    * quantile_cont), rounded to 6 dp on both sides. */
+  private def d6Quantiles(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"))
+      .orderBy("l_returnflag")
+
+  /** D6/I2: t-digest-style approximate quantiles — no oracle. */
+  private def d6ApproxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_exact"))
+      .orderBy("l_returnflag")
+
+  /** D7: argMax/argMin → max_by/min_by. */
+  private def d7ArgMax(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "supplier")
+      .groupBy("s_nationkey")
+      .agg(max_by(col("s_name"), col("s_acctbal")).as("richest"),
+        min_by(col("s_name"), col("s_acctbal")).as("poorest"),
+        count(lit(1)).as("n"))
+      .orderBy("s_nationkey")
+
+  /** D8: topK exact form — global heavy hitters with total tiebreak. */
+  private def d8TopK(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "part")
+      .groupBy("p_brand").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("p_brand").asc)
+      .limit(10)
+
+  /** D9: groupArray / groupUniqArray — sorted, string-joined so both
+    * engines hash identical scalars. */
+  private def d9GroupArray(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Engine.t(spark, dir, "nation")
+      .groupBy("n_regionkey")
+      .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"))
+    val prios = Engine.t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus").as("k2"))
+      .agg(concat_ws(",", sort_array(collect_set(col("o_orderpriority")))).as("uniq_prios"))
+    nations.crossJoin(prios)
+      .select(col("n_regionkey"), col("nations"), col("k2"), col("uniq_prios"))
+      .orderBy("n_regionkey", "k2")
+  }
+
+  /** D10: sumMap — pointwise map sum, emitted in canonical sorted
+    * "key:value" form (exploded relational agg underneath). */
+  private def d10SumMap(spark: SparkSession, dir: String): DataFrame =
+    Engine.events(spark, dir)
+      .groupBy("event_type")
+      .agg(sum(CH.dec(col("value"))).as("s"))
+      .select(concat(col("event_type"), lit(":"), col("s").cast("string")).as("kv"))
+      .agg(concat_ws(",", sort_array(collect_list(col("kv")))).as("summap"))
+
+  /** D11: statistical aggregates; all float-native → round(4) both
+    * sides; oracle computes population skew/kurt from raw moments. */
+  private def d11Stats(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_pop(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"),
+        round(skewness(col("l_quantity")), 4).as("skew_qty"),
+        round(kurtosis(col("l_quantity")), 4).as("kurt_qty"))
+      .orderBy("l_returnflag")
+
+  /** D13: any/anyLast in their deterministic form — value at the
+    * smallest / largest order key. */
+  private def d13Any(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(min_by(col("o_orderpriority"), col("o_orderkey")).as("any_prio"),
+        max_by(col("o_orderpriority"), col("o_orderkey")).as("anylast_prio"))
+      .orderBy("o_orderstatus")
+
+  /** D14: ROLLUP (null group rows labeled for engine-neutral output). */
+  private def d14Rollup(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(CH.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+        col("n"), col("sum_price"))
+      .orderBy("status", "prio")
+
+  /** D14: CUBE. */
+  private def d14Cube(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("prio"), col("n"))
+      .orderBy("status", "prio")
+
+  /** D14: GROUPING SETS via SQL text against the registered catalog. */
+  private def d14GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Engine.registerAll(spark, dir)
+    spark.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS prio,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, prio""".stripMargin)
+  }
+
+  /** D15: WITH TOTALS ≡ rollup at depth 1. */
+  private def d15WithTotals(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "orders")
+      .rollup("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum(CH.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("TOTALS")).as("status"), col("n"), col("sum_price"))
+      .orderBy("status")
+
+  /** D16: HAVING. */
+  private def d16Having(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 15)
+      .orderBy("o_custkey")
+
+  /** D17: row-level DISTINCT. */
+  private def d17Distinct(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "orders")
+      .select("o_orderstatus", "o_orderpriority")
+      .distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** I4: exact-bucket histogram (width_bucket semantics via floor). */
+  private def i4Histogram(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "orders")
+      .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  val queries: Map[String, Q] = Map(
+    "d2_min_max_avg" -> (d2MinMax _),
+    "d3_agg_if" -> (d3AggIf _),
+    "d4_uniq_exact" -> (d4UniqExact _),
+    "d5_approx_uniq" -> (d5ApproxUniq _),
+    "d6_quantiles" -> (d6Quantiles _),
+    "d6_approx_quantiles" -> (d6ApproxQuantiles _),
+    "d7_argmax" -> (d7ArgMax _),
+    "d8_topk" -> (d8TopK _),
+    "d9_group_array" -> (d9GroupArray _),
+    "d10_summap" -> (d10SumMap _),
+    "d11_stats" -> (d11Stats _),
+    "d13_any_deterministic" -> (d13Any _),
+    "d14_rollup" -> (d14Rollup _),
+    "d14_cube" -> (d14Cube _),
+    "d14_grouping_sets" -> (d14GroupingSets _),
+    "d15_with_totals" -> (d15WithTotals _),
+    "d16_having" -> (d16Having _),
+    "d17_distinct" -> (d17Distinct _),
+    "i4_histogram" -> (i4Histogram _))
+
+  val oracles: Map[String, String] = Map(
+    "d2_min_max_avg" ->
+      """SELECT p_brand, min(p_size) AS min_size, max(p_size) AS max_size,
+        |  min(p_retailprice) AS min_price, max(p_retailprice) AS max_price,
+        |  CAST(CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_price,
+        |  count(*) AS n
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "d3_agg_if" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |  CAST(CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE o_orderpriority = '1-URGENT'), 0) AS VARCHAR) AS DOUBLE) AS sum_urgent,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "d4_uniq_exact" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "d6_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "d7_argmax" ->
+      """SELECT s_nationkey, arg_max(s_name, s_acctbal) AS richest,
+        |  arg_min(s_name, s_acctbal) AS poorest, count(*) AS n
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "d8_topk" ->
+      """SELECT p_brand, count(*) AS cnt FROM part GROUP BY p_brand
+        |ORDER BY cnt DESC, p_brand ASC LIMIT 10""".stripMargin,
+    "d9_group_array" ->
+      """SELECT n_regionkey, nations, k2, uniq_prios FROM
+        |(SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        | FROM nation GROUP BY n_regionkey) a
+        |CROSS JOIN
+        |(SELECT o_orderstatus AS k2, string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS uniq_prios
+        | FROM orders GROUP BY o_orderstatus) b
+        |ORDER BY n_regionkey, k2""".stripMargin,
+    "d10_summap" ->
+      """SELECT string_agg(kv, ',' ORDER BY kv) AS summap FROM
+        |(SELECT event_type || ':' || CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS kv
+        | FROM events GROUP BY event_type)""".stripMargin,
+    "d11_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    avg(l_quantity) AS e1, avg(l_quantity*l_quantity) AS e2,
+        |    avg(l_quantity*l_quantity*l_quantity) AS e3,
+        |    avg(l_quantity*l_quantity*l_quantity*l_quantity) AS e4,
+        |    round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |    round(var_pop(l_quantity), 4) AS var_qty,
+        |    round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |    round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, sd_qty, var_qty, corr_qp, covar_qp,
+        |  round((e3 - 3*e1*e2 + 2*e1*e1*e1) / pow(e2 - e1*e1, 1.5), 4) AS skew_qty,
+        |  round((e4 - 4*e1*e3 + 6*e1*e1*e2 - 3*e1*e1*e1*e1) / pow(e2 - e1*e1, 2) - 3, 4) AS kurt_qty
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "d13_any_deterministic" ->
+      """SELECT o_orderstatus, arg_min(o_orderpriority, o_orderkey) AS any_prio,
+        |  arg_max(o_orderpriority, o_orderkey) AS anylast_prio
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "d14_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS prio, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, prio""".stripMargin,
+    "d14_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS prio, count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, prio""".stripMargin,
+    "d14_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS prio, count(*) AS n
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, prio""".stripMargin,
+    "d15_with_totals" ->
+      """SELECT coalesce(o_orderstatus, 'TOTALS') AS status, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY ROLLUP(o_orderstatus) ORDER BY status""".stripMargin,
+    "d16_having" ->
+      """SELECT o_custkey, count(*) AS n FROM orders
+        |GROUP BY o_custkey HAVING count(*) >= 15 ORDER BY o_custkey""".stripMargin,
+    "d17_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "i4_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)
+}

@@ -1,0 +1,251 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{CH, Engine}
+
+/** Join surface (SURVEY §2.C). The reference's engine offers hash /
+  * partial-merge / direct(dictionary) / cross / ASOF joins with
+  * ANY/ALL strictness and GLOBAL distribution; Spark-native mapping is
+  * one `join` API whose physical strategy (broadcast-hash, shuffled
+  * hash, sort-merge, nested-loop) Catalyst+AQE pick from stats.
+  *
+  * Scale notes (100 TB): dimension sides (region/nation/part subsets)
+  * are explicitly `broadcast()` so fact tables never shuffle for them
+  * — the Spark-native form of the reference's dictionary/direct join
+  * (reference `Dockerfile:231`) and GLOBAL JOIN. Fact-fact joins shuffle
+  * on the join key and AQE handles skew at runtime.
+  */
+object Joins {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** C1: INNER equi join, fact⋈dim, then aggregate. */
+  private def c1Inner(spark: SparkSession, dir: String): DataFrame = {
+    val o = Engine.t(spark, dir, "orders")
+    val c = Engine.t(spark, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(CH.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** C2: LEFT OUTER — unmatched left rows keep null right side. */
+  private def c2Left(spark: SparkSession, dir: String): DataFrame = {
+    val c = Engine.t(spark, dir, "customer")
+    val big = Engine.t(spark, dir, "orders").filter(col("o_totalprice") > 450000)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_big"))
+      .orderBy("c_custkey")
+  }
+
+  /** C2: RIGHT OUTER (mirror). */
+  private def c2Right(spark: SparkSession, dir: String): DataFrame = {
+    val c = Engine.t(spark, dir, "customer")
+    val big = Engine.t(spark, dir, "orders").filter(col("o_totalprice") > 450000)
+    big.join(c, big("o_custkey") === c("c_custkey"), "right")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_big"))
+      .orderBy("c_custkey")
+  }
+
+  /** C2: FULL OUTER over two differently-filtered per-nation rollups so
+    * both sides contribute unmatched keys. */
+  private def c2Full(spark: SparkSession, dir: String): DataFrame = {
+    val s = Engine.t(spark, dir, "supplier").filter(col("s_acctbal") > 8000)
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n_sup"))
+    val c = Engine.t(spark, dir, "customer").filter(col("c_acctbal") > 9000)
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+    s.join(c, s("s_nationkey") === c("c_nationkey"), "full")
+      .select(coalesce(col("s_nationkey"), col("c_nationkey")).as("nationkey"),
+        col("n_sup"), col("n_cust"))
+      .orderBy("nationkey")
+  }
+
+  /** C3: LEFT SEMI — customers with at least one order. */
+  private def c3Semi(spark: SparkSession, dir: String): DataFrame = {
+    val c = Engine.t(spark, dir, "customer")
+    val o = Engine.t(spark, dir, "orders").select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  /** C3: LEFT ANTI — customers with no orders. */
+  private def c3Anti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Engine.t(spark, dir, "customer")
+    val o = Engine.t(spark, dir, "orders").select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  /** C4: CROSS JOIN of two tiny dims. */
+  private def c4Cross(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "region").crossJoin(Engine.t(spark, dir, "nation"))
+      .select("r_name", "n_name").orderBy("r_name", "n_name")
+
+  /** C5: theta (inequality) join on top of an equi key. */
+  private def c5Theta(spark: SparkSession, dir: String): DataFrame = {
+    val s = Engine.t(spark, dir, "supplier")
+    val c = Engine.t(spark, dir, "customer")
+    s.join(c, s("s_nationkey") === c("c_nationkey") && s("s_acctbal") > c("c_acctbal"))
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("s_nationkey")
+  }
+
+  /** C6: ASOF JOIN — for each purchase event, the latest click by the
+    * same user at or before the purchase. No native Spark join type:
+    * rewritten as equi+range join then keep the nearest-preceding row
+    * with row_number over (purchase, click_ts desc). DuckDB's native
+    * ASOF JOIN (>= default) is the oracle. At scale the range join
+    * shuffles once on user_id; the window re-uses that partitioning. */
+  private def c6Asof(spark: SparkSession, dir: String): DataFrame = {
+    val e = Engine.events(spark, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val k = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val w = Window.partitionBy("p_id").orderBy(col("c_ts").desc, col("c_id").desc)
+    p.join(k, col("p_user") === col("c_user") && col("c_ts") <= col("p_ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_id"), col("p_user").as("user_id"), col("c_id").as("click_id"))
+      .orderBy("p_id")
+  }
+
+  /** C7: ANY-strictness join — dedupe the build side to its first row
+    * per key (deterministic: earliest o_orderdate, then o_orderkey). */
+  private def c7Any(spark: SparkSession, dir: String): DataFrame = {
+    val c = Engine.t(spark, dir, "customer")
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val firstOrder = Engine.t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"))
+    c.join(firstOrder, c("c_custkey") === firstOrder("o_custkey"), "inner")
+      .select("c_custkey", "c_name", "first_orderkey")
+      .orderBy("c_custkey")
+  }
+
+  /** C8: direct/dictionary join — broadcast the dim (reference
+    * `Dockerfile:231` external dictionaries). Also covers A10 dictGet. */
+  private def c8BroadcastDict(spark: SparkSession, dir: String): DataFrame = {
+    val l = Engine.t(spark, dir, "lineitem")
+    val p = Engine.t(spark, dir, "part")
+    val price = CH.dec(col("l_extendedprice"))
+    val oneMinusDisc = CH.dec(lit(1) - CH.dec(col("l_discount"), 8, 4), 8, 4)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy("p_brand")
+      .agg(sum(price * oneMinusDisc).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("p_brand")
+  }
+
+  /** C9: GLOBAL JOIN ≡ ship the build side everywhere = broadcast().
+    * Two chained broadcast dims, zero fact shuffles before the agg. */
+  private def c9Global(spark: SparkSession, dir: String): DataFrame = {
+    val c = Engine.t(spark, dir, "customer")
+    val n = Engine.t(spark, dir, "nation")
+    val r = Engine.t(spark, dir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_cust"),
+        (sum(CH.dec(col("c_acctbal"))).cast("double") / count(lit(1)).cast("double")).as("avg_bal"))
+      .orderBy("r_name")
+  }
+
+  /** A10: dictGet(dim, attr, key) ≡ broadcast-join lookup projecting one
+    * attribute. */
+  private def a10DictGet(spark: SparkSession, dir: String): DataFrame = {
+    val n = Engine.t(spark, dir, "nation")
+    val r = Engine.t(spark, dir, "region")
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name").as("region_name"))
+      .orderBy("n_nationkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "c1_inner_join" -> (c1Inner _),
+    "c2_left_join" -> (c2Left _),
+    "c2_right_join" -> (c2Right _),
+    "c2_full_outer" -> (c2Full _),
+    "c3_semi_join" -> (c3Semi _),
+    "c3_anti_join" -> (c3Anti _),
+    "c4_cross_join" -> (c4Cross _),
+    "c5_theta_join" -> (c5Theta _),
+    "c6_asof_join" -> (c6Asof _),
+    "c7_any_join" -> (c7Any _),
+    "c8_broadcast_dict_join" -> (c8BroadcastDict _),
+    "c9_global_join" -> (c9Global _),
+    "a10_dict_lookup" -> (a10DictGet _))
+
+  val oracles: Map[String, String] = Map(
+    "c1_inner_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "c2_left_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_big
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+        |  ON c_custkey = o.o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "c2_right_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_big
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 450000) o RIGHT JOIN customer
+        |  ON o.o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "c2_full_outer" ->
+      """SELECT coalesce(s.s_nationkey, c.c_nationkey) AS nationkey, n_sup, n_cust
+        |FROM (SELECT s_nationkey, count(*) AS n_sup FROM supplier WHERE s_acctbal > 8000 GROUP BY s_nationkey) s
+        |FULL OUTER JOIN (SELECT c_nationkey, count(*) AS n_cust FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey) c
+        |  ON s.s_nationkey = c.c_nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "c3_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+    "c3_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+    "c4_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "c5_theta_join" ->
+      """SELECT s_nationkey, count(*) AS n_pairs
+        |FROM supplier JOIN customer
+        |  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "c6_asof_join" ->
+      """SELECT p.event_id AS p_id, p.user_id AS user_id, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p_id""".stripMargin,
+    "c7_any_join" ->
+      """SELECT c_custkey, c_name, first_orderkey
+        |FROM customer JOIN (
+        |  SELECT o_custkey, o_orderkey AS first_orderkey FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
+        |) o ON c_custkey = o.o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "c8_broadcast_dict_join" ->
+      """SELECT p_brand,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "c9_global_join" ->
+      """SELECT r_name, count(*) AS n_cust,
+        |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "a10_dict_lookup" ->
+      """SELECT n_nationkey, n_name, r_name AS region_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin)
+}
