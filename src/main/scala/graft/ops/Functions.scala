@@ -1,0 +1,366 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{CH, Engine}
+
+/** Scalar function families (SURVEY §2.H) — one declared query per
+  * family, each touching several representative members, all pure
+  * Catalyst built-ins (codegen'd, no UDFs). `toYYYYMM` is the one
+  * directly reference-evidenced function (`Dockerfile:228`).
+  *
+  * Parity notes vs the DuckDB oracle: per-row double arithmetic is
+  * IEEE-deterministic; libm-backed fns (exp/ln/sqrt) are rounded to
+  * 6 dp on both sides; Spark dayofweek is 1=Sunday while DuckDB dow is
+  * 0=Sunday (oracle shifts); oracles express map/struct lookups with
+  * literal keys as plain column references (same result, no dialect
+  * dependency).
+  */
+object Functions {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** H1: math — abs/floor/ceil/sqrt/exp/ln/pow/sign/mod/intDiv. */
+  private def h1Math(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        abs(col("p_size") - 25).as("abs_v"),
+        floor(col("p_retailprice") / 10).cast("long").as("floor_v"),
+        ceil(col("p_retailprice") / 10).cast("long").as("ceil_v"),
+        round(sqrt(col("p_retailprice")), 6).as("sqrt_v"),
+        round(exp(col("p_size") / 100.0), 6).as("exp_v"),
+        round(log(col("p_retailprice")), 6).as("ln_v"),
+        pow(col("p_size"), 2).as("pow_v"),
+        signum(col("p_size") - 25).cast("int").as("sign_v"),
+        (col("p_size") % 7).as("mod_v"),
+        CH.intDiv(col("p_size"), lit(7)).as("intdiv_v"))
+      .orderBy("p_partkey")
+
+  /** H2: date/time — toYYYYMM (reference `Dockerfile:228`), extracts,
+    * truncation, diffs, month arithmetic, epoch. */
+  private def h2DateTime(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        CH.toYYYYMM(col("o_orderdate")).as("yyyymm"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate")).as("days_to_98"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3mo"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy("o_orderkey")
+
+  /** H3: strings — length/case/substring/concat/trim/pad/reverse/
+    * repeat/replace/split-element. */
+  private def h3Strings(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "customer")
+      .select(
+        col("c_custkey"),
+        length(col("c_name")).as("len_v"),
+        lower(col("c_name")).as("lower_v"),
+        upper(col("c_mktsegment")).as("upper_v"),
+        substring(col("c_name"), 1, 8).as("sub_v"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("concat_v"),
+        trim(concat(lit("  "), col("c_mktsegment"), lit("  "))).as("trim_v"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("lpad_v"),
+        reverse(col("c_mktsegment")).as("rev_v"),
+        repeat(substring(col("c_name"), 1, 2), 3).as("rep_v"),
+        call_function("replace", col("c_name"), lit("0"), lit("#")).as("repl_v"),
+        element_at(split(col("c_name"), "#"), 2).as("split_v"))
+      .orderBy("c_custkey")
+
+  /** H4: string search / regex — like/ilike/rlike/extract/count/contains. */
+  private def h4Regex(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        col("p_name").like("%gre%").as("like_v"),
+        col("p_name").ilike("%GRE%").as("ilike_v"),
+        col("p_name").rlike("^[a-z]+ ").as("rlike_v"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("extract_v"),
+        (size(split(col("p_name"), "a")) - 1).as("count_a"),
+        col("p_name").contains("red").as("contains_v"),
+        (col("p_name").contains("red") || col("p_name").contains("blue")).as("multisearch_v"),
+        col("p_name").startsWith("a").as("starts_v"),
+        col("p_name").endsWith("e").as("ends_v"))
+      .orderBy("p_partkey")
+
+  /** H7: arrays — higher-order transform/filter/aggregate + sort/
+    * distinct/contains/position/slice/size/sequence, joined to strings
+    * for engine-neutral output. */
+  private def h7Arrays(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("p_name"), " ")
+    Engine.t(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        array_join(transform(words, w => upper(w)), ",").as("upper_words"),
+        array_join(filter(words, w => length(w) > 4), ",").as("long_words"),
+        aggregate(transform(words, w => length(w)), lit(0), (acc, x) => acc + x).as("total_len"),
+        array_join(sort_array(words), ",").as("sorted_words"),
+        array_join(sort_array(array_distinct(words)), ",").as("distinct_words"),
+        array_contains(words, "green").as("has_green"),
+        array_position(words, "green").as("pos_green"),
+        array_join(slice(words, 1, 2), ",").as("first2"),
+        size(words).as("n_words"),
+        array_join(transform(sequence(lit(1), pmod(col("p_size"), lit(5)) + 1), i => i.cast("string")), ",").as("seq_v"))
+      .orderBy("p_partkey")
+  }
+
+  /** H8: arrayJoin → explode (Generator), the row-expanding scalar. */
+  private def h8Explode(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "part")
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(100)
+
+  /** H9: map & tuple (struct) ops. Oracle resolves the literal-key
+    * lookups to plain columns — same values, no dialect dependency. */
+  private def h9MapStruct(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        struct(col("o_orderstatus").as("s"), col("o_orderpriority").as("p")).as("tup"),
+        map(lit("s"), col("o_orderstatus"), lit("p"), col("o_orderpriority")).as("m"))
+      .select(
+        col("o_orderkey"),
+        col("tup").getField("s").as("tuple_status"),
+        col("tup").getField("p").as("tuple_prio"),
+        element_at(col("m"), "s").as("map_status"),
+        array_join(sort_array(map_keys(col("m"))), ",").as("keys_v"),
+        size(col("m")).as("m_card"))
+      .orderBy("o_orderkey")
+
+  /** H10: JSON extraction over events.props. */
+  private def h10Json(spark: SparkSession, dir: String): DataFrame =
+    Engine.events(spark, dir)
+      .filter(col("event_id") < 2000)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+        get_json_object(col("props"), "$.missing").isNull.as("missing_null"),
+        array_join(json_object_keys(col("props")), ",").as("keys_v"))
+      .orderBy("event_id")
+
+  /** H11: cryptographic hashes — md5 / sha256 (bit-identical across
+    * engines; xxhash64 is declared separately without oracle). */
+  private def h11Hash(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "customer")
+      .filter(col("c_custkey") <= 1000)
+      .select(
+        col("c_custkey"),
+        md5(col("c_name").cast("binary")).as("md5_v"),
+        sha2(col("c_name").cast("binary"), 256).as("sha256_v"))
+      .orderBy("c_custkey")
+
+  /** H11b: engine-internal 64-bit hash (xxhash64 standing in for
+    * cityHash64) — no oracle (different hash family per engine). */
+  private def h11XxHash(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "customer")
+      .filter(col("c_custkey") <= 100)
+      .select(col("c_custkey"), xxhash64(col("c_name")).as("xxh64"))
+      .orderBy("c_custkey")
+
+  /** H12: base64/hex encode-decode round trips. */
+  private def h12Encoding(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "nation")
+      .select(
+        col("n_nationkey"),
+        base64(col("n_name").cast("binary")).as("b64"),
+        unbase64(base64(col("n_name").cast("binary"))).cast("string").as("b64_rt"),
+        hex(col("n_name").cast("binary")).as("hex_v"),
+        unhex(hex(col("n_name").cast("binary"))).cast("string").as("hex_rt"))
+      .orderBy("n_nationkey")
+
+  /** H13: bit operations. */
+  private def h13Bit(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "supplier")
+      .select(
+        col("s_suppkey"),
+        col("s_suppkey").bitwiseAND(lit(255L)).as("and_v"),
+        col("s_suppkey").bitwiseOR(lit(16L)).as("or_v"),
+        col("s_suppkey").bitwiseXOR(lit(170L)).as("xor_v"),
+        shiftleft(col("s_suppkey"), 2).as("shl_v"),
+        shiftright(col("s_suppkey"), 1).as("shr_v"))
+      .orderBy("s_suppkey")
+
+  /** H14: URL functions — parse_url host/path/query-param; oracle uses
+    * regex equivalents (DuckDB has no parse_url). */
+  private def h14Url(spark: SparkSession, dir: String): DataFrame = {
+    // '#' in p_brand ("Brand#13") would start a URI fragment — strip it.
+    val url = concat(lit("https://ex.com/"),
+      call_function("replace", col("p_brand"), lit("#"), lit("-")), lit("/item?id="),
+      col("p_partkey"), lit("&q="), call_function("replace", lower(col("p_type")), lit(" "), lit("+")))
+    Engine.t(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        parse_url(url, lit("HOST")).as("host_v"),
+        parse_url(url, lit("PATH")).as("path_v"),
+        parse_url(url, lit("QUERY"), lit("q")).as("q_v"))
+      .orderBy("p_partkey")
+  }
+
+  /** H15/I4 kin: width_bucket + fixed-width floor bucketing. */
+  private def h15Bucket(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "orders")
+      .groupBy(
+        width_bucket(col("o_totalprice"), lit(0.0), lit(600000.0), lit(12L)).as("wb"),
+        (floor(col("o_totalprice") / 100000) * 100000).cast("long").as("floor_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("wb", "floor_bucket")
+
+  /** H16: rand/randn/uuid — nondeterministic; declared without oracle.
+    * Emits distribution sanity stats instead of raw values. */
+  private def h16Rand(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "customer")
+      .select(rand(42).as("u"), randn(42).as("g"), expr("uuid()").as("id"))
+      .agg(
+        count(lit(1)).as("n"),
+        count_distinct(col("id")).as("n_uuid"),
+        round(avg(col("u")), 2).as("mean_u"),
+        round(avg(col("g")), 1).as("mean_g"))
+
+  val queries: Map[String, Q] = Map(
+    "h1_math" -> (h1Math _),
+    "h2_datetime" -> (h2DateTime _),
+    "h3_strings" -> (h3Strings _),
+    "h4_regex" -> (h4Regex _),
+    "h7_arrays" -> (h7Arrays _),
+    "h8_explode" -> (h8Explode _),
+    "h9_map_struct" -> (h9MapStruct _),
+    "h10_json" -> (h10Json _),
+    "h11_hash" -> (h11Hash _),
+    "h11_xxhash64" -> (h11XxHash _),
+    "h12_encoding" -> (h12Encoding _),
+    "h13_bit" -> (h13Bit _),
+    "h14_url" -> (h14Url _),
+    "h15_bucket" -> (h15Bucket _),
+    "h16_rand_uuid" -> (h16Rand _))
+
+  val oracles: Map[String, String] = Map(
+    "h1_math" ->
+      """SELECT p_partkey,
+        |  abs(p_size - 25) AS abs_v,
+        |  CAST(floor(p_retailprice / 10) AS BIGINT) AS floor_v,
+        |  CAST(ceil(p_retailprice / 10) AS BIGINT) AS ceil_v,
+        |  round(sqrt(p_retailprice), 6) AS sqrt_v,
+        |  round(exp(p_size / 100.0), 6) AS exp_v,
+        |  round(ln(p_retailprice), 6) AS ln_v,
+        |  pow(p_size, 2) AS pow_v,
+        |  CAST(sign(p_size - 25) AS INT) AS sign_v,
+        |  p_size % 7 AS mod_v,
+        |  p_size // 7 AS intdiv_v
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "h2_datetime" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS yyyymm,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS d,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98,
+        |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "h3_strings" ->
+      """SELECT c_custkey,
+        |  CAST(length(c_name) AS INT) AS len_v,
+        |  lower(c_name) AS lower_v,
+        |  upper(c_mktsegment) AS upper_v,
+        |  substr(c_name, 1, 8) AS sub_v,
+        |  c_mktsegment || '|' || c_name AS concat_v,
+        |  trim('  ' || c_mktsegment || '  ') AS trim_v,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS lpad_v,
+        |  reverse(c_mktsegment) AS rev_v,
+        |  repeat(substr(c_name, 1, 2), 3) AS rep_v,
+        |  replace(c_name, '0', '#') AS repl_v,
+        |  string_split(c_name, '#')[2] AS split_v
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "h4_regex" ->
+      """SELECT p_partkey,
+        |  p_name LIKE '%gre%' AS like_v,
+        |  p_name ILIKE '%GRE%' AS ilike_v,
+        |  regexp_matches(p_name, '^[a-z]+ ') AS rlike_v,
+        |  coalesce(regexp_extract(p_name, '([a-z]+)$', 1), '') AS extract_v,
+        |  CAST(len(string_split(p_name, 'a')) - 1 AS INT) AS count_a,
+        |  contains(p_name, 'red') AS contains_v,
+        |  contains(p_name, 'red') OR contains(p_name, 'blue') AS multisearch_v,
+        |  starts_with(p_name, 'a') AS starts_v,
+        |  ends_with(p_name, 'e') AS ends_v
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "h7_arrays" ->
+      """SELECT p_partkey,
+        |  array_to_string(list_transform(string_split(p_name, ' '), w -> upper(w)), ',') AS upper_words,
+        |  coalesce(array_to_string(list_filter(string_split(p_name, ' '), w -> length(w) > 4), ','), '') AS long_words,
+        |  CAST(coalesce(list_sum(list_transform(string_split(p_name, ' '), w -> length(w))), 0) AS INT) AS total_len,
+        |  array_to_string(list_sort(string_split(p_name, ' ')), ',') AS sorted_words,
+        |  array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), ',') AS distinct_words,
+        |  list_contains(string_split(p_name, ' '), 'green') AS has_green,
+        |  CAST(coalesce(list_position(string_split(p_name, ' '), 'green'), 0) AS INT) AS pos_green,
+        |  array_to_string(list_slice(string_split(p_name, ' '), 1, 2), ',') AS first2,
+        |  CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+        |  array_to_string(list_transform(range(1, (p_size % 5) + 2), i -> CAST(i AS VARCHAR)), ',') AS seq_v
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "h8_explode" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(p_name, ' ')) AS word FROM part
+        |) GROUP BY word ORDER BY n DESC, word ASC LIMIT 100""".stripMargin,
+    "h9_map_struct" ->
+      """SELECT o_orderkey,
+        |  o_orderstatus AS tuple_status,
+        |  o_orderpriority AS tuple_prio,
+        |  o_orderstatus AS map_status,
+        |  'p,s' AS keys_v,
+        |  2 AS m_card
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "h10_json" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+        |  json_extract_string(props, '$.missing') IS NULL AS missing_null,
+        |  array_to_string(json_keys(props), ',') AS keys_v
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+    "h11_hash" ->
+      """SELECT c_custkey, md5(c_name) AS md5_v, sha256(c_name) AS sha256_v
+        |FROM customer WHERE c_custkey <= 1000 ORDER BY c_custkey""".stripMargin,
+    "h12_encoding" ->
+      """SELECT n_nationkey,
+        |  base64(CAST(n_name AS BLOB)) AS b64,
+        |  decode(from_base64(base64(CAST(n_name AS BLOB)))) AS b64_rt,
+        |  hex(n_name) AS hex_v,
+        |  decode(unhex(hex(n_name))) AS hex_rt
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "h13_bit" ->
+      """SELECT s_suppkey,
+        |  s_suppkey & 255 AS and_v,
+        |  s_suppkey | 16 AS or_v,
+        |  xor(s_suppkey, 170) AS xor_v,
+        |  s_suppkey << 2 AS shl_v,
+        |  s_suppkey >> 1 AS shr_v
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "h14_url" ->
+      """WITH u AS (
+        |  SELECT p_partkey,
+        |    'https://ex.com/' || replace(p_brand, '#', '-') || '/item?id=' || p_partkey || '&q=' || replace(lower(p_type), ' ', '+') AS url
+        |  FROM part)
+        |SELECT p_partkey,
+        |  regexp_extract(url, '^https://([^/]+)', 1) AS host_v,
+        |  regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path_v,
+        |  regexp_extract(url, 'q=([^&]*)', 1) AS q_v
+        |FROM u ORDER BY p_partkey""".stripMargin,
+    "h15_bucket" ->
+      """SELECT
+        |  CASE WHEN o_totalprice < 0 THEN 0
+        |       WHEN o_totalprice >= 600000 THEN 13
+        |       ELSE CAST(floor(o_totalprice / 50000) AS BIGINT) + 1 END AS wb,
+        |  CAST(floor(o_totalprice / 100000) * 100000 AS BIGINT) AS floor_bucket,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY wb, floor_bucket""".stripMargin)
+}
