@@ -14,12 +14,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Basics.queries ++ ops.Joins.queries ++ ops.Aggregates.queries ++
       ops.Windows.queries ++ ops.SortsLimits.queries ++ ops.SetOps.queries ++
-      ops.Functions.queries
+      ops.Functions.queries ++ ops.LlmText.queries ++ ops.LlmVector.queries ++
+      ops.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Basics.oracles ++ ops.Joins.oracles ++ ops.Aggregates.oracles ++
       ops.Windows.oracles ++ ops.SortsLimits.oracles ++ ops.SetOps.oracles ++
-      ops.Functions.oracles
+      ops.Functions.oracles ++ ops.LlmText.oracles ++ ops.LlmVector.oracles ++
+      ops.Multimodal.oracles
 }

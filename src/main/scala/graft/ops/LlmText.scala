@@ -1,0 +1,232 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Engine
+
+/** LLM-data-pipeline text operators (SURVEY §2.L1/L4/L5 + brief):
+  * exact dedup, MinHash+LSH near-dup, text stats, token counting,
+  * language-ID heuristic, quality scoring, document fingerprints,
+  * n-gram Jaccard. All token/shingle work is pure Catalyst
+  * higher-order expressions — no UDFs, fully codegen-friendly.
+  *
+  * Scale design (100 TB): every op is a narrow map over `documents`
+  * followed by at most one shuffle on a low-cardinality or hash key.
+  * LSH banding is the scale path for near-dup: candidates come from a
+  * bucket self-join on (band, signature) — never an all-pairs product.
+  */
+object LlmText {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace tokens with empties dropped (both engines agree on
+    * this form; bare split differs on trailing empties). */
+  private val toks: Column =
+    filter(split(col("text"), " "), t => t =!= "")
+
+  /** L1: exact dedup — hash the text, keep the smallest doc_id per
+    * hash. One shuffle on the hash; at 100 TB the md5 prunes to
+    * 16-byte keys before the exchange. */
+  private def l1ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies", "text_hash")
+      .orderBy("keep_id")
+
+  /** L4: MinHash + LSH near-dup detection. 16 minhashes (xxhash64
+    * seeded per row) over word 3-shingles, banded 8×2; docs sharing a
+    * (band, band-signature) bucket are candidate pairs. Declared
+    * without oracle (hash family is engine-internal); the spec test
+    * plants near-duplicates and asserts they collide. */
+  def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.t(spark, dir, "documents")
+      .withColumn("toks", toks)
+      .withColumn("shingles", expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 0)), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
+      .withColumn("sigs", expr(
+        "transform(sequence(0, 15), s -> coalesce(array_min(transform(shingles, sh -> xxhash64(sh, s))), 0L))"))
+      .withColumn("bands", expr(
+        "transform(sequence(0, 7), b -> struct(b AS band, xxhash64(sigs[2*b], sigs[2*b+1]) AS sig))"))
+      .select(col("doc_id"), explode(col("bands")).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val a = docs.select(col("band"), col("sig"), col("doc_id").as("a"))
+    val b = docs.select(col("band"), col("sig"), col("doc_id").as("b"))
+    a.join(b, Seq("band", "sig")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  private def l4MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val cands = lshCandidates(spark, dir)
+    val nDocs = Engine.t(spark, dir, "documents").select(count(lit(1)).as("n_docs"))
+    nDocs.crossJoin(cands.agg(count(lit(1)).as("n_candidate_pairs")))
+  }
+
+  /** L5: text stats rollup per (lang, source). */
+  private def l5TextStats(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "documents")
+      .withColumn("n_toks", size(toks))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        max(col("n_toks")).as("max_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_toks")).cast("double") / count(lit(1)).cast("double")).as("avg_tokens"))
+      .orderBy("lang", "source")
+
+  /** L5b: per-document token counting — whitespace and a BPE-ish
+    * regex segmentation (letter runs / digit runs / single symbols). */
+  private def l6TokenCount(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(
+        col("doc_id"),
+        size(toks).as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("n_bpeish_tokens"),
+        length(col("text")).as("len_chars"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic: stopword-hit ratio over tokens (the
+    * n-gram-heuristic mechanism; thresholds are illustrative). */
+  private def l7LangId(spark: SparkSession, dir: String): DataFrame = {
+    val nStop = size(filter(toks, t => t.isin("the", "a", "of", "and", "to")))
+    val nToks = size(toks)
+    val ratio = nStop.cast("double") / nToks.cast("double")
+    Engine.t(spark, dir, "documents")
+      .filter(col("doc_id") < 200)
+      .select(
+        col("doc_id"), col("lang"),
+        round(ratio, 6).as("stop_ratio"),
+        when(ratio >= 0.08, lit("en")).otherwise(lit("other")).as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length / punctuation / word-length / stopword
+    * signals folded into a bucket. */
+  private def l8Quality(spark: SparkSession, dir: String): DataFrame = {
+    val nToks = size(toks)
+    val punctLen = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+    val avgWordLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nToks.cast("double")
+    Engine.t(spark, dir, "documents")
+      .select(
+        col("doc_id"), col("n_chars"),
+        size(toks).as("n_tokens"),
+        round(punctLen.cast("double") / length(col("text")).cast("double"), 6).as("punct_ratio"),
+        round(avgWordLen, 6).as("avg_word_len"),
+        when(col("n_chars") < 100, lit("short"))
+          .when(avgWordLen > 6.0, lit("long_words"))
+          .otherwise(lit("ok")).as("quality_bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprints: min-hash content fingerprint + 16-bit
+    * SimHash over tokens. No oracle (xxhash64 is engine-internal);
+    * spec test asserts stability and near-dup Hamming proximity. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val simBits = (0 until 16).map { j =>
+      val vote = aggregate(toks, lit(0L),
+        (acc, t) => acc + when(xxhash64(t).bitwiseAND(lit(1L << j)) =!= 0, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    Engine.t(spark, dir, "documents")
+      .withColumn("toks", toks)
+      // Fingerprint over 3-gram shingles, not bare tokens — a shared
+      // vocabulary collapses token-minhash to a handful of values.
+      .withColumn("shingles", expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 0)), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
+      .select(
+        col("doc_id"),
+        coalesce(array_min(expr("transform(shingles, s -> xxhash64(s))")), lit(0L)).as("min_fp"),
+        simBits.as("simhash16"))
+      .orderBy("doc_id")
+  }
+
+  private def l9Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    fingerprints(spark, dir)
+
+  /** N-gram Jaccard similarity over distinct word 2-grams for a small
+    * doc prefix (the exact-verification stage that follows LSH
+    * candidate generation at scale). */
+  private def l10NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Engine.t(spark, dir, "documents")
+      .filter(col("doc_id") < 20)
+      .withColumn("toks", toks)
+      .withColumn("grams", expr(
+        "array_distinct(transform(sequence(1, greatest(size(toks) - 1, 0)), i -> concat_ws(' ', toks[i-1], toks[i])))"))
+      .select(col("doc_id"), col("grams"))
+    val a = sh.select(col("doc_id").as("a_id"), col("grams").as("ga"))
+    val b = sh.select(col("doc_id").as("b_id"), col("grams").as("gb"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .select(
+        col("a_id"), col("b_id"),
+        size(array_intersect(col("ga"), col("gb"))).as("inter"),
+        (size(col("ga")) + size(col("gb")) - size(array_intersect(col("ga"), col("gb")))).as("uni"))
+      .select(col("a_id"), col("b_id"), col("inter"), col("uni"),
+        round(col("inter").cast("double") / col("uni").cast("double"), 6).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "l1_exact_dedup" -> (l1ExactDedup _),
+    "l4_minhash_lsh" -> (l4MinhashLsh _),
+    "l5_text_stats" -> (l5TextStats _),
+    "l6_token_count" -> (l6TokenCount _),
+    "l7_lang_id" -> (l7LangId _),
+    "l8_quality_score" -> (l8Quality _),
+    "l9_fingerprint" -> (l9Fingerprint _),
+    "l10_ngram_jaccard" -> (l10NgramJaccard _))
+
+  val oracles: Map[String, String] = Map(
+    "l1_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "l5_text_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  sum(n_toks) AS total_tokens, max(n_toks) AS max_tokens,
+        |  sum(n_chars) AS total_chars,
+        |  CAST(sum(n_toks) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens
+        |FROM (SELECT lang, source, n_chars,
+        |        CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS INT) AS n_toks
+        |      FROM documents)
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "l6_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS INT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS INT) AS n_bpeish_tokens,
+        |  CAST(length(text) AS INT) AS len_chars
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "l7_lang_id" ->
+      """SELECT doc_id, lang,
+        |  round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+        |        / CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS DOUBLE), 6) AS stop_ratio,
+        |  CASE WHEN CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+        |            / CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS DOUBLE) >= 0.08
+        |       THEN 'en' ELSE 'other' END AS pred_lang
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    "l8_quality_score" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS INT) AS n_tokens,
+        |  round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |        / CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS DOUBLE), 6) AS avg_word_len,
+        |  CASE WHEN n_chars < 100 THEN 'short'
+        |       WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |            / CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS DOUBLE) > 6.0 THEN 'long_words'
+        |       ELSE 'ok' END AS quality_bucket
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "l10_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+        |      i -> t[i] || ' ' || t[i+1])) AS grams
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+        |        FROM documents WHERE doc_id < 20))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS INT) AS inter,
+        |  CAST(len(a.grams) + len(b.grams) - len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS INT) AS uni,
+        |  round(CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
+        |        / CAST(len(a.grams) + len(b.grams) - len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE), 6) AS jaccard
+        |FROM g a, g b WHERE a.doc_id < b.doc_id
+        |ORDER BY a_id, b_id""".stripMargin)
+}

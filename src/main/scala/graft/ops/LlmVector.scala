@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Engine
+
+/** LLM-data-pipeline vector operators (SURVEY §2.L2/L3 + brief):
+  * cosine/L2/dot similarity, brute-force top-k ANN, IVF-bucketed ANN,
+  * embedding-cosine near-dup. Distances are pure Catalyst higher-order
+  * expressions (`zip_with`/`aggregate`) accumulating in double — no
+  * UDFs, codegen'd, bit-deterministic.
+  *
+  * Scale design (100 TB corpus): the query set is always the broadcast
+  * side and the corpus streams once — never corpus×corpus. The IVF
+  * variant prunes the stream with a partition-prunable cluster column;
+  * near-dup pairs are blocked on the cluster key so the self-join is
+  * per-bucket, not all-pairs.
+  */
+object LlmVector {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Σ f(a_i, b_i) accumulated in double, sequential order (matches the
+    * oracle's list_sum over an index range). */
+  private def fold2(a: Column, b: Column, f: (Column, Column) => Column): Column =
+    aggregate(zip_with(a, b, (x, y) => f(x.cast("double"), y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  def dot(a: Column, b: Column): Column = fold2(a, b, _ * _)
+  def l2(a: Column, b: Column): Column = sqrt(fold2(a, b, (x, y) => (x - y) * (x - y)))
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "embeddings")
+
+  private def querySet(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  /** L2 op: cosine / dot / L2 distance, corpus × broadcast query set. */
+  private def l2VectorSim(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir).crossJoin(broadcast(querySet(spark, dir)))
+      .select(
+        col("vec_id"), col("q_id"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"),
+        round(dot(col("embedding"), col("q_emb")), 4).as("dot_p"),
+        round(l2(col("embedding"), col("q_emb")), 4).as("l2_dist"))
+      .orderBy("vec_id", "q_id")
+
+  /** L3: brute-force top-k nearest neighbors per query (k=5). The
+    * window re-uses the tiny q_id partitioning; at scale this is
+    * TakeOrdered-per-query over a single corpus scan. */
+  private def l3Knn(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("cs").desc, col("vec_id").asc)
+    corpus(spark, dir).crossJoin(broadcast(querySet(spark, dir)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("embedding"), col("q_emb")).as("cs"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id"), round(col("cs"), 4).as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs, blocked on the cluster
+    * label (the IVF coarse bucket) so the self-join is per-bucket. */
+  private def l11NearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val a = e.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = e.select(col("label"), col("vec_id").as("b_id"), col("embedding").as("eb"))
+    a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
+      .withColumn("cs", cosine(col("ea"), col("eb")))
+      .filter(col("cs") > 0.35)
+      .select(col("label"), col("a_id"), col("b_id"), round(col("cs"), 4).as("cos_sim"))
+      .orderBy("label", "a_id", "b_id")
+  }
+
+  /** IVF-bucketed ANN (scale path): centroids = per-label mean vector
+    * (posexplode → groupBy(label, dim) → re-assemble), probe the 2
+    * nearest centroids per query, then search only those buckets.
+    * Declared without oracle; the spec test checks recall vs l3. */
+  def l12AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val centroids = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim").agg(avg(col("v")).as("c"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("entries"))
+      .select(col("label").as("c_label"),
+        expr("transform(entries, e -> e.c)").as("centroid"))
+    val probeW = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_label").asc)
+    val probes = querySet(spark, dir).crossJoin(broadcast(centroids))
+      .withColumn("c_cos", cosine(col("q_emb"), col("centroid")))
+      .withColumn("c_rank", row_number().over(probeW))
+      .filter(col("c_rank") <= 2)
+      .select(col("q_id"), col("q_emb"), col("c_label"))
+    val w = Window.partitionBy("q_id").orderBy(col("cs").desc, col("vec_id").asc)
+    e.join(broadcast(probes), e("label") === probes("c_label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("embedding"), col("q_emb")).as("cs"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id"), round(col("cs"), 4).as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "l2_vector_similarity" -> (l2VectorSim _),
+    "l3_knn_bruteforce" -> (l3Knn _),
+    "l11_embedding_neardup" -> (l11NearDup _),
+    "l12_ann_ivf" -> (l12AnnIvf _))
+
+  /** Manual double-accumulation distance SQL shared by the oracles
+    * (DuckDB's list_* distance fns may accumulate in float32). */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def l2Sql(a: String, b: String): String =
+    s"sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))))"
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  val oracles: Map[String, String] = Map(
+    "l2_vector_similarity" ->
+      s"""SELECT c.vec_id, q.vec_id AS q_id,
+         |  round(${cosSql("c.embedding", "q.embedding")}, 4) AS cos_sim,
+         |  round(${dotSql("c.embedding", "q.embedding")}, 4) AS dot_p,
+         |  round(${l2Sql("c.embedding", "q.embedding")}, 4) AS l2_dist
+         |FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+         |ORDER BY c.vec_id, q_id""".stripMargin,
+    "l3_knn_bruteforce" ->
+      s"""SELECT q_id, rank, vec_id, round(cs, 4) AS cos_sim FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |    ${cosSql("c.embedding", "q.embedding")} AS cs,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("c.embedding", "q.embedding")} DESC, c.vec_id ASC) AS rank
+         |  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+         |  WHERE c.vec_id != q.vec_id)
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "l11_embedding_neardup" ->
+      s"""SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+         |  round(${cosSql("a.embedding", "b.embedding")}, 4) AS cos_sim
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} > 0.35
+         |ORDER BY a.label, a_id, b_id""".stripMargin)
+}
