@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{CH, Engine}
+
+/** Source/sink format surface (SURVEY §2.A2-A4, A9): Parquet, CSV,
+  * JSON round trips and INSERT/append ingest. Each query performs the
+  * real write → read-back → aggregate cycle against a scratch dir, and
+  * the oracle recomputes the same result from the source table — so a
+  * lossy round trip (precision, header, schema drift) fails the hash.
+  */
+object Formats {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def scratch(name: String): String = s"/tmp/graft_io/$name"
+
+  /** A2: Parquet write/read round trip. */
+  private def a2Parquet(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("a2_parquet")
+    Engine.t(spark, dir, "lineitem")
+      .filter(col("l_quantity") < 3)
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(CH.dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** A3: CSV (CSVWithNames ≈ header=true) round trip with explicit
+    * schema on read; shortest-repr doubles survive exactly. */
+  private def a3Csv(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("a3_csv")
+    val src = Engine.t(spark, dir, "lineitem")
+      .filter(col("l_quantity") < 2)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    src.write.mode("overwrite").option("header", "true").csv(out)
+    spark.read.schema(src.schema).option("header", "true").csv(out)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** A4: JSON (JSONEachRow) round trip. */
+  private def a4Json(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("a4_json")
+    val src = Engine.t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 450000)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    src.write.mode("overwrite").json(out)
+    spark.read.schema(src.schema).json(out)
+      .orderBy("o_orderkey")
+  }
+
+  /** A9: INSERT INTO … SELECT / batch append ingest — base write plus
+    * append, read back and aggregate. */
+  private def a9InsertAppend(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("a9_append")
+    val o = Engine.t(spark, dir, "orders")
+    o.filter(col("o_orderstatus") === "F")
+      .write.mode("overwrite").parquet(out)
+    o.filter(col("o_orderstatus") === "O")
+      .write.mode("append").parquet(out)
+    spark.read.parquet(out)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum(CH.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "a2_parquet_roundtrip" -> (a2Parquet _),
+    "a3_csv_roundtrip" -> (a3Csv _),
+    "a4_json_roundtrip" -> (a4Json _),
+    "a9_insert_append" -> (a9InsertAppend _))
+
+  val oracles: Map[String, String] = Map(
+    "a2_parquet_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_quantity < 3
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a3_csv_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |FROM lineitem WHERE l_quantity < 2
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "a4_json_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_totalprice > 450000
+        |ORDER BY o_orderkey""".stripMargin,
+    "a9_insert_append" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderstatus IN ('F', 'O')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+}

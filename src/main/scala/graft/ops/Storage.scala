@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{CH, Engine}
+
+/** Storage/DDL operator surface (SURVEY §2.K7, K10-K12).
+  *
+  * The reference's MergeTree table = partitioned + ordered parts
+  * (PARTITION BY `toYYYYMM(event_date)`, reference `Dockerfile:228`);
+  * the Spark-native equivalent is a Parquet dataset written with
+  * `partitionBy(yyyymm)` directories (→ Catalyst partition pruning)
+  * and `sortWithinPartitions` row ordering (→ row-group min/max
+  * skipping). Mutations and OPTIMIZE are read→transform→atomic
+  * overwrite jobs, not in-place edits — the scale-correct shape.
+  */
+object Storage {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def scratch(name: String): String = s"/tmp/graft_io/$name"
+
+  /** K10: partitioned + sorted DDL write, read back through partition
+    * pruning (only 3 of ~80 yyyymm dirs are touched). */
+  private def k10PartitionedWrite(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("k10_parts")
+    Engine.t(spark, dir, "orders")
+      .withColumn("yyyymm", CH.toYYYYMM(col("o_orderdate")))
+      .repartition(col("yyyymm"))
+      .sortWithinPartitions("yyyymm", "o_orderkey")
+      .write.mode("overwrite").partitionBy("yyyymm").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("yyyymm").between(199701, 199703))
+      .groupBy("yyyymm")
+      .agg(count(lit(1)).as("n"), sum(CH.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy("yyyymm")
+  }
+
+  /** K11: mutations — ALTER DELETE + ALTER UPDATE as a rewrite into a
+    * new table version, then read back. */
+  private def k11Mutation(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("k11_mutated")
+    Engine.t(spark, dir, "supplier")
+      .filter(!(col("s_acctbal") < 0))                                    // ALTER TABLE ... DELETE WHERE s_acctbal < 0
+      .withColumn("s_name",                                               // ALTER TABLE ... UPDATE s_name WHERE s_acctbal > 9000
+        when(col("s_acctbal") > 9000, concat(col("s_name"), lit("*")))
+          .otherwise(col("s_name")))
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .agg(
+        count(lit(1)).as("n"),
+        CH.countIf(col("s_name").endsWith("*")).as("n_updated"),
+        sum(CH.dec(col("s_acctbal"))).cast("double").as("sum_bal"))
+  }
+
+  /** K12: OPTIMIZE/compaction — rewrite many small files into few. */
+  private def k12Compaction(spark: SparkSession, dir: String): DataFrame = {
+    val frag = scratch("k12_frag")
+    val compact = scratch("k12_compact")
+    Engine.t(spark, dir, "lineitem").filter(col("l_quantity") < 5)
+      .repartition(16).write.mode("overwrite").parquet(frag)
+    val before = spark.read.parquet(frag)
+    before.repartition(2).write.mode("overwrite").parquet(compact)
+    val after = spark.read.parquet(compact)
+    val filesBefore = before.inputFiles.length
+    val filesAfter = after.inputFiles.length
+    after.agg(count(lit(1)).as("n_rows"))
+      .select(col("n_rows"), lit(filesBefore).as("files_before"), lit(filesAfter).as("files_after"))
+  }
+
+  /** K7: obfuscator — schema-preserving deterministic anonymization:
+    * values remapped via xxhash64, null mask and per-value identity
+    * (thus cardinality) preserved. Oracle checks the preserved
+    * cardinalities against the original table. */
+  def obfuscate(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        when(col(c).isNull, lit(null))
+          .otherwise(lower(hex(xxhash64(col(c).cast("string"))))))
+    }
+
+  private def k7Obfuscator(spark: SparkSession, dir: String): DataFrame =
+    obfuscate(Engine.t(spark, dir, "customer"), Seq("c_name", "c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n"),
+        count_distinct(col("c_name")).as("n_names"),
+        count_distinct(col("c_mktsegment")).as("n_segments"))
+
+  val queries: Map[String, Q] = Map(
+    "k10_partitioned_write" -> (k10PartitionedWrite _),
+    "k11_mutation" -> (k11Mutation _),
+    "k12_compaction" -> (k12Compaction _),
+    "k7_obfuscator" -> (k7Obfuscator _))
+
+  val oracles: Map[String, String] = Map(
+    "k10_partitioned_write" ->
+      """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS yyyymm,
+        |  count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE year(o_orderdate) * 100 + month(o_orderdate) BETWEEN 199701 AND 199703
+        |GROUP BY 1 ORDER BY yyyymm""".stripMargin,
+    "k11_mutation" ->
+      """SELECT count(*) AS n,
+        |  count(*) FILTER (WHERE s_acctbal > 9000) AS n_updated,
+        |  CAST(CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_bal
+        |FROM supplier WHERE NOT (s_acctbal < 0)""".stripMargin,
+    "k7_obfuscator" ->
+      """SELECT count(*) AS n,
+        |  count(DISTINCT c_name) AS n_names,
+        |  count(DISTINCT c_mktsegment) AS n_segments
+        |FROM customer""".stripMargin)
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+import graft.{CH, Engine}
+
+/** Observability surface (SURVEY §2.A11/A12/I5):
+  * - `system.build_options` — the reference's only literal query
+  *   (`SELECT * FROM system.build_options`, `Dockefile-ubuntu:52`)
+  *   as a constant DataFrame of engine facts.
+  * - `system.query_log` — the reference configures it as a MergeTree
+  *   table partitioned by `toYYYYMM(event_date)` with periodic flush
+  *   (`Dockerfile:225-230`); here a QueryExecutionListener feeds a
+  *   Parquet table written `partitionBy(yyyymm)`.
+  * - EXPLAIN — plan text through the SQL front door.
+  */
+object SystemTables {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A11: build_options constant table. */
+  private def a11BuildOptions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("engine.name", "graft"),
+      ("engine.version", "0.1.0"),
+      ("reference", "DanielCasali/clickhouseocp (ClickHouse 25.7)"),
+      ("session.timeZone", spark.conf.get("spark.sql.session.timeZone")),
+      ("spark.version", spark.version))
+      .toDF("name", "value")
+      .orderBy("name")
+  }
+
+  /** Listener state: one record per completed query execution. */
+  private case class LogEntry(query: String, status: String, duration_ms: Long, out_rows: Long)
+  private val buffer = new ConcurrentLinkedQueue[LogEntry]()
+  @volatile private var registered = false
+
+  private class Listener extends QueryExecutionListener {
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+      buffer.add(LogEntry(funcName, "OK", durationNs / 1000000,
+        qe.executedPlan.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)))
+    override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit =
+      buffer.add(LogEntry(funcName, "FAIL", -1, -1))
+  }
+
+  def ensureListener(spark: SparkSession): Unit = synchronized {
+    if (!registered) { spark.listenerManager.register(new Listener); registered = true }
+  }
+
+  /** A12: run a probe query under the listener, flush the log to a
+    * Parquet table partitioned by yyyymm (the reference's partition
+    * expression), read it back. Declared without oracle (timings are
+    * nondeterministic); emits stable summary columns. */
+  private def a12QueryLog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ensureListener(spark)
+    // probe queries the listener will observe
+    Engine.t(spark, dir, "nation").groupBy("n_regionkey").count().collect()
+    // listener delivery is async; poll briefly until the entry lands
+    val deadline = System.nanoTime() + 5000000000L
+    while (buffer.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    val out = "/tmp/graft_io/a12_query_log"
+    val entries = buffer.asScala.toSeq
+    if (entries.nonEmpty) {
+      entries.toDF()
+        .withColumn("event_date", current_date())
+        .withColumn("yyyymm", CH.toYYYYMM(col("event_date")))
+        .write.mode("append").partitionBy("yyyymm").parquet(out)
+      buffer.clear()
+    }
+    spark.read.parquet(out)
+      .agg(
+        count(lit(1)).as("n_logged"),
+        CH.countIf(col("status") === "OK").as("n_ok"),
+        count_distinct(col("yyyymm")).as("n_partitions"))
+      .select((col("n_logged") > 0).as("has_entries"),
+        (col("n_ok") > 0).as("has_ok"),
+        (col("n_partitions") >= 1).as("partitioned"))
+  }
+
+  /** I5: EXPLAIN through the SQL front door. */
+  private def i5Explain(spark: SparkSession, dir: String): DataFrame = {
+    Engine.registerAll(spark, dir)
+    val df = spark.sql(
+      "EXPLAIN FORMATTED SELECT l_returnflag, sum(l_quantity) FROM lineitem GROUP BY l_returnflag")
+    df.select((length(col("plan")) > 0).as("has_plan"),
+      col("plan").contains("HashAggregate").as("has_hash_agg"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "a11_build_options" -> (a11BuildOptions _),
+    "a12_query_log" -> (a12QueryLog _),
+    "i5_explain" -> (i5Explain _))
+
+  val oracles: Map[String, String] = Map(
+    "a11_build_options" ->
+      """SELECT * FROM (VALUES
+        |  ('engine.name', 'graft'),
+        |  ('engine.version', '0.1.0'),
+        |  ('reference', 'DanielCasali/clickhouseocp (ClickHouse 25.7)'),
+        |  ('session.timeZone', 'UTC'),
+        |  ('spark.version', '4.1.2')) t(name, value)
+        |ORDER BY name""".stripMargin)
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge semantics the oracle queries can't probe directly (VERDICT r1
+  * item 9): exceptAll duplicate counting, last_value frame defaults,
+  * ASOF tie-breaks and no-match drops, null handling in aggregates. */
+class EdgeSemanticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exceptAll preserves multiset difference counts") {
+    val a = Seq(1, 1, 1, 2, 3).toDF("v")
+    val b = Seq(1, 2, 2).toDF("v")
+    val got = a.exceptAll(b).groupBy("v").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(1 -> 2L, 3 -> 1L))
+  }
+
+  test("intersectAll takes multiset minimum counts") {
+    val a = Seq(1, 1, 2, 2, 2).toDF("v")
+    val b = Seq(1, 2, 2).toDF("v")
+    val got = a.intersectAll(b).groupBy("v").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(1 -> 1L, 2 -> 2L))
+  }
+
+  test("last_value under default frame is current row; full frame is partition max") {
+    val df = Seq((1, 10), (1, 20), (1, 30)).toDF("k", "v")
+    val order = Window.partitionBy("k").orderBy("v")
+    val full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rows = df.select(
+      last_value(col("v")).over(order).as("dflt"),
+      last_value(col("v")).over(full).as("full")).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(10, 20, 30)) // default frame ends at current row
+    assert(rows.map(_.getInt(1)).forall(_ == 30))
+  }
+
+  test("ASOF rewrite: ties break to larger id, unmatched left rows drop") {
+    val purchases = Seq((100L, 1L, 50L)).toDF("p_id", "p_user", "p_ts")
+    val clicks = Seq((1L, 1L, 50L), (2L, 1L, 50L), (3L, 1L, 60L), (4L, 2L, 10L))
+      .toDF("c_id", "c_user", "c_ts")
+    val w = Window.partitionBy("p_id").orderBy(col("c_ts").desc, col("c_id").desc)
+    val got = purchases
+      .join(clicks, col("p_user") === col("c_user") && col("c_ts") <= col("p_ts"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("p_id", "c_id").collect()
+    assert(got.length == 1 && got.head.getLong(1) == 2L) // ts tie → larger c_id
+    // a purchase by a user with no prior clicks yields no row (inner asof)
+    val lonely = Seq((200L, 9L, 50L)).toDF("p_id", "p_user", "p_ts")
+    assert(lonely.join(clicks, col("p_user") === col("c_user") && col("c_ts") <= col("p_ts")).count() == 0)
+  }
+
+  test("count/sum ignore nulls; count(*) does not") {
+    val df = Seq(Some(1), None, Some(3)).toDF("v")
+    val r = df.agg(count(col("v")), count(lit(1)), sum(col("v"))).collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 3 && r.getLong(2) == 4)
+  }
+
+  test("LIMIT BY returns at most n rows per group and top-K equals sort-take") {
+    val df = Seq(("a", 5), ("a", 3), ("a", 9), ("b", 1), ("b", 2)).toDF("g", "v")
+    val w = Window.partitionBy("g").orderBy(col("v").desc)
+    val limited = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    val counts = limited.groupBy("g").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ <= 2))
+    val topk = df.orderBy(col("v").desc).limit(2).collect().map(_.getInt(1)).toSeq
+    val sorted = df.collect().map(_.getInt(1)).sorted(Ordering[Int].reverse).take(2).toSeq
+    assert(topk == sorted)
+  }
+}

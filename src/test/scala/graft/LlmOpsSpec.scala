@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{LlmText, LlmVector, Multimodal, Storage}
+
+/** Behavioral checks for the no-oracle LLM ops: LSH finds planted
+  * near-dups, fingerprints are stable and similarity-sensitive, IVF
+  * ANN returns structurally valid results, the multimodal stub decode
+  * matches an independent computation, obfuscation preserves
+  * cardinality and nulls. Runs on sf0.001 + literal frames. */
+class LlmOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("LSH candidate generation collides planted near-duplicates") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again until done"
+    val nearDup = base.replace("done", "finished") // one token differs
+    val far = "completely different words appear here with nothing shared at all whatsoever today"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, far)).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("documents_plant")
+    // run the same pipeline as lshCandidates against the planted docs
+    val staged = "/tmp/graft_io/test_lsh"
+    docs.select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("t").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$staged/documents.parquet")
+    val cands = LlmText.lshCandidates(spark, staged).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)), s"near-dup pair not found in $cands")
+    assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
+  }
+
+  test("fingerprints are deterministic and identical for identical text") {
+    val fp1 = LlmText.fingerprints(spark, sf).collect()
+    val fp2 = LlmText.fingerprints(spark, sf).collect()
+    assert(fp1.sameElements(fp2))
+  }
+
+  test("IVF ANN results are valid neighbors with descending scores") {
+    val rows = LlmVector.l12AnnIvf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(1))
+      val scores = byRank.map(_.getDouble(3))
+      assert(scores.zip(scores.drop(1)).forall { case (a, b) => a >= b })
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to byRank.length))
+    }
+  }
+
+  test("multimodal stub decode matches independent byte statistics") {
+    val r = Multimodal.MediaRow(7L, "abc".getBytes("UTF-8"), 3, 4)
+    val f = graft.ops.Multimodal.fakeDecode(r)
+    assert(f.n_bytes == 3 && f.max_byte == 'c'.toInt)
+    assert(math.abs(f.mean_byte - (97 + 98 + 99) / 3.0) < 1e-12)
+  }
+
+  test("obfuscator preserves nulls and cardinality") {
+    import spark.implicits._
+    val df = Seq(Some("x"), Some("y"), Some("x"), None).toDF("c")
+    val ob = Storage.obfuscate(df, Seq("c"))
+    val vals = ob.collect().map(r => Option(r.getString(0)))
+    assert(vals.count(_.isEmpty) == 1)
+    assert(vals.flatten.distinct.length == 2)
+    // same input → same token (deterministic)
+    val obVals = ob.collect().map(r => Option(r.getString(0)))
+    assert(vals.sameElements(obVals))
+    // and the token differs from the original value
+    assert(vals.flatten.forall(v => v != "x" && v != "y"))
+  }
+
+  test("exact dedup is idempotent") {
+    import spark.implicits._
+    val docs = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
+    val dedup1 = docs.groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("keep"))
+    assert(dedup1.count() == 2)
+    val kept = docs.join(dedup1, docs("doc_id") === dedup1("keep"), "left_semi")
+    val dedup2 = kept.groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("keep"))
+    assert(dedup2.count() == 2) // second pass removes nothing
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Udafs.SumSqState
+
+/** Partial/final aggregation equivalence (SURVEY §5.3): aggregating
+  * parts then merging must equal aggregating the whole — the algebra
+  * Spark's partial→final HashAggregate (and the reference's
+  * AggregateFunction states) relies on. */
+class PartialAggPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("Aggregator state merge is associative and matches single-pass reduce") {
+    val prop = Prop.forAll(Gen.listOf(Gen.choose(0, 50).map(_.toDouble)), Gen.choose(1, 5)) {
+      (xs: List[Double], nParts: Int) =>
+        val whole = xs.foldLeft(SumSqState.zero)(SumSqState.reduce)
+        val parts = xs.grouped(math.max(1, xs.size / nParts + 1)).toList
+          .map(p => p.foldLeft(SumSqState.zero)(SumSqState.reduce))
+        val merged = parts.foldLeft(SumSqState.zero)(SumSqState.merge)
+        SumSqState.finish(merged) == SumSqState.finish(whole)
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("decimal sum over repartitioned data equals single-partition sum") {
+    import spark.implicits._
+    val xs = (1 to 500).map(i => (i % 7, i * 1.25))
+    val df = xs.toDF("k", "v").withColumn("d", col("v").cast("decimal(12,2)"))
+    val one = df.coalesce(1).groupBy("k").agg(sum("d").as("s"))
+    val many = df.repartition(13).groupBy("k").agg(sum("d").as("s"))
+    val a = one.collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+    val b = many.collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+    assert(a == b)
+  }
+
+  test("udaf through SQL matches manual computation") {
+    import spark.implicits._
+    spark.udf.register("sum_sq_t", udaf(SumSqState))
+    val df = Seq(1.0, 2.0, 3.0).toDF("v")
+    df.createOrReplaceTempView("t_sumsq")
+    val got = spark.sql("SELECT sum_sq_t(v) FROM t_sumsq").collect().head.getLong(0)
+    assert(got == 1 + 4 + 9)
+  }
+}
