@@ -16,7 +16,8 @@ object SparkEntry {
       ops.Windows.queries ++ ops.SortsLimits.queries ++ ops.SetOps.queries ++
       ops.Functions.queries ++ ops.LlmText.queries ++ ops.LlmVector.queries ++
       ops.Multimodal.queries ++ ops.Formats.queries ++ ops.Storage.queries ++
-      ops.SystemTables.queries ++ ops.Streaming.queries ++ ops.Udafs.queries
+      ops.SystemTables.queries ++ ops.Streaming.queries ++ ops.Udafs.queries ++
+      ops.Sampling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
       ops.Windows.oracles ++ ops.SortsLimits.oracles ++ ops.SetOps.oracles ++
       ops.Functions.oracles ++ ops.LlmText.oracles ++ ops.LlmVector.oracles ++
       ops.Multimodal.oracles ++ ops.Formats.oracles ++ ops.Storage.oracles ++
-      ops.SystemTables.oracles ++ ops.Streaming.oracles ++ ops.Udafs.oracles
+      ops.SystemTables.oracles ++ ops.Streaming.oracles ++ ops.Udafs.oracles ++
+      ops.Sampling.oracles
 }

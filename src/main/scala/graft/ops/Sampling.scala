@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.{CH, Engine}
+
+/** B5 SAMPLE, J4 refreshable MV, and I3 SpaceSaving approximate topK.
+  *
+  * I3 is the one genuinely custom aggregate the built-in surface lacks
+  * (SURVEY §7.6 stretch): a bounded-memory heavy-hitters sketch. The
+  * typed `Aggregator` state is a capped counter map with SpaceSaving's
+  * replace-minimum rule; merge sums counters then re-caps, so partial
+  * states stay ≤ k entries per task — constant memory per executor at
+  * any scale, unlike exact topK's full groupBy.
+  */
+object Sampling {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** B5: SAMPLE — seeded Bernoulli sample; fraction semantics differ
+    * per engine RNG, so declared without oracle (spec test bounds the
+    * rate); output is an aggregate so bench stays small. */
+  private def b5Sample(spark: SparkSession, dir: String): DataFrame = {
+    val total = Engine.t(spark, dir, "lineitem").count()
+    Engine.t(spark, dir, "lineitem")
+      .sample(withReplacement = false, fraction = 0.1, seed = 42)
+      .agg(count(lit(1)).as("n_sampled"))
+      .select(col("n_sampled"), lit(total).as("n_total"),
+        round(col("n_sampled").cast("double") / lit(total).cast("double"), 3).as("rate"))
+  }
+
+  /** J4: refreshable MV — periodic full recompute + atomic overwrite
+    * (the reference's REFRESH EVERY semantics as a batch job). Runs two
+    * refresh cycles; the second overwrites the first, read-back equals
+    * the current batch answer. */
+  private def j4RefreshableMv(spark: SparkSession, dir: String): DataFrame = {
+    val target = "/tmp/graft_io/j4_mv"
+    def refresh(): Unit =
+      Engine.t(spark, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(CH.dec(col("o_totalprice"))).as("sp"))
+        .write.mode("overwrite").parquet(target)
+    refresh(); refresh() // two cycles: overwrite must be atomic+idempotent
+    spark.read.parquet(target)
+      .select(col("o_orderpriority"), col("n"), col("sp").cast("double").as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** SpaceSaving state: value → (count, overestimate). */
+  case class SSState(counters: Map[String, (Long, Long)], k: Int)
+
+  /** I3: SpaceSaving heavy hitters (Metwally et al. 2005, public
+    * algorithm): at most k counters; an unseen value replaces the
+    * minimum counter, inheriting its count as the overestimate bound. */
+  class SpaceSaving(k: Int) extends Aggregator[String, SSState, Seq[(String, Long)]] {
+    def zero: SSState = SSState(Map.empty, k)
+
+    def reduce(s: SSState, v: String): SSState = {
+      val c = s.counters
+      c.get(v) match {
+        case Some((n, e)) => s.copy(counters = c.updated(v, (n + 1, e)))
+        case None if c.size < k => s.copy(counters = c.updated(v, (1L, 0L)))
+        case None =>
+          val (minV, (minN, _)) = c.minBy { case (key, (n, _)) => (n, key) }
+          s.copy(counters = (c - minV).updated(v, (minN + 1, minN)))
+      }
+    }
+
+    def merge(a: SSState, b: SSState): SSState = {
+      val summed = (a.counters.keySet ++ b.counters.keySet).map { key =>
+        val (n1, e1) = a.counters.getOrElse(key, (0L, 0L))
+        val (n2, e2) = b.counters.getOrElse(key, (0L, 0L))
+        key -> (n1 + n2, e1 + e2)
+      }.toMap
+      // re-cap to k: keep the largest counters (deterministic tiebreak)
+      val kept = summed.toSeq
+        .sortBy { case (key, (n, _)) => (-n, key) }
+        .take(k).toMap
+      SSState(kept, k)
+    }
+
+    def finish(s: SSState): Seq[(String, Long)] =
+      s.counters.toSeq.sortBy { case (key, (n, _)) => (-n, key) }
+        .map { case (key, (n, _)) => (key, n) }
+
+    def bufferEncoder: Encoder[SSState] = Encoders.product[SSState]
+    def outputEncoder: Encoder[Seq[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+  }
+
+  /** I3 query: approximate top brands vs exact counts — emitted as a
+    * joined comparison, declared without oracle (sketch). */
+  private def i3SpaceSaving(spark: SparkSession, dir: String): DataFrame = {
+    spark.udf.register("ss_topk", udaf(new SpaceSaving(8)))
+    Engine.t(spark, dir, "part")
+      .agg(expr("ss_topk(p_brand)").as("topk"))
+      .select(explode(col("topk")).as("e"))
+      .select(col("e._1").as("brand"), col("e._2").as("approx_count"))
+      .orderBy(desc("approx_count"), col("brand"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "b5_sample" -> (b5Sample _),
+    "j4_refreshable_mv" -> (j4RefreshableMv _),
+    "i3_spacesaving_topk" -> (i3SpaceSaving _))
+
+  val oracles: Map[String, String] = Map(
+    "j4_refreshable_mv" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+}

@@ -22,7 +22,8 @@ class HarnessSpec extends AnyFunSuite {
       ops.Windows.queries, ops.SortsLimits.queries, ops.SetOps.queries,
       ops.Functions.queries, ops.LlmText.queries, ops.LlmVector.queries,
       ops.Multimodal.queries, ops.Formats.queries, ops.Storage.queries,
-      ops.SystemTables.queries, ops.Streaming.queries, ops.Udafs.queries)
+      ops.SystemTables.queries, ops.Streaming.queries, ops.Udafs.queries,
+      ops.Sampling.queries)
     val total = all.map(_.size).sum
     assert(SparkEntry.queries.size == total, "duplicate query names across modules")
   }

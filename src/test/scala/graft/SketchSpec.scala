@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Sampling.SpaceSaving
+
+/** SpaceSaving sketch guarantees and SAMPLE rate bounds. */
+class SketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("SpaceSaving finds true heavy hitters on skewed data") {
+    import spark.implicits._
+    // zipf-ish: value i appears ~ 1000/i times
+    val data = (1 to 20).flatMap(i => Seq.fill(1000 / i)(s"v$i"))
+    val df = spark.createDataset(data).toDF("v").repartition(8)
+    spark.udf.register("ss_test", udaf(new SpaceSaving(8)))
+    val topk = df.agg(expr("ss_test(v)")).collect().head
+      .getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    // the top-3 true heavy hitters must survive an 8-counter sketch
+    assert(Set("v1", "v2", "v3").subsetOf(topk.toSet), s"got $topk")
+    assert(topk.length <= 8)
+  }
+
+  test("SpaceSaving counts are exact when distinct values fit in k") {
+    import spark.implicits._
+    val df = Seq("a", "a", "a", "b", "b", "c").toDF("v").repartition(3)
+    spark.udf.register("ss_small", udaf(new SpaceSaving(8)))
+    val got = df.agg(expr("ss_small(v)")).collect().head
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("seeded sample rate lands near the requested fraction") {
+    val l = Engine.t(spark, TestSpark.sf, "lineitem")
+    val total = l.count().toDouble
+    val n = l.sample(withReplacement = false, 0.1, 42).count().toDouble
+    assert(math.abs(n / total - 0.1) < 0.03, s"rate ${n / total}")
+  }
+}
