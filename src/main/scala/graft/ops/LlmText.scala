@@ -23,6 +23,20 @@ object LlmText {
   private val toks: Column =
     filter(split(col("text"), " "), t => t =!= "")
 
+  /** Word n-gram shingles built with zip_with over shifted slices —
+    * deliberately NO lambda-internal indexing into the token array:
+    * CollapseProject inlines column definitions into lambdas, so a
+    * `toks[i]` inside `transform` would re-run the full split+filter
+    * for every element (observed: a 24-minute single task at sf0.1).
+    * Argument-position references evaluate once per row. zip_with pads
+    * the shorter side with null and `concat` nulls out those tails. */
+  private def ngrams(t: Column, n: Int): Column = {
+    val joined = (2 to n).foldLeft(t) { (acc, k) =>
+      zip_with(acc, slice(t, lit(k), size(t)), (a, b) => concat(a, lit(" "), b))
+    }
+    filter(joined, x => x.isNotNull)
+  }
+
   /** L1: exact dedup — hash the text, keep the smallest doc_id per
     * hash. One shuffle on the hash; at 100 TB the md5 prunes to
     * 16-byte keys before the exchange. */
@@ -39,13 +53,19 @@ object LlmText {
     * without oracle (hash family is engine-internal); the spec test
     * plants near-duplicates and asserts they collide. */
   def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
+    // Single-pass signature fold: per shingle compute its 16 seeded
+    // hashes, then element-wise min — `shingles` is referenced once,
+    // in argument position, so it is evaluated once per row.
+    val sigExpr = aggregate(
+      transform(ngrams(toks, 3), sh =>
+        transform(sequence(lit(0), lit(15)), s => xxhash64(sh, s))),
+      array_repeat(lit(Long.MaxValue), 16),
+      (acc, h) => zip_with(acc, h, (x, y) => least(x, y)))
     val docs = Engine.t(spark, dir, "documents")
-      .withColumn("toks", toks)
-      .withColumn("shingles", expr(
-        "transform(sequence(1, greatest(size(toks) - 2, 0)), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
-      .withColumn("sigs", expr(
-        "transform(sequence(0, 15), s -> coalesce(array_min(transform(shingles, sh -> xxhash64(sh, s))), 0L))"))
-      .withColumn("bands", expr(
+      .repartition(32)                       // single-file scan → parallel tasks
+      .select(col("doc_id"), sigExpr.as("sigs"))
+      .repartition(32, col("doc_id"))        // barrier: materialize sigs before
+      .withColumn("bands", expr(             // the lambda below indexes into it
         "transform(sequence(0, 7), b -> struct(b AS band, xxhash64(sigs[2*b], sigs[2*b+1]) AS sig))"))
       .select(col("doc_id"), explode(col("bands")).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
@@ -129,14 +149,12 @@ object LlmText {
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     Engine.t(spark, dir, "documents")
-      .withColumn("toks", toks)
+      .repartition(32)
       // Fingerprint over 3-gram shingles, not bare tokens — a shared
       // vocabulary collapses token-minhash to a handful of values.
-      .withColumn("shingles", expr(
-        "transform(sequence(1, greatest(size(toks) - 2, 0)), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
       .select(
         col("doc_id"),
-        coalesce(array_min(expr("transform(shingles, s -> xxhash64(s))")), lit(0L)).as("min_fp"),
+        coalesce(array_min(transform(ngrams(toks, 3), s => xxhash64(s))), lit(0L)).as("min_fp"),
         simBits.as("simhash16"))
       .orderBy("doc_id")
   }
@@ -150,10 +168,7 @@ object LlmText {
   private def l10NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = Engine.t(spark, dir, "documents")
       .filter(col("doc_id") < 20)
-      .withColumn("toks", toks)
-      .withColumn("grams", expr(
-        "array_distinct(transform(sequence(1, greatest(size(toks) - 1, 0)), i -> concat_ws(' ', toks[i-1], toks[i])))"))
-      .select(col("doc_id"), col("grams"))
+      .select(col("doc_id"), array_distinct(ngrams(toks, 2)).as("grams"))
     val a = sh.select(col("doc_id").as("a_id"), col("grams").as("ga"))
     val b = sh.select(col("doc_id").as("b_id"), col("grams").as("gb"))
     a.crossJoin(b).filter(col("a_id") < col("b_id"))

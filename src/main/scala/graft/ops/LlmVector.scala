@@ -66,10 +66,16 @@ object LlmVector {
     * label (the IVF coarse bucket) so the self-join is per-bucket. */
   private def l11NearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir)
-    val a = e.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("ea"))
-    val b = e.select(col("label"), col("vec_id").as("b_id"), col("embedding").as("eb"))
+    // Norms are computed per row BEFORE the self-join — the join
+    // shuffle materializes them, so each of the O(bucket²) pairs costs
+    // one dot product, not three.
+    val a = e.select(col("label"), col("vec_id").as("a_id"),
+      col("embedding").as("ea"), sqrt(dot(col("embedding"), col("embedding"))).as("na"))
+    val b = e.select(col("label"), col("vec_id").as("b_id"),
+      col("embedding").as("eb"), sqrt(dot(col("embedding"), col("embedding"))).as("nb"))
+    val cs = dot(col("ea"), col("eb")) / (col("na") * col("nb"))
     a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
-      .withColumn("cs", cosine(col("ea"), col("eb")))
+      .withColumn("cs", cs)
       .filter(col("cs") > 0.35)
       .select(col("label"), col("a_id"), col("b_id"), round(col("cs"), 4).as("cos_sim"))
       .orderBy("label", "a_id", "b_id")
