@@ -53,14 +53,28 @@ object LlmText {
     * without oracle (hash family is engine-internal); the spec test
     * plants near-duplicates and asserts they collide. */
   def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
-    // Single-pass signature fold: per shingle compute its 16 seeded
-    // hashes, then element-wise min — `shingles` is referenced once,
-    // in argument position, so it is evaluated once per row.
+    // Single-pass signature fold with ONE xxhash64 per shingle: the 16
+    // minhash functions are rotate-xor mixes of the base hash — bitwise
+    // ops, so no ANSI overflow (a multiply-based mix throws under
+    // Spark 4's default ANSI mode). Identical shingle sets still yield
+    // identical signatures; each mix permutes the ordering differently.
+    // `shingles`/`hashes` are argument-position references — evaluated
+    // once per row, never per element.
+    val mixers: Seq[Long] = Seq(
+      0x9e3779b97f4a7c15L, 0xbf58476d1ce4e5b9L, 0x94d049bb133111ebL, 0x2545f4914f6cdd1dL,
+      0xff51afd7ed558ccdL, 0xc4ceb9fe1a85ec53L, 0x87c37b91114253d5L, 0x4cf5ad432745937fL,
+      0x52dce729d95d84a5L, 0x38495ab5c52d9f8bL, 0x6a09e667f3bcc909L, 0xbb67ae8584caa73bL,
+      0x3c6ef372fe94f82bL, 0xa54ff53a5f1d36f1L, 0x510e527fade682d1L, 0x9b05688c2b3e6c1fL)
+    def rotXor(h: Column, i: Int): Column = {
+      val r = 1 + (7 * i) % 63
+      shiftleft(h, r).bitwiseOR(shiftrightunsigned(h, 64 - r)).bitwiseXOR(lit(mixers(i)))
+    }
     val sigExpr = aggregate(
-      transform(ngrams(toks, 3), sh =>
-        transform(sequence(lit(0), lit(15)), s => xxhash64(sh, s))),
+      transform(ngrams(toks, 3), sh => xxhash64(sh)),
       array_repeat(lit(Long.MaxValue), 16),
-      (acc, h) => zip_with(acc, h, (x, y) => least(x, y)))
+      (acc, h) => zip_with(acc,
+        array(mixers.indices.map(i => rotXor(h, i)): _*),
+        (x, y) => least(x, y)))
     val docs = Engine.t(spark, dir, "documents")
       .repartition(32)                       // single-file scan → parallel tasks
       .select(col("doc_id"), sigExpr.as("sigs"))

@@ -16,9 +16,11 @@ class LlmOpsSpec extends AnyFunSuite {
 
   test("LSH candidate generation collides planted near-duplicates") {
     import spark.implicits._
-    val base = "the quick brown fox jumps over the lazy dog again and again until done"
-    val nearDup = base.replace("done", "finished") // one token differs
-    val far = "completely different words appear here with nothing shared at all whatsoever today"
+    val base = "the quick brown fox jumps over the lazy dog while the patient cat watches " +
+      "from the tall fence and the birds sing their morning songs in the garden until done"
+    val nearDup = base.replace("done", "finished") // one token of 31 differs → J≈0.9
+    val far = "completely different words appear here with nothing shared at all whatsoever " +
+      "because this text talks about ships sailing across wide oceans under heavy storms"
     val docs = Seq((1L, base), (2L, nearDup), (3L, far)).toDF("doc_id", "text")
     docs.createOrReplaceTempView("documents_plant")
     // run the same pipeline as lshCandidates against the planted docs
