@@ -12,10 +12,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: JIT + codegen + parquet reader classloading, so
-    // the first measured query isn't charged for JVM cold start.
+    // Untimed warmup: JIT + codegen + parquet reader + join/window/AQE
+    // classloading, so the first measured query isn't charged for JVM
+    // cold start.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count().count()
+    val wn = spark.read.parquet(s"$sfDir/nation.parquet")
+    val wr = spark.read.parquet(s"$sfDir/region.parquet")
+    wn.join(org.apache.spark.sql.functions.broadcast(wr),
+      wn("n_regionkey") === wr("r_regionkey")).count()
+    wn.selectExpr("n_regionkey", "row_number() over (partition by n_regionkey order by n_nationkey) rn")
+      .groupBy("n_regionkey").count().count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

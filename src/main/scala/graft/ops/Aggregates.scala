@@ -19,6 +19,14 @@ import graft.{CH, Engine}
 object Aggregates {
   type Q = (SparkSession, String) => DataFrame
 
+  /** D1: plain hash aggregation, partial+final (the spine shape; also
+    * exercised with measures by the flagship). */
+  private def d1GroupBy(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
   /** D2: min/max/avg per group. */
   private def d2MinMax(spark: SparkSession, dir: String): DataFrame =
     Engine.t(spark, dir, "part")
@@ -162,7 +170,7 @@ object Aggregates {
 
   /** D14: GROUPING SETS via SQL text against the registered catalog. */
   private def d14GroupingSets(spark: SparkSession, dir: String): DataFrame = {
-    Engine.registerAll(spark, dir)
+    Engine.t(spark, dir, "orders").createOrReplaceTempView("orders")
     spark.sql(
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS prio,
@@ -203,6 +211,7 @@ object Aggregates {
       .orderBy("bucket")
 
   val queries: Map[String, Q] = Map(
+    "d1_groupby_agg" -> (d1GroupBy _),
     "d2_min_max_avg" -> (d2MinMax _),
     "d3_agg_if" -> (d3AggIf _),
     "d4_uniq_exact" -> (d4UniqExact _),
@@ -224,6 +233,10 @@ object Aggregates {
     "i4_histogram" -> (i4Histogram _))
 
   val oracles: Map[String, String] = Map(
+    "d1_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "d2_min_max_avg" ->
       """SELECT p_brand, min(p_size) AS min_size, max(p_size) AS max_size,
         |  min(p_retailprice) AS min_price, max(p_retailprice) AS max_price,

@@ -39,6 +39,18 @@ object Formats {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** A3b: TSV (TabSeparated) round trip. */
+  private def a3Tsv(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("a3_tsv")
+    val src = Engine.t(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    src.write.mode("overwrite")
+      .option("header", "true").option("sep", "\t").csv(out)
+    spark.read.schema(src.schema)
+      .option("header", "true").option("sep", "\t").csv(out)
+      .orderBy("c_custkey")
+  }
+
   /** A4: JSON (JSONEachRow) round trip. */
   private def a4Json(spark: SparkSession, dir: String): DataFrame = {
     val out = scratch("a4_json")
@@ -68,6 +80,7 @@ object Formats {
   val queries: Map[String, Q] = Map(
     "a2_parquet_roundtrip" -> (a2Parquet _),
     "a3_csv_roundtrip" -> (a3Csv _),
+    "a3_tsv_roundtrip" -> (a3Tsv _),
     "a4_json_roundtrip" -> (a4Json _),
     "a9_insert_append" -> (a9InsertAppend _))
 
@@ -81,6 +94,9 @@ object Formats {
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
         |FROM lineitem WHERE l_quantity < 2
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "a3_tsv_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "a4_json_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_totalprice > 450000

@@ -75,7 +75,11 @@ object LlmText {
       (acc, h) => zip_with(acc,
         array(mixers.indices.map(i => rotXor(h, i)): _*),
         (x, y) => least(x, y)))
-    val docs = Engine.t(spark, dir, "documents")
+    // Materialize the (doc, band, sig) table once — the self-join would
+    // otherwise recompute the whole signature pipeline on both sides.
+    // At scale this is exactly the LSH bucket table a pipeline persists.
+    val bandsPath = "/tmp/graft_io/l4_bands"
+    Engine.t(spark, dir, "documents")
       .repartition(32)                       // single-file scan → parallel tasks
       .select(col("doc_id"), sigExpr.as("sigs"))
       .repartition(32, col("doc_id"))        // barrier: materialize sigs before
@@ -83,6 +87,8 @@ object LlmText {
         "transform(sequence(0, 7), b -> struct(b AS band, xxhash64(sigs[2*b], sigs[2*b+1]) AS sig))"))
       .select(col("doc_id"), explode(col("bands")).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .write.mode("overwrite").parquet(bandsPath)
+    val docs = spark.read.parquet(bandsPath)
     val a = docs.select(col("band"), col("sig"), col("doc_id").as("a"))
     val b = docs.select(col("band"), col("sig"), col("doc_id").as("b"))
     a.join(b, Seq("band", "sig")).filter(col("a") < col("b"))

@@ -26,9 +26,12 @@ object Streaming {
     * stage events (ts already normalized) as 4 chunk files — each chunk
     * plays the role of one inserted block. */
   private def stageEvents(spark: SparkSession, dir: String): String = {
-    val staged = "/tmp/graft_io/events_src"
-    Engine.events(spark, dir).repartition(4)
-      .write.mode("overwrite").parquet(staged)
+    val staged = "/tmp/graft_io/events_src_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(staged + "/_SUCCESS"))) {
+      Engine.events(spark, dir).repartition(4)
+        .write.mode("overwrite").parquet(staged)
+    }
     staged
   }
 

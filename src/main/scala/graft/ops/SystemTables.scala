@@ -85,7 +85,7 @@ object SystemTables {
 
   /** I5: EXPLAIN through the SQL front door. */
   private def i5Explain(spark: SparkSession, dir: String): DataFrame = {
-    Engine.registerAll(spark, dir)
+    Engine.t(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
     val df = spark.sql(
       "EXPLAIN FORMATTED SELECT l_returnflag, sum(l_quantity) FROM lineitem GROUP BY l_returnflag")
     df.select((length(col("plan")) > 0).as("has_plan"),
