@@ -3,15 +3,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark: SparkSession = Engine.session()
     // Untimed warmup: JIT + codegen + parquet reader + join/window/AQE
     // classloading, so the first measured query isn't charged for JVM
     // cold start.
@@ -22,7 +14,13 @@ object Bench {
       wn("n_regionkey") === wr("r_regionkey")).count()
     wn.selectExpr("n_regionkey", "row_number() over (partition by n_regionkey order by n_nationkey) rn")
       .groupBy("n_regionkey").count().count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated filter for targeted profiling runs.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

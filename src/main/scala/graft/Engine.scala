@@ -14,6 +14,22 @@ import org.apache.spark.sql.types.LongType
   */
 object Engine {
 
+  /** Shared local-session factory (the engine's `clickhouse-local`
+    * mode, SURVEY §3.3): local[$SPARK_GRAFT_CPUS], shuffle partitions
+    * = cores, UTC, nanos-as-long parquet reads. */
+  def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
   /** All driver-generated testdata tables (TESTDATA.md). */
   val tableNames: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",

@@ -14,15 +14,7 @@ object Explain {
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_pricing_summary", "c8_broadcast_dict_join", "c9_global_join",
         "a1_scan_prune", "l3_knn_bruteforce", "c1_inner_join")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Engine.session()
     names.foreach { n =>
       SparkEntry.queries.get(n) match {
         case Some(fn) =>

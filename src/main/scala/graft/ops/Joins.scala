@@ -95,22 +95,23 @@ object Joins {
   }
 
   /** C6: ASOF JOIN — for each purchase event, the latest click by the
-    * same user at or before the purchase. No native Spark join type:
-    * rewritten as equi+range join then keep the nearest-preceding row
-    * with row_number over (purchase, click_ts desc). DuckDB's native
-    * ASOF JOIN (>= default) is the oracle. At scale the range join
-    * shuffles once on user_id; the window re-uses that partitioning. */
+    * same user at or before the purchase (ties break to the larger
+    * click id). No native Spark join type: rewritten as an equi+range
+    * join followed by a PARTIAL-AGGREGATING max_by over (c_ts, c_id) —
+    * map-side combine collapses the matched pairs before the exchange,
+    * so at scale the shuffle carries one row per purchase instead of
+    * the full pair blow-up a sort+window rewrite would sort. DuckDB's
+    * native ASOF JOIN (>= default) is the oracle. */
   private def c6Asof(spark: SparkSession, dir: String): DataFrame = {
     val e = Engine.events(spark, dir)
     val p = e.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
     val k = e.filter(col("event_type") === "click")
       .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
-    val w = Window.partitionBy("p_id").orderBy(col("c_ts").desc, col("c_id").desc)
     p.join(k, col("p_user") === col("c_user") && col("c_ts") <= col("p_ts"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("p_id"), col("p_user").as("user_id"), col("c_id").as("click_id"))
+      .groupBy(col("p_id"), col("p_user").as("user_id"))
+      .agg(max_by(col("c_id"), struct(col("c_ts"), col("c_id"))).as("click_id"))
+      .select("p_id", "user_id", "click_id")
       .orderBy("p_id")
   }
 
