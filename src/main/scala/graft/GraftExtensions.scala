@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.{DotProductF, L2SquaredF}
+
+/** Engine extension point (SURVEY §2 custom-operator path (b)/(c)):
+  * registers the codegen'd vector kernels so they resolve like any
+  * built-in through the SQL front door and `call_function`. Enabled by
+  * `spark.sql.extensions=graft.GraftExtensions` (Engine.session does). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_f"),
+      new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),
+      (children: Seq[Expression]) => DotProductF(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("l2sq_f"),
+      new ExpressionInfo(classOf[L2SquaredF].getName, "l2sq_f"),
+      (children: Seq[Expression]) => L2SquaredF(children(0), children(1))))
+  }
+}

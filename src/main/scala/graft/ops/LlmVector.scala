@@ -20,14 +20,13 @@ import graft.Engine
 object LlmVector {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Σ f(a_i, b_i) accumulated in double, sequential order (matches the
-    * oracle's list_sum over an index range). */
-  private def fold2(a: Column, b: Column, f: (Column, Column) => Column): Column =
-    aggregate(zip_with(a, b, (x, y) => f(x.cast("double"), y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
-
-  def dot(a: Column, b: Column): Column = fold2(a, b, _ * _)
-  def l2(a: Column, b: Column): Column = sqrt(fold2(a, b, (x, y) => (x - y) * (x - y)))
+  /** Vector kernels: codegen'd custom Expressions (graft.expressions,
+    * registered by GraftExtensions) — double accumulation in sequential
+    * index order, bit-identical to the interpreted
+    * `aggregate(zip_with(...))` fold they replace and to the DuckDB
+    * oracle's indexed list_sum. */
+  def dot(a: Column, b: Column): Column = call_function("dot_f", a, b)
+  def l2(a: Column, b: Column): Column = sqrt(call_function("l2sq_f", a, b))
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 

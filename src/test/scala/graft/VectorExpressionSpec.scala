@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom codegen'd vector kernels must be bit-identical to the
+  * interpreted higher-order fold they replaced (same sequential double
+  * accumulation), and resolve through the SQL front door via
+  * GraftExtensions. */
+class VectorExpressionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("dot_f / l2sq_f match the interpreted zip_with fold bit-exactly") {
+    val e = Engine.t(spark, TestSpark.sf, "embeddings").limit(100)
+    val folded = e.select(
+      aggregate(zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, v) => a + v).as("d"))
+      .collect().map(_.getDouble(0))
+    val kernel = e.select(call_function("dot_f", col("embedding"), col("embedding")).as("d"))
+      .collect().map(_.getDouble(0))
+    assert(folded.toSeq == kernel.toSeq) // exact, not approximate
+    val zero = e.select(call_function("l2sq_f", col("embedding"), col("embedding")))
+      .collect().map(_.getDouble(0))
+    assert(zero.forall(_ == 0.0))
+  }
+
+  test("kernels resolve through SQL text (SparkSessionExtensions)") {
+    val r = spark.sql(
+      "SELECT dot_f(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d," +
+        " l2sq_f(array(CAST(1.0 AS FLOAT)), array(CAST(4.0 AS FLOAT))) AS l")
+      .collect().head
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 9.0)
+  }
+
+  test("mixed float/double arrays are accepted (IVF centroid case)") {
+    val r = spark.sql(
+      "SELECT dot_f(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS DOUBLE))) AS d")
+      .collect().head
+    assert(r.getDouble(0) == 6.0)
+  }
+}
