@@ -1,10 +1,10 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 
 /** Custom codegen'd vector kernels (brief's preferred extension path:
   * a native Catalyst Expression with doGenCode beats interpreted
@@ -75,6 +75,84 @@ abstract class VectorFold extends BinaryExpression {
        """.stripMargin
     })
   }
+}
+
+object MinHashSigs {
+  /** Odd 64-bit constants; signature i uses rotl(h, 1+7i mod 63) ^ M(i)
+    * — a bijective order-permutation per signature over one xxhash64
+    * base hash per shingle (standard minhash-from-one-hash practice). */
+  val Mixers: Array[Long] = Array(
+    0x9e3779b97f4a7c15L, 0xbf58476d1ce4e5b9L, 0x94d049bb133111ebL, 0x2545f4914f6cdd1dL,
+    0xff51afd7ed558ccdL, 0xc4ceb9fe1a85ec53L, 0x87c37b91114253d5L, 0x4cf5ad432745937fL,
+    0x52dce729d95d84a5L, 0x38495ab5c52d9f8bL, 0x6a09e667f3bcc909L, 0xbb67ae8584caa73bL,
+    0x3c6ef372fe94f82bL, 0xa54ff53a5f1d36f1L, 0x510e527fade682d1L, 0x9b05688c2b3e6c1fL)
+  def rot(i: Int): Int = 1 + (7 * i) % 63
+}
+
+/** minhash_sigs(shingles) → array<long> of 16 banded-minhash
+  * signatures, computed in a single codegen'd loop: one xxhash64 per
+  * shingle plus 16 rotate-xor mixes — replacing an interpreted
+  * aggregate/zip_with fold that cost ~15k Expression.eval calls/row. */
+case class MinHashSigsExpr(child: Expression) extends UnaryExpression {
+  import MinHashSigs._
+
+  override def prettyName: String = "minhash_sigs"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(Mixers.length)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var j = 0
+      while (j < Mixers.length) {
+        val m = java.lang.Long.rotateLeft(h, rot(j)) ^ Mixers(j)
+        if (m < mins(j)) mins(j) = m
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val m = ctx.freshName("m")
+      val mixBody = Mixers.zipWithIndex.map { case (mx, j) =>
+        s"""$m = java.lang.Long.rotateLeft($h, ${rot(j)}) ^ ${mx}L;
+           |if ($m < $mins[$j]) $mins[$j] = $m;""".stripMargin
+      }.mkString("\n")
+      s"""
+         |long[] $mins = new long[${Mixers.length}];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+         |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |    $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |  long $m;
+         |  $mixBody
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** dot_f(a, b) = Σ a_i * b_i */

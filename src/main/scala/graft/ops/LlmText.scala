@@ -53,28 +53,13 @@ object LlmText {
     * without oracle (hash family is engine-internal); the spec test
     * plants near-duplicates and asserts they collide. */
   def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
-    // Single-pass signature fold with ONE xxhash64 per shingle: the 16
-    // minhash functions are rotate-xor mixes of the base hash — bitwise
-    // ops, so no ANSI overflow (a multiply-based mix throws under
-    // Spark 4's default ANSI mode). Identical shingle sets still yield
-    // identical signatures; each mix permutes the ordering differently.
-    // `shingles`/`hashes` are argument-position references — evaluated
-    // once per row, never per element.
-    val mixers: Seq[Long] = Seq(
-      0x9e3779b97f4a7c15L, 0xbf58476d1ce4e5b9L, 0x94d049bb133111ebL, 0x2545f4914f6cdd1dL,
-      0xff51afd7ed558ccdL, 0xc4ceb9fe1a85ec53L, 0x87c37b91114253d5L, 0x4cf5ad432745937fL,
-      0x52dce729d95d84a5L, 0x38495ab5c52d9f8bL, 0x6a09e667f3bcc909L, 0xbb67ae8584caa73bL,
-      0x3c6ef372fe94f82bL, 0xa54ff53a5f1d36f1L, 0x510e527fade682d1L, 0x9b05688c2b3e6c1fL)
-    def rotXor(h: Column, i: Int): Column = {
-      val r = 1 + (7 * i) % 63
-      shiftleft(h, r).bitwiseOR(shiftrightunsigned(h, 64 - r)).bitwiseXOR(lit(mixers(i)))
-    }
-    val sigExpr = aggregate(
-      transform(ngrams(toks, 3), sh => xxhash64(sh)),
-      array_repeat(lit(Long.MaxValue), 16),
-      (acc, h) => zip_with(acc,
-        array(mixers.indices.map(i => rotXor(h, i)): _*),
-        (x, y) => least(x, y)))
+    // Signatures via the codegen'd minhash_sigs kernel
+    // (graft.expressions.MinHashSigsExpr, injected by GraftExtensions):
+    // one xxhash64 (seed 42 — same family as the xxhash64 column fn)
+    // per shingle plus 16 rotate-xor mixes, all in a single generated
+    // Java loop — the interpreted fold it replaces cost ~15k
+    // Expression.eval calls per row.
+    val sigExpr = call_function("minhash_sigs", ngrams(toks, 3))
     // Materialize the (doc, band, sig) table once — the self-join would
     // otherwise recompute the whole signature pipeline on both sides.
     // At scale this is exactly the LSH bucket table a pipeline persists.
