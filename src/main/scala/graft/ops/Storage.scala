@@ -67,6 +67,45 @@ object Storage {
       .select(col("n_rows"), lit(filesBefore).as("files_before"), lit(filesAfter).as("files_after"))
   }
 
+  /** K13 (beyond-survey scale demo): bucketed co-located join — both
+    * sides written with `bucketBy` on the join key, so the sort-merge
+    * join reads co-located buckets with ZERO exchanges (asserted in
+    * `BucketedJoinSpec`). At 100 TB this is the shape that removes the
+    * fact-fact shuffle entirely; the Spark-native analog of the
+    * reference's co-sorted MergeTree parts. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val db = spark.catalog
+    if (!db.tableExists("b_orders")) {
+      // the in-memory catalog forgets tables between sessions but their
+      // warehouse dirs survive — clear them or saveAsTable refuses
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      Seq("b_orders", "b_customer").foreach { t =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$wh/$t"), true)
+      }
+      Engine.t(spark, dir, "orders")
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("b_orders")
+      Engine.t(spark, dir, "customer")
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable("b_customer")
+    }
+    spark.table("b_orders")
+      .join(spark.table("b_customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(CH.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** The un-aggregated bucketed join, for plan inspection. */
+  def bucketedJoinPlan(spark: SparkSession, dir: String): DataFrame = {
+    bucketedJoin(spark, dir) // ensures tables exist
+    spark.table("b_orders").join(spark.table("b_customer"),
+      col("o_custkey") === col("c_custkey"))
+  }
+
   /** K7: obfuscator — schema-preserving deterministic anonymization:
     * values remapped via xxhash64, null mask and per-value identity
     * (thus cardinality) preserved. Oracle checks the preserved
@@ -86,12 +125,18 @@ object Storage {
         count_distinct(col("c_mktsegment")).as("n_segments"))
 
   val queries: Map[String, Q] = Map(
+    "k13_bucketed_join" -> (bucketedJoin _),
     "k10_partitioned_write" -> (k10PartitionedWrite _),
     "k11_mutation" -> (k11Mutation _),
     "k12_compaction" -> (k12Compaction _),
     "k7_obfuscator" -> (k7Obfuscator _))
 
   val oracles: Map[String, String] = Map(
+    "k13_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "k10_partitioned_write" ->
       """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS yyyymm,
         |  count(*) AS n,
