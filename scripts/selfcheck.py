@@ -25,7 +25,8 @@ for name, sql in sorted(oracle.items()):
     try:
         rel = con.sql(sql)
         ocols = list(rel.columns)
-        orows = rel.fetchall()
+        oarrow = rel.arrow()
+        orows = [tuple(r[c] for c in ocols) for r in oarrow.to_pylist()]
     except Exception as e:
         print(f"FAIL {name}: oracle error: {e}"); bad.append(name); continue
     import pyarrow as pa
@@ -34,6 +35,20 @@ for name, sql in sorted(oracle.items()):
     if sorted(scols) != sorted(ocols):
         print(f"FAIL {name}: cols spark={sorted(scols)} oracle={sorted(ocols)}")
         bad.append(name); continue
+    # The driver's hash is type-sensitive (r02: DuckDB HUGEINT sums vs Spark
+    # BIGINT hashed differently while values compared equal). Fail on
+    # integer-width / decimal-vs-int divergence; warn on anything else.
+    tmis = []
+    for c in scols:
+        st, ot = tbl.schema.field(c).type, oarrow.schema.field(c).type
+        if str(st) != str(ot):
+            tmis.append((c, str(st), str(ot)))
+    hard = [m for m in tmis if ("int" in m[1]) != ("int" in m[2])
+            or ("decimal" in m[2] and "int" in m[1])]
+    if hard:
+        print(f"FAIL {name}: arrow type mismatch {hard}"); bad.append(name); continue
+    for c, st, ot in tmis:
+        print(f"  typewarn {name}.{c}: spark={st} oracle={ot}")
     srows = [tuple(r[c] for c in scols) for r in tbl.to_pylist()]
     # reorder both to sorted-column order (mimics driver sort-by-name)
     sidx = [scols.index(c) for c in sorted(scols)]

@@ -32,6 +32,12 @@ object Engine {
     s
   }
 
+  /** Scratch dir namespaced per sf-dir + Spark application so
+    * concurrent sessions / different scale factors never collide and
+    * nothing accumulates across runs (ADVICE r2). */
+  def scratch(spark: SparkSession, dir: String, name: String): String =
+    s"/tmp/graft_io/${new java.io.File(dir).getName}_${spark.sparkContext.applicationId}/$name"
+
   /** All driver-generated testdata tables (TESTDATA.md). */
   val tableNames: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",

@@ -13,11 +13,11 @@ import graft.{CH, Engine}
 object Formats {
   type Q = (SparkSession, String) => DataFrame
 
-  private def scratch(name: String): String = s"/tmp/graft_io/$name"
+
 
   /** A2: Parquet write/read round trip. */
   private def a2Parquet(spark: SparkSession, dir: String): DataFrame = {
-    val out = scratch("a2_parquet")
+    val out = Engine.scratch(spark, dir, "a2_parquet")
     Engine.t(spark, dir, "lineitem")
       .filter(col("l_quantity") < 3)
       .write.mode("overwrite").parquet(out)
@@ -30,7 +30,7 @@ object Formats {
   /** A3: CSV (CSVWithNames ≈ header=true) round trip with explicit
     * schema on read; shortest-repr doubles survive exactly. */
   private def a3Csv(spark: SparkSession, dir: String): DataFrame = {
-    val out = scratch("a3_csv")
+    val out = Engine.scratch(spark, dir, "a3_csv")
     val src = Engine.t(spark, dir, "lineitem")
       .filter(col("l_quantity") < 2)
       .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
@@ -41,7 +41,7 @@ object Formats {
 
   /** A3b: TSV (TabSeparated) round trip. */
   private def a3Tsv(spark: SparkSession, dir: String): DataFrame = {
-    val out = scratch("a3_tsv")
+    val out = Engine.scratch(spark, dir, "a3_tsv")
     val src = Engine.t(spark, dir, "customer")
       .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
     src.write.mode("overwrite")
@@ -53,7 +53,7 @@ object Formats {
 
   /** A4: JSON (JSONEachRow) round trip. */
   private def a4Json(spark: SparkSession, dir: String): DataFrame = {
-    val out = scratch("a4_json")
+    val out = Engine.scratch(spark, dir, "a4_json")
     val src = Engine.t(spark, dir, "orders")
       .filter(col("o_totalprice") > 450000)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -65,7 +65,7 @@ object Formats {
   /** A9: INSERT INTO … SELECT / batch append ingest — base write plus
     * append, read back and aggregate. */
   private def a9InsertAppend(spark: SparkSession, dir: String): DataFrame = {
-    val out = scratch("a9_append")
+    val out = Engine.scratch(spark, dir, "a9_append")
     val o = Engine.t(spark, dir, "orders")
     o.filter(col("o_orderstatus") === "F")
       .write.mode("overwrite").parquet(out)

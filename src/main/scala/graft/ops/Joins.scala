@@ -106,8 +106,12 @@ object Joins {
     val e = Engine.events(spark, dir)
     val p = e.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    // Pre-dedupe clicks to max(event_id) per (user, ts): DuckDB's native
+    // ASOF picks an implementation-defined row among tied timestamps, so
+    // the tie-break must be made explicit on BOTH engines (ADVICE r2).
     val k = e.filter(col("event_type") === "click")
-      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .agg(max(col("event_id")).as("c_id"))
     p.join(k, col("p_user") === col("c_user") && col("c_ts") <= col("p_ts"))
       .groupBy(col("p_id"), col("p_user").as("user_id"))
       .agg(max_by(col("c_id"), struct(col("c_ts"), col("c_id"))).as("click_id"))
@@ -222,7 +226,8 @@ object Joins {
     "c6_asof_join" ->
       """SELECT p.event_id AS p_id, p.user_id AS user_id, c.event_id AS click_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF JOIN (SELECT user_id, ts, max(event_id) AS event_id
+        |           FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p_id""".stripMargin,
     "c7_any_join" ->

@@ -63,7 +63,7 @@ object LlmText {
     // Materialize the (doc, band, sig) table once — the self-join would
     // otherwise recompute the whole signature pipeline on both sides.
     // At scale this is exactly the LSH bucket table a pipeline persists.
-    val bandsPath = "/tmp/graft_io/l4_bands"
+    val bandsPath = Engine.scratch(spark, dir, "l4_bands")
     Engine.t(spark, dir, "documents")
       .repartition(32)                       // single-file scan → parallel tasks
       .select(col("doc_id"), sigExpr.as("sigs"))
@@ -202,8 +202,8 @@ object LlmText {
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "l5_text_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
-        |  sum(n_toks) AS total_tokens, max(n_toks) AS max_tokens,
-        |  sum(n_chars) AS total_chars,
+        |  CAST(sum(n_toks) AS BIGINT) AS total_tokens, max(n_toks) AS max_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  CAST(sum(n_toks) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens
         |FROM (SELECT lang, source, n_chars,
         |        CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS INT) AS n_toks

@@ -133,7 +133,7 @@ object LlmVector {
          |FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
          |ORDER BY c.vec_id, q_id""".stripMargin,
     "l3_knn_bruteforce" ->
-      s"""SELECT q_id, rank, vec_id, round(cs, 4) AS cos_sim FROM (
+      s"""SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(cs, 4) AS cos_sim FROM (
          |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
          |    ${cosSql("c.embedding", "q.embedding")} AS cs,
          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("c.embedding", "q.embedding")} DESC, c.vec_id ASC) AS rank

@@ -34,7 +34,7 @@ object Sampling {
     * refresh cycles; the second overwrites the first, read-back equals
     * the current batch answer. */
   private def j4RefreshableMv(spark: SparkSession, dir: String): DataFrame = {
-    val target = "/tmp/graft_io/j4_mv"
+    val target = Engine.scratch(spark, dir, "j4_mv")
     def refresh(): Unit =
       Engine.t(spark, dir, "orders")
         .groupBy("o_orderpriority")

@@ -17,12 +17,13 @@ import graft.{CH, Engine}
 object Storage {
   type Q = (SparkSession, String) => DataFrame
 
-  private def scratch(name: String): String = s"/tmp/graft_io/$name"
+  private def scratch(spark: SparkSession, dir: String, name: String): String =
+    Engine.scratch(spark, dir, name)
 
   /** K10: partitioned + sorted DDL write, read back through partition
     * pruning (only 3 of ~80 yyyymm dirs are touched). */
   private def k10PartitionedWrite(spark: SparkSession, dir: String): DataFrame = {
-    val out = scratch("k10_parts")
+    val out = scratch(spark, dir, "k10_parts")
     Engine.t(spark, dir, "orders")
       .withColumn("yyyymm", CH.toYYYYMM(col("o_orderdate")))
       .repartition(col("yyyymm"))
@@ -38,7 +39,7 @@ object Storage {
   /** K11: mutations — ALTER DELETE + ALTER UPDATE as a rewrite into a
     * new table version, then read back. */
   private def k11Mutation(spark: SparkSession, dir: String): DataFrame = {
-    val out = scratch("k11_mutated")
+    val out = scratch(spark, dir, "k11_mutated")
     Engine.t(spark, dir, "supplier")
       .filter(!(col("s_acctbal") < 0))                                    // ALTER TABLE ... DELETE WHERE s_acctbal < 0
       .withColumn("s_name",                                               // ALTER TABLE ... UPDATE s_name WHERE s_acctbal > 9000
@@ -54,8 +55,8 @@ object Storage {
 
   /** K12: OPTIMIZE/compaction — rewrite many small files into few. */
   private def k12Compaction(spark: SparkSession, dir: String): DataFrame = {
-    val frag = scratch("k12_frag")
-    val compact = scratch("k12_compact")
+    val frag = scratch(spark, dir, "k12_frag")
+    val compact = scratch(spark, dir, "k12_compact")
     Engine.t(spark, dir, "lineitem").filter(col("l_quantity") < 5)
       .repartition(16).write.mode("overwrite").parquet(frag)
     val before = spark.read.parquet(frag)
@@ -75,7 +76,8 @@ object Storage {
     * reference's co-sorted MergeTree parts. */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     val db = spark.catalog
-    if (!db.tableExists("b_orders")) {
+    // gate on BOTH tables: a half-finished prior run must rebuild both
+    if (!db.tableExists("b_orders") || !db.tableExists("b_customer")) {
       // the in-memory catalog forgets tables between sessions but their
       // warehouse dirs survive — clear them or saveAsTable refuses
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)

@@ -26,7 +26,7 @@ object Streaming {
     * stage events (ts already normalized) as 4 chunk files — each chunk
     * plays the role of one inserted block. */
   private def stageEvents(spark: SparkSession, dir: String): String = {
-    val staged = "/tmp/graft_io/events_src_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val staged = Engine.scratch(spark, dir, "events_src")
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(staged + "/_SUCCESS"))) {
       Engine.events(spark, dir).repartition(4)
@@ -47,7 +47,7 @@ object Streaming {
     * merges partials by summing — insert-time MV maintenance with
     * merge-on-read, no global state store needed. */
   private def j1IncrementalMv(spark: SparkSession, dir: String): DataFrame = {
-    val target = "/tmp/graft_io/j1_mv"
+    val target = Engine.scratch(spark, dir, "j1_mv")
     // reset target for a deterministic run
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(target), true)

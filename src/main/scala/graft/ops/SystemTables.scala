@@ -64,13 +64,16 @@ object SystemTables {
     // listener delivery is async; poll briefly until the entry lands
     val deadline = System.nanoTime() + 5000000000L
     while (buffer.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
-    val out = "/tmp/graft_io/a12_query_log"
+    // Namespaced per sf-dir + session so concurrent runs don't collide,
+    // and overwritten rather than appended so the log can't grow
+    // unboundedly across runs (ADVICE r2).
+    val out = Engine.scratch(spark, dir, "a12_query_log")
     val entries = buffer.asScala.toSeq
     if (entries.nonEmpty) {
       entries.toDF()
         .withColumn("event_date", current_date())
         .withColumn("yyyymm", CH.toYYYYMM(col("event_date")))
-        .write.mode("append").partitionBy("yyyymm").parquet(out)
+        .write.mode("overwrite").partitionBy("yyyymm").parquet(out)
       buffer.clear()
     }
     spark.read.parquet(out)

@@ -40,7 +40,7 @@ object Udafs {
   val oracles: Map[String, String] = Map(
     "d12_partial_state" ->
       """SELECT l_returnflag,
-        |  sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sum_sq_qty,
+        |  CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_sq_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }
