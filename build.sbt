@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~100 queries/JVM generate hundreds of Janino + whole-stage-codegen
+  // classes; if the JIT code cache fills, compilation stops and
+  // everything drops to interpreted speed. Size it so that can't happen.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -27,6 +27,21 @@ object Engine {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.warehouse.dir", "/tmp/graft_io/warehouse")
       .config("spark.ui.enabled", "false")
+      // Spark 4's ICU collation path has a static initializer
+      // (CollationAwareUTF8String.<clinit>) that precomputes case-map
+      // tables for minutes of CPU on first interpreted lower()/upper();
+      // every other string-touching query then serializes on the
+      // class-init lock (observed: arbitrary queries 10-20x slower in
+      // long multi-query sessions). JVM case mappings are identical for
+      // the engine's ASCII data, so use them.
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      // Long many-query sessions (Verify/Bench run ~100 queries in one
+      // JVM): cap status-store retention so listener state — including
+      // the large AQE plan strings — can't accumulate across queries.
+      .config("spark.sql.ui.retainedExecutions", "10")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -155,6 +155,77 @@ case class MinHashSigsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** simhash64(tokens) → 64-bit SimHash (Charikar 2002, public
+  * algorithm): per token one xxhash64(seed 42), each of the 64 bits
+  * votes +1/-1 on the per-bit counter; output bit j is set iff the
+  * vote is positive. Near-identical token multisets differ in few
+  * bits, so Hamming distance estimates cosine similarity of the
+  * token-frequency vectors. Codegen'd single loop, same style as
+  * [[MinHashSigsExpr]]. */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var j = 0
+      while (j < 64) {
+        votes(j) += (if (((h >>> j) & 1L) != 0L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      s"""
+         |int[] $votes = new int[64];
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+         |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |    $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    $votes[$j] += (($h >>> $j) & 1L) != 0L ? 1 : -1;
+         |  }
+         |}
+         |${ev.value} = 0L;
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if ($votes[$j] > 0) ${ev.value} |= (1L << $j);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** dot_f(a, b) = Σ a_i * b_i */
 case class DotProductF(left: Expression, right: Expression) extends VectorFold {
   override def prettyName: String = "dot_f"

@@ -167,6 +167,37 @@ object LlmText {
   private def l9Fingerprint(spark: SparkSession, dir: String): DataFrame =
     fingerprints(spark, dir)
 
+  /** L13: SimHash near-dup detection at scale. 64-bit simhash per doc
+    * (codegen'd `simhash64` kernel over tokens), split into 4×16-bit
+    * bands; by pigeonhole any pair within Hamming distance ≤3 shares
+    * at least one exact band, so candidates come from a bucket
+    * self-join on (band, chunk) — never an all-pairs product. The
+    * exact Hamming check (`bit_count(xor)`) then filters candidates.
+    * Same shuffle shape as the MinHash LSH path (l4). */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.t(spark, dir, "documents")
+      .repartition(32)                     // single-file scan → parallel tasks
+      .select(col("doc_id"), call_function("simhash64", toks).as("sh"))
+    val banded = docs.select(col("doc_id"), col("sh"),
+        explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(sh, 16*b) & 65535 AS chunk))")).as("bc"))
+      .select(col("doc_id"), col("sh"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    val a = banded.select(col("band"), col("chunk"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = banded.select(col("band"), col("chunk"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, Seq("band", "chunk")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("bit_count(a_sh ^ b_sh)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  private def l13Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = simhashPairs(spark, dir)
+    val nDocs = Engine.t(spark, dir, "documents").select(count(lit(1)).as("n_docs"))
+    nDocs.crossJoin(pairs.agg(
+      count(lit(1)).as("n_neardup_pairs"),
+      coalesce(max(col("hamming")), lit(-1)).as("max_hamming")))
+  }
+
   /** N-gram Jaccard similarity over distinct word 2-grams for a small
     * doc prefix (the exact-verification stage that follows LSH
     * candidate generation at scale). */
@@ -194,7 +225,8 @@ object LlmText {
     "l7_lang_id" -> (l7LangId _),
     "l8_quality_score" -> (l8Quality _),
     "l9_fingerprint" -> (l9Fingerprint _),
-    "l10_ngram_jaccard" -> (l10NgramJaccard _))
+    "l10_ngram_jaccard" -> (l10NgramJaccard _),
+    "l13_simhash_neardup" -> (l13Simhash _))
 
   val oracles: Map[String, String] = Map(
     "l1_exact_dedup" ->

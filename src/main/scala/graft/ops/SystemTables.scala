@@ -19,6 +19,11 @@ import graft.{CH, Engine}
   *   Parquet table written `partitionBy(yyyymm)`.
   * - EXPLAIN — plan text through the SQL front door.
   */
+/** Listener state: one record per completed query execution. Top-level
+  * (not nested in the object) so the case-class Encoder's generated
+  * UnsafeProjection compiles instead of falling back to interpretation. */
+case class LogEntry(query: String, status: String, duration_ms: Long, out_rows: Long)
+
 object SystemTables {
   type Q = (SparkSession, String) => DataFrame
 
@@ -35,8 +40,6 @@ object SystemTables {
       .orderBy("name")
   }
 
-  /** Listener state: one record per completed query execution. */
-  private case class LogEntry(query: String, status: String, duration_ms: Long, out_rows: Long)
   private val buffer = new ConcurrentLinkedQueue[LogEntry]()
   @volatile private var registered = false
 

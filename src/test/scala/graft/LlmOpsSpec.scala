@@ -34,6 +34,39 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
   }
 
+  test("SimHash banding collides planted near-duplicates, not unrelated text") {
+    import spark.implicits._
+    // Long documents (sentence ×8): per-bit vote margins are multiples
+    // of 8, so a single-token edit (±2 per bit) cannot flip bits —
+    // SimHash's length-sensitivity is why Hamming≤3 works on real docs
+    // but not on one-sentence snippets.
+    val sentence = "the quick brown fox jumps over the lazy dog while the patient cat watches " +
+      "from the tall fence and the birds sing their morning songs in the garden until done "
+    val base = sentence * 8
+    val nearDup = (sentence * 7) + sentence.replace("done", "finished")
+    val far = ("completely different words appear here with nothing shared at all whatsoever " +
+      "because this text talks about ships sailing across wide oceans under heavy storms ") * 8
+    val staged = "/tmp/graft_io/test_simhash"
+    Seq((1L, base), (2L, nearDup), (3L, far)).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("t").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$staged/documents.parquet")
+    val pairs = LlmText.simhashPairs(spark, staged).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup pair not found in $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simhash64 kernel: interpreted eval equals codegen'd eval and is order-insensitive") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "epsilon delta gamma beta alpha"))
+      .toDF("id", "text")
+      .select(col("id"), expr("simhash64(filter(split(text, ' '), t -> t != ''))").as("sh"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // token order must not matter (bag-of-tokens votes)
+    assert(rows(1L) == rows(2L))
+  }
+
   test("fingerprints are deterministic and identical for identical text") {
     val fp1 = LlmText.fingerprints(spark, sf).collect()
     val fp2 = LlmText.fingerprints(spark, sf).collect()
