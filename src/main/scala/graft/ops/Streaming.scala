@@ -2,8 +2,13 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import graft.{CH, Engine}
+
+/** One user session: maximal run of events with inter-event gaps
+  * ≤ 30 minutes. Top level so the Encoder codegen compiles. */
+case class Session(user_id: Long, session_id: Long,
+    start_us: Long, end_us: Long, n_events: Long)
 
 /** Streaming / incremental surface (SURVEY §2.J). The reference's live
   * surface is insert-driven incremental materialized views (no Kafka
@@ -95,9 +100,57 @@ object Streaming {
       .orderBy("bucket", "event_type")
   }
 
+  /** J3: custom streaming state — sessionization with
+    * `flatMapGroupsWithState` over `KeyValueGroupedDataset` (the
+    * Spark-native form of the reference's stateful insert-time
+    * processing for semantics no built-in window covers). Events are
+    * grouped per user; the state function splits each user's timeline
+    * at >30-minute gaps. Scale shape: one shuffle on user_id, state
+    * partitioned per key across executors. Oracle: the identical
+    * lag/cumulative-break sessionization in DuckDB SQL. */
+  private def j3Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000000
+    val sessions = eventStream(spark, stageEvents(spark, dir), oneFilePerBatch = false)
+      .select(col("user_id").cast("long").as("u"), unix_micros(col("ts")).as("t"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long)], _: GroupState[Long]) => {
+          val ts = rows.map(_._2).toArray.sorted
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var sid = 0L
+          var i = 0
+          var start = 0
+          while (i < ts.length) {
+            val isBreak = i > 0 && ts(i) - ts(i - 1) > gapUs
+            if (isBreak) {
+              sid += 1
+              out += Session(user, sid, ts(start), ts(i - 1), (i - start).toLong)
+              start = i
+            }
+            i += 1
+          }
+          if (ts.nonEmpty) out += Session(user, sid + 1, ts(start), ts(ts.length - 1), (ts.length - start).toLong)
+          out.iterator
+        })
+    val sinkName = "j3_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .select(col("user_id"), col("session_id"), col("start_us"), col("end_us"), col("n_events"))
+      .orderBy("user_id", "session_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "j1_incremental_mv" -> (j1IncrementalMv _),
-    "j2_window_rollup" -> (j2WindowRollup _))
+    "j2_window_rollup" -> (j2WindowRollup _),
+    "j3_sessionize_state" -> (j3Sessionize _))
 
   val oracles: Map[String, String] = Map(
     "j1_incremental_mv" ->
@@ -108,5 +161,18 @@ object Streaming {
       """SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)), '%Y-%m-%d %H:%M') AS bucket,
         |  event_type, count(*) AS n,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    "j3_sessionize_state" ->
+      """WITH d AS (
+        |  SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS t,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, t,
+        |    1 + sum(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+        |  min(t) AS start_us, max(t) AS end_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin)
 }
