@@ -42,9 +42,13 @@ for name, sql in sorted(oracle.items()):
     for c in scols:
         st, ot = tbl.schema.field(c).type, oarrow.schema.field(c).type
         if str(st) != str(ot):
-            tmis.append((c, str(st), str(ot)))
-    hard = [m for m in tmis if ("int" in m[1]) != ("int" in m[2])
-            or ("decimal" in m[2] and "int" in m[1])]
+            tmis.append((c, str(st), str(ot), st, ot))
+    # pyarrow type predicates, not substring matches on str(type)
+    # (ADVICE r3: 'int' matched interval types; uint/int widths conflated)
+    hard = [m[:3] for m in tmis
+            if pa.types.is_integer(m[3]) != pa.types.is_integer(m[4])
+            or (pa.types.is_decimal(m[4]) and pa.types.is_integer(m[3]))]
+    tmis = [m[:3] for m in tmis]
     if hard:
         print(f"FAIL {name}: arrow type mismatch {hard}"); bad.append(name); continue
     for c, st, ot in tmis:

@@ -36,14 +36,28 @@ object Bench {
       name -> dt
     }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    def qjson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // ONE compact line (3-decimal times): the driver keeps only a ~4 KB
-    // output tail, and r02's full-precision line overflowed it and
-    // failed to parse.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // The driver keeps only a 2000-char output tail (BENCH_r03.json:
+    // "tail" length), so the ONE printed JSON line must stay well under
+    // that or it parses as garbage (r02+r03 both had "parsed": null).
+    // The line carries the total + a fixed headline subset; the complete
+    // per-query map goes to BENCH_FULL.json in the repo.
+    val headline = Seq(
+      "q1_pricing_summary", "a1_scan_prune", "c1_inner_join", "c6_asof_join",
+      "d1_groupby_agg", "d6_quantiles", "e1_ranking", "f3_topk",
+      "h2_datetime", "j2_window_rollup", "k13_bucketed_join",
+      "l1_exact_dedup", "l4_minhash_lsh", "l13_simhash_neardup",
+      "l2_vector_similarity", "l12_ann_ivf").toSet
+    val head = results.filter { case (k, _) => headline(k) }
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"failed":$failedJson,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(head)},"n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -47,11 +47,35 @@ object Engine {
     s
   }
 
-  /** Scratch dir namespaced per sf-dir + Spark application so
-    * concurrent sessions / different scale factors never collide and
-    * nothing accumulates across runs (ADVICE r2). */
-  def scratch(spark: SparkSession, dir: String, name: String): String =
-    s"/tmp/graft_io/${new java.io.File(dir).getName}_${spark.sparkContext.applicationId}/$name"
+  private val cleanupRoots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Scratch dir for MUTATED outputs, namespaced per sf-dir + Spark
+    * application so concurrent sessions / different scale factors never
+    * collide. A JVM shutdown hook deletes the whole per-app tree, so
+    * nothing accumulates across runs (ADVICE r3: the appId namespace
+    * previously leaked a fresh tree per run). Reusable derived data
+    * belongs in [[stagingCache]] instead. */
+  def scratch(spark: SparkSession, dir: String, name: String): String = {
+    val root = s"/tmp/graft_io/${new java.io.File(dir).getName}_${spark.sparkContext.applicationId}"
+    if (cleanupRoots.add(root)) {
+      val rootFile = new java.io.File(root)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(rootFile)))
+    }
+    s"$root/$name"
+  }
+
+  /** Deterministic per-sf cache path for IMMUTABLE derived data (e.g.
+    * the staged streaming source files): survives across runs so a
+    * `_SUCCESS`-gated staging step is paid once per machine, not once
+    * per session (ADVICE r3). */
+  def stagingCache(dir: String, name: String): String =
+    s"/tmp/graft_io/cache/${new java.io.File(dir).getName}/$name"
 
   /** All driver-generated testdata tables (TESTDATA.md). */
   val tableNames: Seq[String] = Seq(

@@ -87,6 +87,26 @@ object Aggregates {
         round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_exact"))
       .orderBy("l_returnflag")
 
+  /** I1: HLL++ approx-distinct as the standalone sketch op (SURVEY
+    * §2.I1; D5 is the `uniq()` SQL-surface form) — tighter rsd
+    * parameter, global scope, alongside the exact count for the error
+    * bound. No oracle (sketch families differ across engines). */
+  private def i1HllDistinct(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "events")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        count_distinct(col("user_id")).as("exact_users"))
+
+  /** I2: t-digest-style quantile sketch as the standalone op (SURVEY
+    * §2.I2; D6-approx is the single-q SQL form) — a multi-quantile
+    * vector from one sketch pass. No oracle. */
+  private def i2TdigestQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "lineitem")
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.1), lit(0.5), lit(0.9), lit(0.99)), lit(2000)).as("qs"))
+      .select(
+        col("qs")(0).as("p10"), col("qs")(1).as("p50"),
+        col("qs")(2).as("p90"), col("qs")(3).as("p99"))
+
   /** D7: argMax/argMin → max_by/min_by. */
   private def d7ArgMax(spark: SparkSession, dir: String): DataFrame =
     Engine.t(spark, dir, "supplier")
@@ -218,6 +238,8 @@ object Aggregates {
     "d5_approx_uniq" -> (d5ApproxUniq _),
     "d6_quantiles" -> (d6Quantiles _),
     "d6_approx_quantiles" -> (d6ApproxQuantiles _),
+    "i1_hll_distinct" -> (i1HllDistinct _),
+    "i2_tdigest_quantiles" -> (i2TdigestQuantiles _),
     "d7_argmax" -> (d7ArgMax _),
     "d8_topk" -> (d8TopK _),
     "d9_group_array" -> (d9GroupArray _),

@@ -17,17 +17,20 @@ import graft.{CH, Engine}
 object Sampling {
   type Q = (SparkSession, String) => DataFrame
 
-  /** B5: SAMPLE — seeded Bernoulli sample; fraction semantics differ
-    * per engine RNG, so declared without oracle (spec test bounds the
-    * rate); output is an aggregate so bench stays small. */
-  private def b5Sample(spark: SparkSession, dir: String): DataFrame = {
-    val total = Engine.t(spark, dir, "lineitem").count()
+  /** B5: SAMPLE — deterministic sampling-key form, the ClickHouse
+    * semantics (`SAMPLE 0.1` hashes the declared sampling key and keeps
+    * the low fraction of hash space, so the same rows are sampled on
+    * every run and every replica). Here the key is
+    * (l_orderkey, l_linenumber) hashed with md5 — portable, so DuckDB
+    * computes the identical sample and the query is oracle-checked
+    * (was no_oracle as a seeded-RNG Bernoulli sample). Keeping the
+    * first 2 hex chars < '1a' retains 26/256 ≈ 10.2 % of rows. */
+  private def b5Sample(spark: SparkSession, dir: String): DataFrame =
     Engine.t(spark, dir, "lineitem")
-      .sample(withReplacement = false, fraction = 0.1, seed = 42)
-      .agg(count(lit(1)).as("n_sampled"))
-      .select(col("n_sampled"), lit(total).as("n_total"),
-        round(col("n_sampled").cast("double") / lit(total).cast("double"), 3).as("rate"))
-  }
+      .filter(substring(md5(
+        concat_ws("-", col("l_orderkey").cast("string"), col("l_linenumber").cast("string"))), 1, 2) < "1a")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(CH.dec(col("l_extendedprice"))).cast("double").as("sum_sampled_price"))
 
   /** J4: refreshable MV — periodic full recompute + atomic overwrite
     * (the reference's REFRESH EVERY semantics as a batch job). Runs two
@@ -105,6 +108,11 @@ object Sampling {
     "i3_spacesaving_topk" -> (i3SpaceSaving _))
 
   val oracles: Map[String, String] = Map(
+    "b5_sample" ->
+      """SELECT count(*) AS n_sampled,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_sampled_price
+        |FROM lineitem
+        |WHERE substring(md5(concat(CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR))), 1, 2) < '1a'""".stripMargin,
     "j4_refreshable_mv" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price

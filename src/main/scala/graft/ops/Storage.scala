@@ -134,6 +134,12 @@ object Storage {
     "k7_obfuscator" -> (k7Obfuscator _))
 
   val oracles: Map[String, String] = Map(
+    // k12's outputs are deterministic (round-robin repartition(16) and
+    // repartition(2) write exactly that many non-empty files; row count
+    // is the filter's), so the oracle is a real equality check.
+    "k12_compaction" ->
+      """SELECT count(*) AS n_rows, 16 AS files_before, 2 AS files_after
+        |FROM lineitem WHERE l_quantity < 5""".stripMargin,
     "k13_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price

@@ -31,7 +31,7 @@ object Streaming {
     * stage events (ts already normalized) as 4 chunk files — each chunk
     * plays the role of one inserted block. */
   private def stageEvents(spark: SparkSession, dir: String): String = {
-    val staged = Engine.scratch(spark, dir, "events_src")
+    val staged = Engine.stagingCache(dir, "events_src")
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(staged + "/_SUCCESS"))) {
       Engine.events(spark, dir).repartition(4)
@@ -100,39 +100,87 @@ object Streaming {
       .orderBy("bucket", "event_type")
   }
 
+  /** Flush sentinel: events at/after this timestamp are end-of-stream
+    * punctuation rows, not data (2200-01-01T00:00Z, far past any
+    * testdata event). */
+  private val flushUs: Long =
+    java.time.Instant.parse("2200-01-01T00:00:00Z").getEpochSecond * 1000000L
+
+  /** Stage events as 4 arriving chunk files plus a 5th
+    * end-of-stream punctuation file (one sentinel-timestamp row per
+    * user, written last so the file source delivers it in the final
+    * micro-batch — mod-time ordered, `latestFirst` default false). */
+  private def stageEventsWithFlush(spark: SparkSession, dir: String): String = {
+    val staged = Engine.stagingCache(dir, "events_src_flush")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val done = new org.apache.hadoop.fs.Path(staged + "/_FLUSH_STAGED")
+    if (!fs.exists(done)) {
+      val ev = Engine.events(spark, dir)
+      ev.repartition(4).write.mode("overwrite").parquet(staged)
+      Thread.sleep(100) // strictly later mod-time than the chunk files
+      val users = ev.select(col("user_id")).distinct()
+      val flushDf = ev.schema.fields.foldLeft(users) { (df, f) =>
+        f.name match {
+          case "user_id" => df
+          case "ts" => df.withColumn("ts", timestamp_micros(lit(flushUs)))
+          case other => df.withColumn(other, lit(null).cast(f.dataType))
+        }
+      }.select(ev.schema.fieldNames.map(col).toIndexedSeq: _*)
+      flushDf.coalesce(1).write.mode("append").parquet(staged)
+      fs.create(done).close()
+    }
+    staged
+  }
+
   /** J3: custom streaming state — sessionization with
     * `flatMapGroupsWithState` over `KeyValueGroupedDataset` (the
     * Spark-native form of the reference's stateful insert-time
-    * processing for semantics no built-in window covers). Events are
-    * grouped per user; the state function splits each user's timeline
-    * at >30-minute gaps. Scale shape: one shuffle on user_id, state
-    * partitioned per key across executors. Oracle: the identical
-    * lag/cumulative-break sessionization in DuckDB SQL. */
+    * processing for semantics no built-in window covers).
+    *
+    * Genuinely stateful across micro-batches (ADVICE r3): the source
+    * runs with `maxFilesPerTrigger=1`, so each staged chunk is its own
+    * batch and per-user timestamps BUFFER in `GroupState` (chunks are
+    * hash-split, not time-split, so no session can close until all
+    * data has arrived). A final end-of-stream punctuation file — the
+    * streaming-native flush marker — triggers sessionization and state
+    * removal. Scale shape: one shuffle on user_id, state partitioned
+    * per key across executors, state size bounded by a user's event
+    * count. Oracle: the identical lag/cumulative-break sessionization
+    * in DuckDB SQL. */
   private def j3Sessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val gapUs = 30L * 60 * 1000000
-    val sessions = eventStream(spark, stageEvents(spark, dir), oneFilePerBatch = false)
+    val sentinel = flushUs
+    val sessions = eventStream(spark, stageEventsWithFlush(spark, dir), oneFilePerBatch = true)
       .select(col("user_id").cast("long").as("u"), unix_micros(col("ts")).as("t"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (user: Long, rows: Iterator[(Long, Long)], _: GroupState[Long]) => {
-          val ts = rows.map(_._2).toArray.sorted
-          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-          var sid = 0L
-          var i = 0
-          var start = 0
-          while (i < ts.length) {
-            val isBreak = i > 0 && ts(i) - ts(i - 1) > gapUs
-            if (isBreak) {
-              sid += 1
-              out += Session(user, sid, ts(start), ts(i - 1), (i - start).toLong)
-              start = i
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Array[Long]]) => {
+          val (flushRows, dataRows) = rows.map(_._2).toArray.partition(_ >= sentinel)
+          val buffered = state.getOption.getOrElse(Array.empty[Long]) ++ dataRows
+          if (flushRows.isEmpty) {
+            state.update(buffered)
+            Iterator.empty
+          } else {
+            state.remove()
+            val ts = buffered.sorted
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var sid = 0L
+            var i = 0
+            var start = 0
+            while (i < ts.length) {
+              val isBreak = i > 0 && ts(i) - ts(i - 1) > gapUs
+              if (isBreak) {
+                sid += 1
+                out += Session(user, sid, ts(start), ts(i - 1), (i - start).toLong)
+                start = i
+              }
+              i += 1
             }
-            i += 1
+            if (ts.nonEmpty) out += Session(user, sid + 1, ts(start), ts(ts.length - 1), (ts.length - start).toLong)
+            out.iterator
           }
-          if (ts.nonEmpty) out += Session(user, sid + 1, ts(start), ts(ts.length - 1), (ts.length - start).toLong)
-          out.iterator
         })
     val sinkName = "j3_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = sessions.writeStream

@@ -72,13 +72,17 @@ object SystemTables {
     // unboundedly across runs (ADVICE r2).
     val out = Engine.scratch(spark, dir, "a12_query_log")
     val entries = buffer.asScala.toSeq
-    if (entries.nonEmpty) {
-      entries.toDF()
-        .withColumn("event_date", current_date())
-        .withColumn("yyyymm", CH.toYYYYMM(col("event_date")))
-        .write.mode("overwrite").partitionBy("yyyymm").parquet(out)
-      buffer.clear()
-    }
+    // Always write — an empty typed frame when the async listener
+    // delivered nothing within the poll window — so the read-back
+    // below never hits a never-written path (ADVICE r3); the empty
+    // case then fails the oracle's has_entries invariant loudly
+    // instead of throwing AnalysisException.
+    val logDf = if (entries.nonEmpty) entries.toDF() else spark.emptyDataset[LogEntry].toDF()
+    logDf
+      .withColumn("event_date", current_date())
+      .withColumn("yyyymm", CH.toYYYYMM(col("event_date")))
+      .write.mode("overwrite").partitionBy("yyyymm").parquet(out)
+    buffer.clear()
     spark.read.parquet(out)
       .agg(
         count(lit(1)).as("n_logged"),
@@ -104,6 +108,12 @@ object SystemTables {
     "i5_explain" -> (i5Explain _))
 
   val oracles: Map[String, String] = Map(
+    // a12/i5 emit deterministic summary invariants, so the oracle is
+    // the expected constant row — a real equality check (was no_oracle).
+    "a12_query_log" ->
+      "SELECT true AS has_entries, true AS has_ok, true AS partitioned",
+    "i5_explain" ->
+      "SELECT true AS has_plan, true AS has_hash_agg",
     "a11_build_options" ->
       """SELECT * FROM (VALUES
         |  ('engine.name', 'graft'),

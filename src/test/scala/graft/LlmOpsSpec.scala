@@ -59,12 +59,30 @@ class LlmOpsSpec extends AnyFunSuite {
 
   test("simhash64 kernel: interpreted eval equals codegen'd eval and is order-insensitive") {
     import spark.implicits._
-    val df = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "epsilon delta gamma beta alpha"))
-      .toDF("id", "text")
-      .select(col("id"), expr("simhash64(filter(split(text, ' '), t -> t != ''))").as("sh"))
-    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def run(): Map[Long, Long] =
+      Seq((1L, "alpha beta gamma delta epsilon"), (2L, "epsilon delta gamma beta alpha"))
+        .toDF("id", "text")
+        .select(col("id"), expr("simhash64(filter(split(text, ' '), t -> t != ''))").as("sh"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val codegen = run()
+    // Force the interpreted nullSafeEval branch (ADVICE r3: both legs
+    // previously ran the codegen path) and compare bit-for-bit.
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevWhole = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = run()
+      assert(interpreted == codegen)
+    } finally {
+      prevFactory match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+      spark.conf.set("spark.sql.codegen.wholeStage", prevWhole)
+    }
     // token order must not matter (bag-of-tokens votes)
-    assert(rows(1L) == rows(2L))
+    assert(codegen(1L) == codegen(2L))
   }
 
   test("fingerprints are deterministic and identical for identical text") {

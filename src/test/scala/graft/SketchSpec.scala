@@ -32,10 +32,13 @@ class SketchSpec extends AnyFunSuite {
     assert(got == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
   }
 
-  test("seeded sample rate lands near the requested fraction") {
+  test("deterministic hash sample: rate near 26/256 and stable across runs") {
     val l = Engine.t(spark, TestSpark.sf, "lineitem")
     val total = l.count().toDouble
-    val n = l.sample(withReplacement = false, 0.1, 42).count().toDouble
-    assert(math.abs(n / total - 0.1) < 0.03, s"rate ${n / total}")
+    def sampled(): Long = l.filter(substring(md5(concat_ws("-",
+      col("l_orderkey").cast("string"), col("l_linenumber").cast("string"))), 1, 2) < "1a").count()
+    val n = sampled()
+    assert(math.abs(n / total - 26.0 / 256) < 0.03, s"rate ${n / total}")
+    assert(sampled() == n) // same rows every evaluation — no RNG
   }
 }
