@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{DotProductF, L2SquaredF, MinHashSigsExpr, SimHash64Expr}
+import graft.expressions.{DotProductF, L2SquaredF, MinHashBandsExpr, MinHashSigsExpr, SimHash64Expr}
 
 /** Engine extension point (SURVEY §2 custom-operator path (b)/(c)):
   * registers the codegen'd vector kernels so they resolve like any
@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigsExpr].getName, "minhash_sigs"),
       (children: Seq[Expression]) => MinHashSigsExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBandsExpr].getName, "minhash_bands"),
+      (children: Seq[Expression]) => MinHashBandsExpr(children.head)))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),

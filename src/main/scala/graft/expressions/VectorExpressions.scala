@@ -155,6 +155,91 @@ case class MinHashSigsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** minhash_bands(shingles) → array<long> of 8 LSH band hashes, fusing
+  * [[MinHashSigsExpr]] with the banding step (band b = xxhash64 chain
+  * over sigs 2b and 2b+1, seed 42 — the same combination the previous
+  * `transform(..., xxhash64(sigs[2b], sigs[2b+1]))` lambda computed).
+  * One codegen pass per row: no intermediate signature array column,
+  * so the LSH pipeline needs no shuffle barrier to guard against
+  * CollapseProject inlining the signature computation into a lambda. */
+case class MinHashBandsExpr(child: Expression) extends UnaryExpression {
+  import MinHashSigs._
+
+  override def prettyName: String = "minhash_bands"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+
+  private def bandHash(lo: Long, hi: Long): Long =
+    XXH64.hashLong(hi, XXH64.hashLong(lo, 42L))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(Mixers.length)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var j = 0
+      while (j < Mixers.length) {
+        val m = java.lang.Long.rotateLeft(h, rot(j)) ^ Mixers(j)
+        if (m < mins(j)) mins(j) = m
+        j += 1
+      }
+      i += 1
+    }
+    val bands = new Array[Long](Mixers.length / 2)
+    var b = 0
+    while (b < bands.length) {
+      bands(b) = bandHash(mins(2 * b), mins(2 * b + 1))
+      b += 1
+    }
+    new GenericArrayData(bands)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val mins = ctx.freshName("mins")
+      val bands = ctx.freshName("bands")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val m = ctx.freshName("m")
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val mixBody = Mixers.zipWithIndex.map { case (mx, j) =>
+        s"""$m = java.lang.Long.rotateLeft($h, ${rot(j)}) ^ ${mx}L;
+           |if ($m < $mins[$j]) $mins[$j] = $m;""".stripMargin
+      }.mkString("\n")
+      s"""
+         |long[] $mins = new long[${Mixers.length}];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+         |  long $h = $xxh.hashUnsafeBytes(
+         |    $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |  long $m;
+         |  $mixBody
+         |}
+         |long[] $bands = new long[${Mixers.length / 2}];
+         |for (int $b = 0; $b < ${Mixers.length / 2}; $b++) {
+         |  $bands[$b] = $xxh.hashLong($mins[2 * $b + 1], $xxh.hashLong($mins[2 * $b], 42L));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bands);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** simhash64(tokens) → 64-bit SimHash (Charikar 2002, public
   * algorithm): per token one xxhash64(seed 42), each of the 64 bits
   * votes +1/-1 on the per-bit counter; output bit j is set iff the

@@ -53,25 +53,21 @@ object LlmText {
     * without oracle (hash family is engine-internal); the spec test
     * plants near-duplicates and asserts they collide. */
   def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
-    // Signatures via the codegen'd minhash_sigs kernel
-    // (graft.expressions.MinHashSigsExpr, injected by GraftExtensions):
-    // one xxhash64 (seed 42 — same family as the xxhash64 column fn)
-    // per shingle plus 16 rotate-xor mixes, all in a single generated
-    // Java loop — the interpreted fold it replaces cost ~15k
-    // Expression.eval calls per row.
-    val sigExpr = call_function("minhash_sigs", ngrams(toks, 3))
+    // Band hashes via the fused codegen'd minhash_bands kernel
+    // (graft.expressions.MinHashBandsExpr, injected by GraftExtensions):
+    // one xxhash64 (seed 42) per shingle, 16 rotate-xor mixes, and the
+    // 8×2 banding combine, all in ONE generated Java loop — no
+    // intermediate signature column, so no shuffle barrier is needed to
+    // keep CollapseProject from inlining the signature pipeline into a
+    // band lambda (that inlining previously forced a repartition here).
+    val bandExpr = call_function("minhash_bands", ngrams(toks, 3))
     // Materialize the (doc, band, sig) table once — the self-join would
     // otherwise recompute the whole signature pipeline on both sides.
     // At scale this is exactly the LSH bucket table a pipeline persists.
     val bandsPath = Engine.scratch(spark, dir, "l4_bands")
     Engine.t(spark, dir, "documents")
       .repartition(32)                       // single-file scan → parallel tasks
-      .select(col("doc_id"), sigExpr.as("sigs"))
-      .repartition(32, col("doc_id"))        // barrier: materialize sigs before
-      .withColumn("bands", expr(             // the lambda below indexes into it
-        "transform(sequence(0, 7), b -> struct(b AS band, xxhash64(sigs[2*b], sigs[2*b+1]) AS sig))"))
-      .select(col("doc_id"), explode(col("bands")).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .select(col("doc_id"), posexplode(bandExpr).as(Seq("band", "sig")))
       .write.mode("overwrite").parquet(bandsPath)
     val docs = spark.read.parquet(bandsPath)
     val a = docs.select(col("band"), col("sig"), col("doc_id").as("a"))

@@ -27,6 +27,19 @@ case class Session(user_id: Long, session_id: Long,
 object Streaming {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Streaming state (agg buffers / GroupState) is partitioned by
+    * `spark.sql.shuffle.partitions` AT CHECKPOINT CREATION and each
+    * partition carries a state-store instance — 32 stores for a few
+    * hundred keys is pure overhead at test scale (and the knob a real
+    * deployment sizes to its key cardinality). Run the bounded replay
+    * with 8, restore after. */
+  private def withStreamingPartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** The streaming file source wants a directory of arriving files:
     * stage events (ts already normalized) as 4 chunk files — each chunk
     * plays the role of one inserted block. */
@@ -80,7 +93,7 @@ object Streaming {
 
   /** J2: time-bucketed rollup — streaming tumbling 6-hour windows
     * (aligned to the epoch, same as the oracle's floor arithmetic). */
-  private def j2WindowRollup(spark: SparkSession, dir: String): DataFrame = {
+  private def j2WindowRollup(spark: SparkSession, dir: String): DataFrame = withStreamingPartitions(spark) {
     val sinkName = "j2_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = eventStream(spark, stageEvents(spark, dir), oneFilePerBatch = false)
       .withWatermark("ts", "0 seconds")
@@ -146,12 +159,19 @@ object Streaming {
     * removal. Scale shape: one shuffle on user_id, state partitioned
     * per key across executors, state size bounded by a user's event
     * count. Oracle: the identical lag/cumulative-break sessionization
-    * in DuckDB SQL. */
-  private def j3Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    * in DuckDB SQL.
+    *
+    * The declared query runs without a read limit (one batch in
+    * practice — cheapest); `StreamingSessionSpec` re-runs it with
+    * `maxFilesPerTrigger=1` and asserts the identical result, proving
+    * the cross-batch state path that any future batch split would
+    * take. */
+  private[graft] def j3SessionizeWith(spark: SparkSession, dir: String,
+      oneFilePerBatch: Boolean): DataFrame = withStreamingPartitions(spark) {
     import spark.implicits._
     val gapUs = 30L * 60 * 1000000
     val sentinel = flushUs
-    val sessions = eventStream(spark, stageEventsWithFlush(spark, dir), oneFilePerBatch = true)
+    val sessions = eventStream(spark, stageEventsWithFlush(spark, dir), oneFilePerBatch)
       .select(col("user_id").cast("long").as("u"), unix_micros(col("ts")).as("t"))
       .as[(Long, Long)]
       .groupByKey(_._1)
@@ -194,6 +214,9 @@ object Streaming {
       .select(col("user_id"), col("session_id"), col("start_us"), col("end_us"), col("n_events"))
       .orderBy("user_id", "session_id")
   }
+
+  private def j3Sessionize(spark: SparkSession, dir: String): DataFrame =
+    j3SessionizeWith(spark, dir, oneFilePerBatch = false)
 
   val queries: Map[String, Q] = Map(
     "j1_incremental_mv" -> (j1IncrementalMv _),
