@@ -20,8 +20,28 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
+    // Longest-processing-time-first scheduling: this host has an
+    // intermittent throttle window that engages ~90-120s into heavy
+    // work (see r3: alphabetical order put the heavy k/l/q queries
+    // exactly there, inflating 6s queries to 480s). Running known-slow
+    // queries first packs them into the clean window and is optimal
+    // makespan order regardless. Prior-run times come from
+    // BENCH_FULL.json when present; unknown/new queries go first.
+    val priorTimes: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_FULL.json")), java.nio.charset.StandardCharsets.UTF_8)
+        """"([a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] no prior timings (${e.getClass.getSimpleName}): alphabetical order")
+        Map.empty
+      }
+    System.err.println(s"[bench] LPT order over ${priorTimes.size} prior timings")
     var failed = List.empty[String]
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq
+      .sortBy { case (name, _) => (-priorTimes.getOrElse(name, Double.MaxValue), name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces FULL evaluation of every output column —
       // count() would let Catalyst prune projections and trailing

@@ -63,8 +63,72 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** A fixed-size "thumbnail": 16 grid-sampled bytes. */
+  case class Thumb(doc_id: Long, thumb: Array[Int])
+
+  /** STUB resize — grid sampling at byte granularity standing in for
+    * pixel-box downsampling; thumb(j) = payload(floor(j*n/16)). */
+  private[graft] def fakeResize(r: MediaRow): Thumb = {
+    val n = r.payload.length
+    val out = new Array[Int](16)
+    var j = 0
+    while (j < 16) {
+      out(j) = if (n == 0) 0 else r.payload((j.toLong * n / 16).toInt) & 0xff
+      j += 1
+    }
+    Thumb(r.doc_id, out)
+  }
+
+  /** MM2: resize/downsample over partition iterators — same
+    * `mapPartitions` batch shape as mm1, emitting a fixed-size array
+    * column (the thumbnail an image pipeline would store). */
+  private def mm2Resize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .as[MediaRow]
+      .mapPartitions(rows => rows.map(fakeResize))
+      .toDF()
+      .select(col("doc_id"), col("thumb"))
+      .orderBy("doc_id")
+  }
+
+  case class Frame(doc_id: Long, frame_idx: Int, frame_mean: Double)
+
+  /** STUB frame sampler — the payload is treated as `width`-byte
+    * frames; up to 4 frames are sampled at a stride of
+    * max(1, n_frames/4) and summarized (where a video decoder would
+    * decode only the sampled frames). Emits one row per sampled frame
+    * (flatMap shape: media row → variable row count). */
+  private[graft] def fakeFrameSample(r: MediaRow): Iterator[Frame] = {
+    val n = r.payload.length
+    val w = math.max(r.width, 1)
+    val nFrames = (n + w - 1) / w
+    val step = math.max(1, nFrames / 4)
+    (0 until 4).iterator.map(_ * step).takeWhile(_ < nFrames).map { f =>
+      val from = f * w
+      val until = math.min(from + w, n)
+      var sum = 0L
+      var i = from
+      while (i < until) { sum += r.payload(i) & 0xff; i += 1 }
+      Frame(r.doc_id, f, if (until == from) 0.0 else sum.toDouble / (until - from))
+    }
+  }
+
+  /** MM3: frame sampling over partition iterators. */
+  private def mm3FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .as[MediaRow]
+      .mapPartitions(rows => rows.flatMap(fakeFrameSample))
+      .toDF()
+      .select(col("doc_id"), col("frame_idx"), round(col("frame_mean"), 6).as("frame_mean"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, Q] = Map(
-    "mm1_media_features" -> (mm1Features _))
+    "mm1_media_features" -> (mm1Features _),
+    "mm2_resize" -> (mm2Resize _),
+    "mm3_frame_sample" -> (mm3FrameSample _))
 
   /** Oracle: the byte statistics are computable in SQL because the stub
     * payload is the UTF-8 text itself — validating the full binary
@@ -80,5 +144,27 @@ object Multimodal {
         |        i -> ord(text[i]))) AS DOUBLE) / CAST(length(text) AS DOUBLE), 6) AS mean_byte,
         |  CAST(list_max(list_transform(range(1, length(text) + 1),
         |        i -> ord(text[i]))) AS INT) AS max_byte
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm2_resize" ->
+      """SELECT doc_id,
+        |  list_transform(range(0, 16),
+        |    j -> CAST(ord(text[CAST(j * length(text) // 16 AS INT) + 1]) AS INT)) AS thumb
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm3_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    CAST(n_chars % 64 + 1 AS INT) AS w,
+        |    CAST(ceil(CAST(length(text) AS DOUBLE) / (n_chars % 64 + 1)) AS BIGINT) AS n_frames
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text, n, w,
+        |    CAST(j * greatest(1, n_frames // 4) AS INT) AS frame_idx
+        |  FROM f, generate_series(0, 3) AS t(j)
+        |  WHERE j * greatest(1, n_frames // 4) < n_frames)
+        |SELECT doc_id, frame_idx,
+        |  round(CAST(list_sum(list_transform(
+        |          range(frame_idx * w + 1, least((frame_idx + 1) * w, n) + 1),
+        |          i -> ord(text[i]))) AS DOUBLE)
+        |        / (least((frame_idx + 1) * w, n) - frame_idx * w), 6) AS frame_mean
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin)
 }

@@ -102,6 +102,16 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("resize stub grid-samples bytes; frame sampler strides frames") {
+    val r = Multimodal.MediaRow(1L, (0 until 32).map(_.toByte).toArray, 8, 4)
+    val t = Multimodal.fakeResize(r) // thumb(j) = payload(j*32/16) = payload(2j)
+    assert(t.thumb.toSeq == (0 until 16).map(_ * 2))
+    val frames = Multimodal.fakeFrameSample(r).toSeq // 4 frames of 8 bytes, step 1
+    assert(frames.map(_.frame_idx) == Seq(0, 1, 2, 3))
+    assert(frames.head.frame_mean == (0 until 8).sum.toDouble / 8)
+    assert(frames.last.frame_mean == (24 until 32).sum.toDouble / 8)
+  }
+
   test("multimodal stub decode matches independent byte statistics") {
     val r = Multimodal.MediaRow(7L, "abc".getBytes("UTF-8"), 3, 4)
     val f = graft.ops.Multimodal.fakeDecode(r)
