@@ -163,6 +163,21 @@ object LlmText {
   private def l9Fingerprint(spark: SparkSession, dir: String): DataFrame =
     fingerprints(spark, dir)
 
+  /** L9b: polynomial rolling-hash content fingerprint (Rabin-Karp
+    * style) over the first 256 characters: fold (acc*31 + code) mod
+    * 1e9+7 — portable integer arithmetic, so DuckDB computes the
+    * identical fingerprint and this op is oracle-checked (the
+    * xxhash64-family minhash/simhash fingerprints in l9 cannot be). */
+  private def l9bRollingHash(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        aggregate(
+          transform(filter(split(substring(col("text"), 1, 256), ""), c => c =!= ""),
+            c => ascii(c).cast("long")),
+          lit(0L),
+          (acc, x) => (acc * 31 + x) % 1000000007L).as("poly_fp"))
+      .orderBy("doc_id")
+
   /** L13: SimHash near-dup detection at scale. 64-bit simhash per doc
     * (codegen'd `simhash64` kernel over tokens), split into 4×16-bit
     * bands; by pigeonhole any pair within Hamming distance ≤3 shares
@@ -221,6 +236,7 @@ object LlmText {
     "l7_lang_id" -> (l7LangId _),
     "l8_quality_score" -> (l8Quality _),
     "l9_fingerprint" -> (l9Fingerprint _),
+    "l9b_rolling_hash" -> (l9bRollingHash _),
     "l10_ngram_jaccard" -> (l10NgramJaccard _),
     "l13_simhash_neardup" -> (l13Simhash _))
 
@@ -262,6 +278,14 @@ object LlmText {
         |       WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
         |            / CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS DOUBLE) > 6.0 THEN 'long_words'
         |       ELSE 'ok' END AS quality_bucket
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "l9b_rolling_hash" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, least(length(text), 256) + 1),
+        |        i -> CAST(ord(text[i]) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS poly_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "l10_ngram_jaccard" ->
       """WITH g AS (

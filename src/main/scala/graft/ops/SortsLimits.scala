@@ -38,7 +38,14 @@ object SortsLimits {
       .limit(10)
 
   /** F4: LIMIT n BY col — per-group top-n via row_number (ClickHouse
-    * extension; same rewrite DuckDB expresses with QUALIFY). */
+    * extension; same rewrite DuckDB expresses with QUALIFY).
+    *
+    * Plan note (audited via `graft.Explain`): Catalyst rewrites the
+    * `row_number <= n` filter into `WindowGroupLimit`, with a PARTIAL
+    * instance ahead of the exchange — each map task forwards at most n
+    * rows per group, so the shuffle carries O(groups × n × tasks)
+    * rows, not the full table. This is why the declarative rewrite IS
+    * the scale path and no custom per-group-heap operator is needed. */
   private def f4LimitBy(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_orderstatus")
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)

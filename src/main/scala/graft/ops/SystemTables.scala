@@ -93,6 +93,23 @@ object SystemTables {
         (col("n_partitions") >= 1).as("partitioned"))
   }
 
+  /** A13: the SQL endpoint — `spark.sql(text)` is this engine's port
+    * 8123/9000 (SURVEY §3.1): text queries resolve against the same
+    * temp-view catalog (`Engine.registerAll`) the DataFrame API reads,
+    * through the identical Catalyst pipeline. Declared with an oracle
+    * to prove the front door end-to-end. */
+  private def a13SqlEndpoint(spark: SparkSession, dir: String): DataFrame = {
+    Engine.registerAll(spark, dir)
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP'1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   /** I5: EXPLAIN through the SQL front door. */
   private def i5Explain(spark: SparkSession, dir: String): DataFrame = {
     Engine.t(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -105,6 +122,7 @@ object SystemTables {
   val queries: Map[String, Q] = Map(
     "a11_build_options" -> (a11BuildOptions _),
     "a12_query_log" -> (a12QueryLog _),
+    "a13_sql_endpoint" -> (a13SqlEndpoint _),
     "i5_explain" -> (i5Explain _))
 
   val oracles: Map[String, String] = Map(
@@ -114,6 +132,14 @@ object SystemTables {
       "SELECT true AS has_entries, true AS has_ok, true AS partitioned",
     "i5_explain" ->
       "SELECT true AS has_plan, true AS has_hash_agg",
+    "a13_sql_endpoint" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "a11_build_options" ->
       """SELECT * FROM (VALUES
         |  ('engine.name', 'graft'),
