@@ -125,10 +125,13 @@ object LlmVector {
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
   val oracles: Map[String, String] = Map(
+    // `+ 0.0` normalizes IEEE -0.0 → +0.0: DuckDB round(-1e-9, 4)
+    // yields -0.0 where Spark's round yields +0.0 (hit at sf0.1,
+    // vec 1235 × query 1).
     "l2_vector_similarity" ->
       s"""SELECT c.vec_id, q.vec_id AS q_id,
-         |  round(${cosSql("c.embedding", "q.embedding")}, 4) AS cos_sim,
-         |  round(${dotSql("c.embedding", "q.embedding")}, 4) AS dot_p,
+         |  round(${cosSql("c.embedding", "q.embedding")}, 4) + 0.0 AS cos_sim,
+         |  round(${dotSql("c.embedding", "q.embedding")}, 4) + 0.0 AS dot_p,
          |  round(${l2Sql("c.embedding", "q.embedding")}, 4) AS l2_dist
          |FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
          |ORDER BY c.vec_id, q_id""".stripMargin,

@@ -218,10 +218,28 @@ object Streaming {
   private def j3Sessionize(spark: SparkSession, dir: String): DataFrame =
     j3SessionizeWith(spark, dir, oneFilePerBatch = false)
 
+  /** J5: built-in `session_window` sessionization (batch form) — the
+    * declarative counterpart to j3's custom GroupState sessionizer and
+    * a Spark superset of the reference's window surface (SURVEY §2.J2
+    * note). Spark defines a session's `end` as last-event + gap, so
+    * the last-event timestamp is recovered as `end - gap` to align
+    * with j3/DuckDB semantics. Same oracle family as j3. */
+  private def j5SessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    Engine.events(spark, dir)
+      .groupBy(col("user_id").cast("long").as("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), min(unix_micros(col("ts"))).as("start_us"))
+      .select(col("user_id"), col("start_us"),
+        (unix_micros(col("w.end")) - gapUs).as("end_us"), col("n_events"))
+      .orderBy("user_id", "start_us")
+  }
+
   val queries: Map[String, Q] = Map(
     "j1_incremental_mv" -> (j1IncrementalMv _),
     "j2_window_rollup" -> (j2WindowRollup _),
-    "j3_sessionize_state" -> (j3Sessionize _))
+    "j3_sessionize_state" -> (j3Sessionize _),
+    "j5_session_window" -> (j5SessionWindow _))
 
   val oracles: Map[String, String] = Map(
     "j1_incremental_mv" ->
@@ -233,6 +251,18 @@ object Streaming {
         |  event_type, count(*) AS n,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    "j5_session_window" ->
+      """WITH d AS (
+        |  SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS t,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, t,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id, min(t) AS start_us, max(t) AS end_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
     "j3_sessionize_state" ->
       """WITH d AS (
         |  SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS t,
