@@ -13,7 +13,8 @@ object Explain {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_pricing_summary", "c8_broadcast_dict_join", "c9_global_join",
-        "a1_scan_prune", "l3_knn_bruteforce", "c1_inner_join")
+        "a1_scan_prune", "l3_knn_bruteforce", "c1_inner_join",
+        "f4_limit_by", "l4_minhash_lsh", "k13_bucketed_join")
     val spark = Engine.session()
     names.foreach { n =>
       SparkEntry.queries.get(n) match {

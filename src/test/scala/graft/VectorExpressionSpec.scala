@@ -32,6 +32,27 @@ class VectorExpressionSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 9.0)
   }
 
+  test("minhash_bands == banded minhash_sigs, codegen and interpreted") {
+    def run(): Seq[(Seq[Long], Seq[Long])] =
+      spark.sql(
+        """SELECT minhash_bands(s) AS bands,
+          |  transform(sequence(0, 7),
+          |    b -> xxhash64(sigs[2*b], sigs[2*b+1])) AS expected
+          |FROM (SELECT minhash_sigs(s) AS sigs, s FROM (
+          |  SELECT array('a b c', 'b c d', 'c d e') AS s
+          |  UNION ALL SELECT array() AS s))""".stripMargin)
+        .collect().toSeq.map(r => (r.getSeq[Long](0), r.getSeq[Long](1)))
+    val codegen = run()
+    codegen.foreach { case (bands, expected) => assert(bands == expected) }
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == codegen)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("mixed float/double arrays are accepted (IVF centroid case)") {
     val r = spark.sql(
       "SELECT dot_f(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS DOUBLE))) AS d")
