@@ -170,7 +170,31 @@ object Joins {
       .orderBy("n_nationkey")
   }
 
+  /** C11 (beyond-survey scale demo): salted skew join. `documents.lang`
+    * is a pathologically skewed join key (a handful of values over the
+    * whole corpus), so an unsalted shuffle join lands each language on
+    * ONE reducer. The classic mitigation when AQE's skew-join split
+    * isn't available (e.g. the skewed side feeds a co-partitioned
+    * downstream op): replicate the dim across S salt values and spread
+    * the fact side by `hash(pk) mod S`, so each hot key fans out over
+    * S reducers. The oracle proves result equivalence with the
+    * unsalted join. */
+  private def c11SaltedSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = 8
+    val docs = Engine.t(spark, dir, "documents")
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(s.toLong)).cast("int"))
+    val langDim = Engine.t(spark, dir, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("lang_total"))
+    val saltedDim = langDim
+      .withColumn("salt", explode(sequence(lit(0), lit(s - 1))))
+    docs.join(saltedDim, Seq("lang", "salt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), max(col("lang_total")).as("lang_total"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c11_salted_skew_join" -> (c11SaltedSkewJoin _),
     "c1_inner_join" -> (c1Inner _),
     "c2_left_join" -> (c2Left _),
     "c2_right_join" -> (c2Right _),
@@ -186,6 +210,10 @@ object Joins {
     "a10_dict_lookup" -> (a10DictGet _))
 
   val oracles: Map[String, String] = Map(
+    // the salted join must produce exactly the unsalted join's result
+    "c11_salted_skew_join" ->
+      """SELECT lang, count(*) AS n_docs, count(*) AS lang_total
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "c1_inner_join" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
