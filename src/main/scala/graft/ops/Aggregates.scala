@@ -93,6 +93,10 @@ object Aggregates {
     * bound. No oracle (sketch families differ across engines). */
   private def i1HllDistinct(spark: SparkSession, dir: String): DataFrame =
     Engine.t(spark, dir, "events")
+      // prune to the key THEN spread the single-file scan: the shuffle
+      // moves one slim column and the HLL partials build on 32 tasks;
+      // partial sketches merge at the reducer (sketch union)
+      .select("user_id").repartition(32)
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         count_distinct(col("user_id")).as("exact_users"))
 

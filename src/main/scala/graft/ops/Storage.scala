@@ -78,19 +78,37 @@ object Storage {
     val db = spark.catalog
     // gate on BOTH tables: a half-finished prior run must rebuild both
     if (!db.tableExists("b_orders") || !db.tableExists("b_customer")) {
-      // the in-memory catalog forgets tables between sessions but their
-      // warehouse dirs survive — clear them or saveAsTable refuses
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       val wh = spark.conf.get("spark.sql.warehouse.dir")
-      Seq("b_orders", "b_customer").foreach { t =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$wh/$t"), true)
+      val sfTag = new java.io.File(dir).getName
+      def marker(t: String) = new org.apache.hadoop.fs.Path(s"$wh/$t/_BUCKETS_$sfTag")
+      val reusable = Seq("b_orders", "b_customer").forall(t => fs.exists(marker(t)))
+      if (reusable) {
+        // the in-memory catalog forgets tables between sessions but the
+        // bucketed files survive — re-register them as external bucketed
+        // tables (CLUSTERED BY DDL over the existing LOCATION) instead
+        // of rewriting; this is exactly how a production catalog would
+        // mount a pre-bucketed dataset
+        def register(t: String, key: String, src: String): Unit = {
+          val schema = Engine.t(spark, dir, src).schema.toDDL
+          spark.sql(s"""CREATE TABLE $t ($schema) USING parquet
+            |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+            |LOCATION '$wh/$t'""".stripMargin)
+        }
+        register("b_orders", "o_custkey", "orders")
+        register("b_customer", "c_custkey", "customer")
+      } else {
+        Seq("b_orders", "b_customer").foreach { t =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$wh/$t"), true)
+        }
+        Engine.t(spark, dir, "orders")
+          .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .mode("overwrite").saveAsTable("b_orders")
+        Engine.t(spark, dir, "customer")
+          .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .mode("overwrite").saveAsTable("b_customer")
+        Seq("b_orders", "b_customer").foreach(t => fs.create(marker(t)).close())
       }
-      Engine.t(spark, dir, "orders")
-        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .mode("overwrite").saveAsTable("b_orders")
-      Engine.t(spark, dir, "customer")
-        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .mode("overwrite").saveAsTable("b_customer")
     }
     spark.table("b_orders")
       .join(spark.table("b_customer"),

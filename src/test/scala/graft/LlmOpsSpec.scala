@@ -91,6 +91,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fp1.sameElements(fp2))
   }
 
+  test("IVF ANN is exact within its probed buckets") {
+    // The data-independent IVF invariant: restricted to the probed
+    // coarse buckets, IVF results equal an independently computed
+    // exact top-3. (Absolute recall vs unrestricted brute force is a
+    // property of the DATA — these embeddings are isotropic, so any
+    // coarse quantizer sits near probes/buckets; see LlmVector docs.)
+    val probed = LlmVector.ivfProbes(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q_id")).view
+      .mapValues(_.map(_.getAs[Int]("c_label")).toSet).toMap
+    val all = Engine.t(spark, sf, "embeddings").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byId = all.map(v => v._1 -> v).toMap
+    val expected = probed.toSeq.flatMap { case (q, labels) =>
+      val qv = byId(q)._3
+      all.filter(v => v._1 != q && labels(v._2))
+        .map(v => (cos(qv, v._3), v._1))
+        .sortBy { case (c, id) => (-c, id) }
+        .take(3).map(_._2).map(id => (q, id))
+    }.toSet
+    val ivf = LlmVector.l12AnnIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf == expected, s"ivf=$ivf expected=$expected")
+  }
+
   test("IVF ANN results are valid neighbors with descending scores") {
     val rows = LlmVector.l12AnnIvf(spark, sf).collect()
     assert(rows.nonEmpty)
