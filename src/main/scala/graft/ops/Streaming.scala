@@ -10,6 +10,32 @@ import graft.{CH, Engine}
 case class Session(user_id: Long, session_id: Long,
     start_us: Long, end_us: Long, n_events: Long)
 
+/** Pure sessionization core, shared by the j3 state function and
+  * property-tested in isolation (`SessionSplitSpec`). */
+object Sessions {
+  /** Split a user's (unsorted) timestamps into maximal sessions at
+    * gaps strictly greater than `gapUs`; session ids are 1-based in
+    * time order. */
+  def split(user: Long, tsUnsorted: Array[Long], gapUs: Long): Seq[Session] = {
+    val ts = tsUnsorted.sorted
+    val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+    var sid = 0L
+    var i = 0
+    var start = 0
+    while (i < ts.length) {
+      val isBreak = i > 0 && ts(i) - ts(i - 1) > gapUs
+      if (isBreak) {
+        sid += 1
+        out += Session(user, sid, ts(start), ts(i - 1), (i - start).toLong)
+        start = i
+      }
+      i += 1
+    }
+    if (ts.nonEmpty) out += Session(user, sid + 1, ts(start), ts(ts.length - 1), (ts.length - start).toLong)
+    out.toSeq
+  }
+}
+
 /** Streaming / incremental surface (SURVEY §2.J). The reference's live
   * surface is insert-driven incremental materialized views (no Kafka
   * source configured, `Dockerfile:193-239`): each inserted block is
@@ -184,22 +210,7 @@ object Streaming {
             Iterator.empty
           } else {
             state.remove()
-            val ts = buffered.sorted
-            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-            var sid = 0L
-            var i = 0
-            var start = 0
-            while (i < ts.length) {
-              val isBreak = i > 0 && ts(i) - ts(i - 1) > gapUs
-              if (isBreak) {
-                sid += 1
-                out += Session(user, sid, ts(start), ts(i - 1), (i - start).toLong)
-                start = i
-              }
-              i += 1
-            }
-            if (ts.nonEmpty) out += Session(user, sid + 1, ts(start), ts(ts.length - 1), (ts.length - start).toLong)
-            out.iterator
+            Sessions.split(user, buffered, gapUs).iterator
           }
         })
     val sinkName = "j3_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
