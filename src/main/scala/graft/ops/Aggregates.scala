@@ -89,16 +89,20 @@ object Aggregates {
 
   /** I1: HLL++ approx-distinct as the standalone sketch op (SURVEY
     * §2.I1; D5 is the `uniq()` SQL-surface form) — tighter rsd
-    * parameter, global scope, alongside the exact count for the error
-    * bound. No oracle (sketch families differ across engines). */
+    * parameter, global scope. No oracle (sketch families differ
+    * across engines); the error bound vs the exact count is pinned in
+    * `SketchSpec` rather than computed here, so the declared op never
+    * pays the exact-distinct shuffle the sketch exists to avoid.
+    * Scale shape: partial sketches build per scan task and a single
+    * reducer merges fixed-size sketch states — at 100 TB the scan is
+    * already thousands of tasks; at test scale the input is one
+    * single-row-group 2 MB file that neither split tuning nor a
+    * repartition can usefully parallelize (VERDICT r4 §Whats-wrong 2),
+    * so the one-task partial is the cheapest plan. */
   private def i1HllDistinct(spark: SparkSession, dir: String): DataFrame =
     Engine.t(spark, dir, "events")
-      // prune to the key THEN spread the single-file scan: the shuffle
-      // moves one slim column and the HLL partials build on 32 tasks;
-      // partial sketches merge at the reducer (sketch union)
-      .select("user_id").repartition(32)
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-        count_distinct(col("user_id")).as("exact_users"))
+      .select("user_id")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
 
   /** I2: t-digest-style quantile sketch as the standalone op (SURVEY
     * §2.I2; D6-approx is the single-q SQL form) — a multi-quantile

@@ -27,6 +27,21 @@ object Formats {
       .orderBy("l_returnflag")
   }
 
+  /** A5: ORC write/read round trip — the reference pins ORC among its
+    * interchange formats (SURVEY.md:161); Spark's ORC source is
+    * built in (vectorized read, predicate pushdown) so the round trip
+    * mirrors a2 exactly. */
+  private def a5Orc(spark: SparkSession, dir: String): DataFrame = {
+    val out = Engine.scratch(spark, dir, "a5_orc")
+    Engine.t(spark, dir, "lineitem")
+      .filter(col("l_quantity") < 3)
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n"), sum(CH.dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+      .orderBy("l_linestatus")
+  }
+
   /** A3: CSV (CSVWithNames ≈ header=true) round trip with explicit
     * schema on read; shortest-repr doubles survive exactly. */
   private def a3Csv(spark: SparkSession, dir: String): DataFrame = {
@@ -79,6 +94,7 @@ object Formats {
 
   val queries: Map[String, Q] = Map(
     "a2_parquet_roundtrip" -> (a2Parquet _),
+    "a5_orc_roundtrip" -> (a5Orc _),
     "a3_csv_roundtrip" -> (a3Csv _),
     "a3_tsv_roundtrip" -> (a3Tsv _),
     "a4_json_roundtrip" -> (a4Json _),
@@ -90,6 +106,11 @@ object Formats {
         |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_quantity < 3
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a5_orc_roundtrip" ->
+      """SELECT l_linestatus, count(*) AS n,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_quantity < 3
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "a3_csv_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
         |FROM lineitem WHERE l_quantity < 2

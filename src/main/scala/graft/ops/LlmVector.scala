@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import graft.Engine
 
@@ -80,9 +81,34 @@ object LlmVector {
       .orderBy("label", "a_id", "b_id")
   }
 
+  /** Element-wise vector-mean aggregate for the IVF centroid build.
+    * A typed `Aggregator` compiles to a `TypedImperativeAggregate`
+    * (ObjectHashAggregate) with map-side partial merge, so the
+    * exchange carries ONE (label, Σvec, n) buffer per label per task —
+    * replacing r4's posexplode → groupBy(label, dim) shape whose
+    * exchange carried n×dim rows (a 64× row blowup at 100 TB,
+    * VERDICT r4 §Whats-wrong 4). */
+  case class VecSumBuf(sum: Array[Double], n: Long)
+
+  class VecMean extends Aggregator[Array[Float], VecSumBuf, Array[Double]] {
+    override def zero: VecSumBuf = VecSumBuf(Array.emptyDoubleArray, 0L)
+    private def add(acc: Array[Double], v: Array[Float]): Array[Double] =
+      if (acc.isEmpty) { val s = new Array[Double](v.length); var i = 0; while (i < v.length) { s(i) = v(i); i += 1 }; s }
+      else { var i = 0; while (i < acc.length) { acc(i) += v(i); i += 1 }; acc }
+    override def reduce(b: VecSumBuf, a: Array[Float]): VecSumBuf =
+      if (a == null) b else VecSumBuf(add(b.sum, a), b.n + 1)
+    override def merge(x: VecSumBuf, y: VecSumBuf): VecSumBuf =
+      if (x.n == 0) y
+      else if (y.n == 0) x
+      else { val s = x.sum; var i = 0; while (i < s.length) { s(i) += y.sum(i); i += 1 }; VecSumBuf(s, x.n + y.n) }
+    override def finish(b: VecSumBuf): Array[Double] = b.sum.map(_ / b.n)
+    override def bufferEncoder: Encoder[VecSumBuf] = Encoders.product[VecSumBuf]
+    override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+  }
+
   /** IVF-bucketed ANN (scale path): centroids = per-label mean vector
-    * (posexplode → groupBy(label, dim) → re-assemble), probe the 2
-    * nearest centroids per query, then search only those buckets.
+    * (vector-sum partial aggregate), probe the 2 nearest centroids per
+    * query, then search only those buckets.
     * Declared without oracle; the spec test checks recall vs l3. */
   /** The IVF probe set: for each query, the 2 coarse buckets whose
     * centroid is most cosine-similar. Exposed for the recall/exactness
@@ -93,13 +119,11 @@ object LlmVector {
     * data is that results are EXACT within the probed buckets. */
   def ivfProbes(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir)
+    val vecMean = udaf(new VecMean)
     val centroids = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .groupBy("label", "dim").agg(avg(col("v")).as("c"))
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("entries"))
-      .select(col("label").as("c_label"),
-        expr("transform(entries, e -> e.c)").as("centroid"))
+      .groupBy(col("label"))
+      .agg(vecMean(col("embedding")).as("centroid"))
+      .select(col("label").as("c_label"), col("centroid"))
     val probeW = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_label").asc)
     querySet(spark, dir).crossJoin(broadcast(centroids))
       .withColumn("c_cos", cosine(col("q_emb"), col("centroid")))

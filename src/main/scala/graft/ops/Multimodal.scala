@@ -80,15 +80,20 @@ object Multimodal {
   }
 
   /** MM2: resize/downsample over partition iterators — same
-    * `mapPartitions` batch shape as mm1, emitting a fixed-size array
-    * column (the thumbnail an image pipeline would store). */
+    * `mapPartitions` batch shape as mm1, emitting a fixed-size
+    * thumbnail. The thumbnail travels the pipeline as a real array
+    * column; only the DECLARED output scalar-encodes it
+    * (comma-joined) because the oracle harness hashes scalar cells
+    * (array-typed output columns are unhashable on the DuckDB/pandas
+    * side — VERDICT r4 §Whats-wrong 1). */
   private def mm2Resize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir)
       .as[MediaRow]
       .mapPartitions(rows => rows.map(fakeResize))
       .toDF()
-      .select(col("doc_id"), col("thumb"))
+      .select(col("doc_id"),
+        array_join(col("thumb").cast("array<string>"), ",").as("thumb"))
       .orderBy("doc_id")
   }
 
@@ -147,8 +152,8 @@ object Multimodal {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm2_resize" ->
       """SELECT doc_id,
-        |  list_transform(range(0, 16),
-        |    j -> CAST(ord(text[CAST(j * length(text) // 16 AS INT) + 1]) AS INT)) AS thumb
+        |  array_to_string(list_transform(range(0, 16),
+        |    j -> CAST(ord(text[CAST(j * length(text) // 16 AS INT) + 1]) AS INT)), ',') AS thumb
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm3_frame_sample" ->
       """WITH f AS (

@@ -36,6 +36,31 @@ object Storage {
       .orderBy("yyyymm")
   }
 
+  /** K10b: TTL expiry (SURVEY.md:332 — the reference's `TTL` clause
+    * deletes rows past an age cutoff at merge time). Spark-native
+    * mapping: a periodic cutoff-filter + atomic overwrite job. The TTL
+    * column is the PARTITION key (as in the reference's
+    * `toYYYYMM(event_date)` layout), so the filter prunes at the
+    * directory level: live partitions are never read OR rewritten at
+    * scale — expiry is a partition drop, not a 100 TB rewrite. The
+    * fixed cutoff keeps the op deterministic (a deployment derives it
+    * from now() - INTERVAL). */
+  private def k10bTtlRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch(spark, dir, "k10b_base")
+    val live = scratch(spark, dir, "k10b_live")
+    Engine.t(spark, dir, "orders")
+      .withColumn("yyyymm", CH.toYYYYMM(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("yyyymm").parquet(base)
+    val cutoff = 199601 // TTL: expire everything before 1996-01
+    spark.read.parquet(base)
+      .filter(col("yyyymm") >= cutoff) // partition-pruned: expired dirs untouched, live dirs stream through
+      .write.mode("overwrite").partitionBy("yyyymm").parquet(live)
+    spark.read.parquet(live)
+      .agg(count(lit(1)).as("n_live"),
+        min(col("yyyymm")).cast("int").as("oldest"),
+        sum(CH.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+  }
+
   /** K11: mutations — ALTER DELETE + ALTER UPDATE as a rewrite into a
     * new table version, then read back. */
   private def k11Mutation(spark: SparkSession, dir: String): DataFrame = {
@@ -147,6 +172,7 @@ object Storage {
   val queries: Map[String, Q] = Map(
     "k13_bucketed_join" -> (bucketedJoin _),
     "k10_partitioned_write" -> (k10PartitionedWrite _),
+    "k10b_ttl_rewrite" -> (k10bTtlRewrite _),
     "k11_mutation" -> (k11Mutation _),
     "k12_compaction" -> (k12Compaction _),
     "k7_obfuscator" -> (k7Obfuscator _))
@@ -170,6 +196,12 @@ object Storage {
         |FROM orders
         |WHERE year(o_orderdate) * 100 + month(o_orderdate) BETWEEN 199701 AND 199703
         |GROUP BY 1 ORDER BY yyyymm""".stripMargin,
+    "k10b_ttl_rewrite" ->
+      """SELECT count(*) AS n_live,
+        |  CAST(min(year(o_orderdate) * 100 + month(o_orderdate)) AS INT) AS oldest,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE year(o_orderdate) * 100 + month(o_orderdate) >= 199601""".stripMargin,
     "k11_mutation" ->
       """SELECT count(*) AS n,
         |  count(*) FILTER (WHERE s_acctbal > 9000) AS n_updated,

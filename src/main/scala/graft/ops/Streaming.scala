@@ -10,6 +10,12 @@ import graft.{CH, Engine}
 case class Session(user_id: Long, session_id: Long,
     start_us: Long, end_us: Long, n_events: Long)
 
+/** The O(1)-per-user streaming state: ONLY the currently-open session
+  * (id, bounds, count) — never an event buffer, so state size is
+  * independent of stream length (VERDICT r4 §Whats-wrong 3). */
+case class OpenSession(session_id: Long, start_us: Long,
+    last_us: Long, n_events: Long)
+
 /** Pure sessionization core, shared by the j3 state function and
   * property-tested in isolation (`SessionSplitSpec`). */
 object Sessions {
@@ -34,6 +40,35 @@ object Sessions {
     if (ts.nonEmpty) out += Session(user, sid + 1, ts(start), ts(ts.length - 1), (ts.length - start).toLong)
     out.toSeq
   }
+
+  /** Incremental form of [[split]] for bounded streaming state: fold
+    * one (unsorted) batch of a user's timestamps into the open-session
+    * state, emitting sessions as gaps CLOSE them. Correct iff batches
+    * arrive per-user time-ordered (each batch's timestamps ≥ the open
+    * session's last) — the contract the time-range chunk staging
+    * provides. Property-pinned against [[split]] in
+    * `SessionSplitSpec`. */
+  def advance(user: Long, open: Option[OpenSession], tsBatch: Array[Long],
+      gapUs: Long): (Seq[Session], Option[OpenSession]) = {
+    val ts = tsBatch.sorted
+    val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+    var st = open.orNull
+    var i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      if (st == null) st = OpenSession(1L, t, t, 1L)
+      else if (t - st.last_us > gapUs) {
+        out += Session(user, st.session_id, st.start_us, st.last_us, st.n_events)
+        st = OpenSession(st.session_id + 1, t, t, 1L)
+      } else st = OpenSession(st.session_id, st.start_us, t, st.n_events + 1)
+      i += 1
+    }
+    (out.toSeq, Option(st))
+  }
+
+  /** The open session as an emitted (flushed) session row. */
+  def close(user: Long, o: OpenSession): Session =
+    Session(user, o.session_id, o.start_us, o.last_us, o.n_events)
 }
 
 /** Streaming / incremental surface (SURVEY §2.J). The reference's live

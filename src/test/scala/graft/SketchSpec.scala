@@ -32,6 +32,21 @@ class SketchSpec extends AnyFunSuite {
     assert(got == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("HLL++ approx distinct is within its declared rsd of the exact count") {
+    // The error-bound check lives here, NOT in the declared i1 op:
+    // computing exact count_distinct alongside the sketch would pay
+    // the full distinct shuffle the sketch exists to avoid (VERDICT r4).
+    val ev = Engine.t(spark, TestSpark.sf, "events").select("user_id")
+    val row = ev.agg(
+      approx_count_distinct(col("user_id"), 0.01).as("approx"),
+      count_distinct(col("user_id")).as("exact")).collect().head
+    val (approx, exact) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    // rsd=0.01 is a standard deviation; 5σ makes the test deterministic
+    // in practice while still catching a broken sketch outright
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
   test("deterministic hash sample: rate near 26/256 and stable across runs") {
     val l = Engine.t(spark, TestSpark.sf, "lineitem")
     val total = l.count().toDouble
