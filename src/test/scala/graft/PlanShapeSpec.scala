@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression guards on the two headline plan shapes (the cheap
+  * mirror of `BucketedJoinSpec`'s zero-Exchange assert): c8's
+  * dictionary join must stay a broadcast hash join — the 100 TB fact
+  * side never shuffles for the join — and q1's shipdate predicate
+  * must reach the parquet scan as a pushed filter over a pruned
+  * column set. A silent fallback to a shuffled join or a full-schema
+  * scan is exactly the regression that stays invisible at test scale
+  * and dominates at 100 TB. */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("c8 dictionary join plans as BroadcastHashJoin (fact never shuffles)") {
+    val df = SparkEntry.queries("c8_broadcast_dict_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join, plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"dim join must not shuffle the fact side, plan:\n$plan")
+  }
+
+  test("q1 scan shows pushed shipdate filter and pruned ReadSchema") {
+    val df = ops.Basics.q1PricingSummary(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      s"shipdate filter must reach the scan, plan:\n$plan")
+    // pruning proof: unused wide columns never leave the reader
+    assert(!plan.contains("l_comment"),
+      s"scan must not read unprojected columns, plan:\n$plan")
+  }
+}

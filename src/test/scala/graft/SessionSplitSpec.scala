@@ -3,7 +3,7 @@ package graft
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.Sessions
+import graft.ops.{OpenSession, Session, Sessions}
 
 /** Properties of the pure sessionization core used by the j3
   * GroupState function: sessions partition the input, intra-session
@@ -42,6 +42,29 @@ class SessionSplitSpec extends AnyFunSuite {
         case _ => true
       }
       partitioned && idsOrdered && intraOk && interOk
+    })
+  }
+
+  test("advance folded over time-ordered batch splits (+close) == split") {
+    // The j3 streaming contract: batches are contiguous time ranges
+    // (arbitrary order WITHIN a batch), folded through the O(1)
+    // OpenSession state; closing the final open session must reproduce
+    // the whole-history split exactly — ids, bounds, and counts.
+    check(Prop.forAll(tsGen, Gen.long) { (ts, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val sorted = ts.sorted.toArray
+      val nChunks = 1 + rnd.nextInt(5)
+      val cuts = (Array.fill(nChunks - 1)(rnd.nextInt(sorted.length + 1)).sorted :+ sorted.length)
+      var st: Option[OpenSession] = None
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      var prev = 0
+      cuts.foreach { c =>
+        val chunk = rnd.shuffle(sorted.slice(prev, c).toSeq).toArray
+        val (closed, open) = Sessions.advance(9L, st, chunk, gap)
+        out ++= closed; st = open; prev = c
+      }
+      st.foreach(o => out += Sessions.close(9L, o))
+      out.toSeq == Sessions.split(9L, sorted, gap)
     })
   }
 

@@ -47,6 +47,27 @@ class SketchSpec extends AnyFunSuite {
       s"approx=$approx exact=$exact")
   }
 
+  test("percentile_approx is within the sketch's rank-error bound of exact") {
+    // `percentile_approx(…, accuracy=a)` guarantees rank error ≤ 1/a:
+    // the returned value's rank is within n/a of q·n. Assert by
+    // bracketing — exact percentile at q−ε ≤ approx(q) ≤ exact at
+    // q+ε, ε = 2/a headroom. Pins the i2_tdigest_quantiles inputs
+    // (accuracy 2000, q ∈ {0.1, 0.5, 0.9, 0.99}) and the
+    // d6_approx_quantiles input (accuracy 1000, q = 0.5), the two
+    // no-oracle quantile-sketch ops (VERDICT r5 #3).
+    val l = Engine.t(spark, TestSpark.sf, "lineitem").select("l_extendedprice")
+    for ((q, acc) <- Seq((0.1, 2000), (0.5, 2000), (0.9, 2000), (0.99, 2000), (0.5, 1000))) {
+      val eps = 2.0 / acc
+      val (qlo, qhi) = (math.max(q - eps, 0.0), math.min(q + eps, 1.0))
+      val row = l.agg(
+        percentile_approx(col("l_extendedprice"), lit(q), lit(acc)).cast("double").as("a"),
+        expr(s"percentile(l_extendedprice, $qlo)").as("lo"),
+        expr(s"percentile(l_extendedprice, $qhi)").as("hi")).collect().head
+      val (a, lo, hi) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+      assert(a >= lo && a <= hi, s"q=$q acc=$acc: approx=$a outside [$lo, $hi]")
+    }
+  }
+
   test("deterministic hash sample: rate near 26/256 and stable across runs") {
     val l = Engine.t(spark, TestSpark.sf, "lineitem")
     val total = l.count().toDouble
