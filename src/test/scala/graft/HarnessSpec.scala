@@ -20,7 +20,8 @@ class HarnessSpec extends AnyFunSuite {
     val all = Seq(
       ops.Basics.queries, ops.Joins.queries, ops.Aggregates.queries,
       ops.Windows.queries, ops.SortsLimits.queries, ops.SetOps.queries,
-      ops.Functions.queries, ops.LlmText.queries, ops.LlmVector.queries,
+      ops.Functions.queries, ops.LlmText.queries, ops.LlmPipeline.queries,
+      ops.LlmVector.queries,
       ops.Multimodal.queries, ops.Formats.queries, ops.Storage.queries,
       ops.SystemTables.queries, ops.Streaming.queries, ops.Udafs.queries,
       ops.Sampling.queries)

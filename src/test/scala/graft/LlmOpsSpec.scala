@@ -173,4 +173,26 @@ class LlmOpsSpec extends AnyFunSuite {
       .agg(min("doc_id").as("keep"))
     assert(dedup2.count() == 2) // second pass removes nothing
   }
+
+  test("l17 hierarchical prefix sum equals the flat single-window form") {
+    // The scale path (chunk-local window + broadcast chunk offsets)
+    // must produce the identical packing as the textbook flat window
+    // the DuckDB oracle uses — assert that in-engine too, over the
+    // real table, so a regression in the decomposition can't hide
+    // behind a passing sf0.01 oracle row count.
+    import org.apache.spark.sql.expressions.Window
+    val hier = SparkEntry.queries("l17_sequence_pack")(spark, sf).collect().toSeq
+    val toks = size(filter(split(col("text"), " "), t => t =!= "")).cast("long")
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flat = Engine.t(spark, sf, "documents")
+      .select(col("lang"), col("doc_id"), toks.as("n_toks"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("pack_id", floor((col("cum") - col("n_toks")).cast("double") / lit(2048.0)))
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("pack_tokens"))
+      .orderBy("lang", "pack_id")
+      .collect().toSeq
+    assert(hier.nonEmpty && hier == flat)
+  }
 }
