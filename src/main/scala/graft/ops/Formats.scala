@@ -92,7 +92,31 @@ object Formats {
       .orderBy("o_orderstatus")
   }
 
+  /** A15: schema evolution — the reference's `ALTER TABLE … ADD
+    * COLUMN` surface (old parts lack the column, reads see NULL). The
+    * Spark-native shape: parquet files written before and after the
+    * column add coexist in one dataset; `mergeSchema=true` unifies
+    * footers at planning time and back-fills NULL for pre-evolution
+    * files — no rewrite of old data, the only schema-change mechanism
+    * that is feasible at 100 TB. */
+  private def a15SchemaMerge(spark: SparkSession, dir: String): DataFrame = {
+    val out = Engine.scratch(spark, dir, "a15_merge")
+    val o = Engine.t(spark, dir, "orders")
+    o.filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(out)
+    o.filter(col("o_orderstatus") === "O")
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .write.mode("append").parquet(out)
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("o_orderpriority")).as("n_with_priority"),
+        sum(CH.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "a15_schema_merge" -> (a15SchemaMerge _),
     "a2_parquet_roundtrip" -> (a2Parquet _),
     "a5_orc_roundtrip" -> (a5Orc _),
     "a3_csv_roundtrip" -> (a3Csv _),
@@ -101,6 +125,11 @@ object Formats {
     "a9_insert_append" -> (a9InsertAppend _))
 
   val oracles: Map[String, String] = Map(
+    "a15_schema_merge" ->
+      """SELECT count(*) AS n,
+        |  count(CASE WHEN o_orderstatus = 'O' THEN o_orderpriority END) AS n_with_priority,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderstatus IN ('F', 'O')""".stripMargin,
     "a2_parquet_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty

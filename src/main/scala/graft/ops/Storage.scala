@@ -57,8 +57,14 @@ object Storage {
   private def k10bTtlRewrite(spark: SparkSession, dir: String): DataFrame = {
     val base = scratch(spark, dir, "k10b_base")
     val live = scratch(spark, dir, "k10b_live")
+    // Salted pre-shuffle for both writes, same rationale as k10: an
+    // unshuffled partitionBy write has every input task touch every
+    // yyyymm directory (tasks × ~80 small files), the small-files
+    // shape that kills the downstream scan at 100 TB.
+    val salt = pmod(hash(col("o_orderkey")), lit(4))
     Engine.t(spark, dir, "orders")
       .withColumn("yyyymm", CH.toYYYYMM(col("o_orderdate")))
+      .repartition(col("yyyymm"), salt)
       .write.mode("overwrite").partitionBy("yyyymm").parquet(base)
     val cutoff = 199601 // TTL: expire everything before 1996-01
     spark.read.parquet(base)

@@ -297,13 +297,45 @@ object Streaming {
       .orderBy("user_id", "start_us")
   }
 
+  /** J6: insert-time dedup — the reference's ReplacingMergeTree
+    * semantics (duplicate keys collapse as data arrives, not at query
+    * time). Spark-native: streaming `dropDuplicates` over keyed state;
+    * each staged chunk is its own micro-batch (`maxFilesPerTrigger=1`)
+    * so the dedup state genuinely spans batches — a key first seen in
+    * batch 1 suppresses its re-arrival in batch 4. State is one entry
+    * per distinct key (no row buffer); an unbounded deployment bounds
+    * it with `dropDuplicatesWithinWatermark`. The declared rollup
+    * (distinct users per event_type) is insensitive to which duplicate
+    * won, so the op is deterministic and oracle-checked. */
+  private def j6StreamingDedup(spark: SparkSession, dir: String): DataFrame = withStreamingPartitions(spark) {
+    val sinkName = "j6_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = eventStream(spark, stageEvents(spark, dir), oneFilePerBatch = true)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_unique_users"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "j1_incremental_mv" -> (j1IncrementalMv _),
     "j2_window_rollup" -> (j2WindowRollup _),
     "j3_sessionize_state" -> (j3Sessionize _),
-    "j5_session_window" -> (j5SessionWindow _))
+    "j5_session_window" -> (j5SessionWindow _),
+    "j6_streaming_dedup" -> (j6StreamingDedup _))
 
   val oracles: Map[String, String] = Map(
+    "j6_streaming_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_unique_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "j1_incremental_mv" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
