@@ -225,7 +225,75 @@ object Functions {
         round(avg(col("u")), 2).as("mean_u"),
         round(avg(col("g")), 1).as("mean_g"))
 
+  /** H17: IP functions — CH `IPv4NumToString` / `IPv4StringToNum` as
+    * pure integer/string arithmetic (no IP type needed, fully
+    * codegen'd). A deterministic IPv4 is synthesized per user (Knuth
+    * multiplicative hash mod 2^32, the tables carry no IP column),
+    * formatted octet-wise, and parsed back — the round trip rides in
+    * the oracle-checked output. */
+  private def h17Ip(spark: SparkSession, dir: String): DataFrame = {
+    val o = (sh: Int) => expr(s"shiftright(ipnum, $sh) & 255")
+    Engine.t(spark, dir, "events")
+      .select(col("user_id")).distinct()
+      .filter(col("user_id") < 50)
+      .withColumn("ipnum", pmod(col("user_id") * lit(2654435761L), lit(4294967296L)))
+      .withColumn("ipstr", concat_ws(".",
+        o(24).cast("string"), o(16).cast("string"), o(8).cast("string"), o(0).cast("string")))
+      .withColumn("ipnum_rt",
+        element_at(split(col("ipstr"), "\\."), 1).cast("long") * 16777216L +
+        element_at(split(col("ipstr"), "\\."), 2).cast("long") * 65536L +
+        element_at(split(col("ipstr"), "\\."), 3).cast("long") * 256L +
+        element_at(split(col("ipstr"), "\\."), 4).cast("long"))
+      .select("user_id", "ipnum", "ipstr", "ipnum_rt")
+      .orderBy("user_id")
+  }
+
+  /** H18: bitmap aggregates — the CH `groupBitmap*` family. Event
+    * types map to fixed bit positions; `bit_or` folds each user's
+    * presence mask in constant space per group (the bitmap-sketch
+    * shape: the exchange carries one long per user, never a value
+    * list), then a rollup counts users by `bit_count(mask)`. */
+  private def h18Bitmap(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "events")
+      .filter(col("ts") < lit("2024-01-02 00:00:00").cast("timestamp")) // day-1 slice: masks actually vary
+      .select(col("user_id"),
+        expr("""CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+               WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 WHEN 'view' THEN 16 ELSE 0 END""")
+          .cast("long").as("b"))
+      .groupBy("user_id").agg(bit_or(col("b")).as("mask"))
+      .groupBy(expr("bit_count(mask)").cast("int").as("n_types"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("n_types")
+
+  /** H19: regression stats — CH `simpleLinearRegression(x, y)`. The
+    * moments (Σx, Σy, Σx², Σxy) are summed in DECIMAL — associative
+    * and order-independent, so map-side partials are exact at any
+    * parallelism — and slope/intercept are derived from them in IEEE
+    * double with the same expression nesting as the oracle, making
+    * the result bit-deterministic. Built-in `regr_slope` is avoided
+    * deliberately: its double summation order differs per engine and
+    * per partitioning. */
+  private def h19Linreg(spark: SparkSession, dir: String): DataFrame = {
+    val x = CH.dec(col("l_quantity"))
+    val y = CH.dec(col("l_extendedprice"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    Engine.t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        round((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+          / (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))), 6).as("slope"),
+        round((d(col("sy")) - (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+          / (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) * d(col("sx"))) / d(col("n")), 6).as("intercept"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "h17_ip" -> (h17Ip _),
+    "h18_bitmap" -> (h18Bitmap _),
+    "h19_linreg" -> (h19Linreg _),
     "h1_math" -> (h1Math _),
     "h2_datetime" -> (h2DateTime _),
     "h3_strings" -> (h3Strings _),
@@ -243,6 +311,38 @@ object Functions {
     "h16_rand_uuid" -> (h16Rand _))
 
   val oracles: Map[String, String] = Map(
+    "h17_ip" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 50),
+        |n AS (SELECT user_id, (user_id * 2654435761) % 4294967296 AS ipnum FROM u),
+        |s AS (SELECT user_id, ipnum,
+        |        CAST((ipnum >> 24) & 255 AS VARCHAR) || '.' || CAST((ipnum >> 16) & 255 AS VARCHAR)
+        |        || '.' || CAST((ipnum >> 8) & 255 AS VARCHAR) || '.' || CAST(ipnum & 255 AS VARCHAR) AS ipstr
+        |      FROM n)
+        |SELECT user_id, ipnum, ipstr,
+        |  CAST(string_split(ipstr, '.')[1] AS BIGINT) * 16777216
+        |  + CAST(string_split(ipstr, '.')[2] AS BIGINT) * 65536
+        |  + CAST(string_split(ipstr, '.')[3] AS BIGINT) * 256
+        |  + CAST(string_split(ipstr, '.')[4] AS BIGINT) AS ipnum_rt
+        |FROM s ORDER BY user_id""".stripMargin,
+    "h18_bitmap" ->
+      """WITH m AS (
+        |  SELECT user_id, bit_or(CAST(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+        |    WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 WHEN 'view' THEN 16 ELSE 0 END AS BIGINT)) AS mask
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00' GROUP BY user_id)
+        |SELECT CAST(bit_count(mask) AS INT) AS n_types, count(*) AS n_users
+        |FROM m GROUP BY 1 ORDER BY n_types""".stripMargin,
+    "h19_linreg" ->
+      """WITH mo AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+        |  round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx) / CAST(n AS DOUBLE), 6) AS intercept
+        |FROM mo ORDER BY l_returnflag""".stripMargin,
     "h1_math" ->
       """SELECT p_partkey,
         |  abs(p_size - 25) AS abs_v,
