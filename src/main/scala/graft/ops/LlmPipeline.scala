@@ -112,13 +112,129 @@ object LlmPipeline {
       .orderBy("lang", "pack_id")
   }
 
+  /** L18: near-dup resolution — the step after candidate generation:
+    * collapse the similarity graph into components and elect one
+    * canonical doc per component (min id), producing the keep/drop
+    * verdict a dedup pipeline actually ships. Components are computed
+    * with min-label propagation — each round every node takes the
+    * minimum label among itself and its neighbors, converging in
+    * O(graph diameter) rounds of one join + one aggregate each; this
+    * is the standard distributed connected-components shape (no
+    * driver-side graph, state = one (node, label) row per doc). The
+    * pair graph here is the deterministic n-gram Jaccard stage (L10's
+    * exact verifier, τ = 0.08), so DuckDB reproduces it and checks the
+    * components via a recursive CTE — an independent algorithm
+    * confirming the fixpoint. The per-round convergence check is one
+    * aggregated count, not a collected dataset. */
+  private def l18NeardupResolve(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Engine.t(spark, dir, "documents")
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id"), array_distinct(LlmText.ngrams2(col("text"))).as("grams"))
+    val a = sh.select(col("doc_id").as("a"), col("grams").as("ga"))
+    val b = sh.select(col("doc_id").as("b"), col("grams").as("gb"))
+    val inter = size(array_intersect(col("ga"), col("gb")))
+    val pairs = a.crossJoin(b).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (inter.cast("double") /
+          (size(col("ga")) + size(col("gb")) - inter).cast("double")).as("j"))
+      .filter(col("j") >= 0.08)
+      .select("a", "b")
+    // The iteration state (labels, edges) is tiny relative to the
+    // corpus — a deployment sizes shuffle partitions to the candidate
+    // frontier, not the corpus; and localCheckpoint truncates the
+    // per-round lineage so round k's plan doesn't re-optimize rounds
+    // 1..k-1.
+    val spKey = "spark.sql.shuffle.partitions"
+    val spPrev = spark.conf.get(spKey)
+    spark.conf.set(spKey, "4")
+    try {
+      val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b"))).localCheckpoint()
+      var labels = sh.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val nbrMin = edges.join(labels, edges("b") === labels("doc_id"))
+          .groupBy("a").agg(min(col("label")).as("nbr_label"))
+        // one pass carries both the new label and the convergence bit —
+        // no separate old-vs-new join per round
+        val step = labels.join(nbrMin, labels("doc_id") === nbrMin("a"), "left")
+          .select(labels("doc_id"), col("label").as("old_label"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          .localCheckpoint()
+        val changed = step.filter(col("label") =!= col("old_label")).count()
+        labels = step.select("doc_id", "label")
+        converged = changed == 0
+        rounds += 1
+      }
+      labels
+        .groupBy(col("label").as("keep_id"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("keep_id")
+    } finally spark.conf.set(spKey, spPrev)
+  }
+
+  /** L19: corpus mixing — hit a per-source quota (the "data mixture"
+    * step of pretraining prep). Docs rank within their source by a
+    * deterministic hash of the id (stable across runs/replicas, no
+    * RNG) and the first `quota(source)` survive; even-numbered sources
+    * get 10, odd get 18 — the rebalancing shape. One window per
+    * source partition + one rollup; at 100 TB the rank never sorts
+    * more than one source's slice per task group. */
+  private def l19CorpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val quota = when(srcNum % 2 === 0, lit(10)).otherwise(lit(18))
+    val w = Window.partitionBy("source").orderBy(md5(col("doc_id").cast("string")))
+    Engine.t(spark, dir, "documents")
+      .withColumn("rk", row_number().over(w))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_total"),
+        CH.countIf(col("rk") <= quota).as("n_kept"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "l18_neardup_resolve" -> (l18NeardupResolve _),
+    "l19_corpus_mix" -> (l19CorpusMix _),
     "l14_stratified_sample" -> (l14StratifiedSample _),
     "l15_pattern_scrub" -> (l15PatternScrub _),
     "l16_shard_shuffle" -> (l16ShardShuffle _),
     "l17_sequence_pack" -> (l17SequencePack _))
 
   val oracles: Map[String, String] = Map(
+    // components via recursive reachability — an INDEPENDENT algorithm
+    // (BFS closure) confirming the label-propagation fixpoint
+    "l18_neardup_resolve" ->
+      """WITH RECURSIVE
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+        |      i -> t[i] || ' ' || t[i+1])) AS grams
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+        |        FROM documents WHERE doc_id < 40)),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM g a, g b WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
+        |      / CAST(len(a.grams) + len(b.grams)
+        |             - len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE) >= 0.08),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM g
+        |  UNION
+        |  SELECT e.a, r.lbl FROM e JOIN reach r ON e.b = r.node),
+        |comp AS (SELECT node, min(lbl) AS keep_id FROM reach GROUP BY node)
+        |SELECT keep_id, count(*) AS n_members
+        |FROM comp GROUP BY keep_id ORDER BY keep_id""".stripMargin,
+    "l19_corpus_mix" ->
+      """WITH r AS (
+        |  SELECT source,
+        |    row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+        |  FROM documents)
+        |SELECT source, count(*) AS n_total,
+        |  count(CASE WHEN rk <= (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+        |                         THEN 10 ELSE 18 END) THEN 1 END) AS n_kept
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "l14_stratified_sample" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(count(*) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)

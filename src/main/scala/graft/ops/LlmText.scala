@@ -47,6 +47,11 @@ object LlmText {
     filter(joined, x => x.isNotNull)
   }
 
+  /** Word 2-gram shingles over a text column — the shared exact-verify
+    * shingle form (L10 here, L18's pair graph in LlmPipeline). */
+  def ngrams2(text: Column): Column =
+    ngrams(filter(split(text, " "), t => t =!= ""), 2)
+
   /** L1: exact dedup — hash the text, keep the smallest doc_id per
     * hash. One shuffle on the hash; at 100 TB the md5 prunes to
     * 16-byte keys before the exchange. */
