@@ -13,7 +13,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Basics.queries ++ ops.Joins.queries ++ ops.Aggregates.queries ++
-      ops.Windows.queries ++ ops.SortsLimits.queries ++ ops.SetOps.queries ++
+      ops.Windows.queries ++ ops.Events.queries ++ ops.SortsLimits.queries ++ ops.SetOps.queries ++
       ops.Functions.queries ++ ops.LlmText.queries ++ ops.LlmPipeline.queries ++ ops.LlmVector.queries ++
       ops.Multimodal.queries ++ ops.Formats.queries ++ ops.Storage.queries ++
       ops.SystemTables.queries ++ ops.Streaming.queries ++ ops.Udafs.queries ++
@@ -23,7 +23,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Basics.oracles ++ ops.Joins.oracles ++ ops.Aggregates.oracles ++
-      ops.Windows.oracles ++ ops.SortsLimits.oracles ++ ops.SetOps.oracles ++
+      ops.Windows.oracles ++ ops.Events.oracles ++ ops.SortsLimits.oracles ++ ops.SetOps.oracles ++
       ops.Functions.oracles ++ ops.LlmText.oracles ++ ops.LlmPipeline.oracles ++ ops.LlmVector.oracles ++
       ops.Multimodal.oracles ++ ops.Formats.oracles ++ ops.Storage.oracles ++
       ops.SystemTables.oracles ++ ops.Streaming.oracles ++ ops.Udafs.oracles ++

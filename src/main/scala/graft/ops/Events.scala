@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Engine
+
+/** Event-analytics aggregate family — the reference engine's
+  * distinctive behavioral-analytics surface (`windowFunnel`,
+  * `retention`, `sequenceMatch`, cohort rollups; ClickHouse 25.7
+  * parametric aggregates, reference `Dockerfile:102-126` pinned
+  * binary). Re-expressed Spark-first over the `events` table:
+  *
+  *  - The per-user state these parametric aggregates keep in the
+  *    native engine (a buffer of matching timestamps) maps to ONE
+  *    shuffle on `user_id` + either conditional aggregation (retention,
+  *    sequence-match: O(1) state per user) or a sorted higher-order
+  *    fold (funnel: state = the 3 chain timestamps, not the event
+  *    buffer). No UDFs/UDAFs — everything below is Catalyst
+  *    expressions, so partial aggregation and codegen apply.
+  *  - At 100 TB the shuffle key is `user_id` (high-cardinality,
+  *    uniform); all four queries share that partitioning, and the
+  *    final rollups are a handful of groups — partial-agg carries
+  *    per-task states, not rows, through the second exchange.
+  */
+object Events {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val HOURS24_US = 24L * 3600L * 1000000L
+
+  /** E6: `windowFunnel(24h)(ts, view, click, purchase)` — per user,
+    * the deepest funnel level reached with the chain anchored at the
+    * FIRST view: t1 = min ts(view); t2 = first click strictly after
+    * t1 within t1+24h; t3 = first purchase strictly after t2 within
+    * t1+24h. Per-user fold over the ts-sorted event list (ties broken
+    * by event_type, so equal-ts chains resolve deterministically);
+    * state is three nullable micros, O(1) regardless of history
+    * length. One shuffle on user_id, then a 4-group rollup. */
+  private def e6WindowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val evs = sort_array(collect_list(struct(
+      unix_micros(col("ts")).as("t"), col("event_type").as("et"))))
+    val nullT = lit(null).cast("long")
+    val folded = aggregate(
+      evs,
+      struct(nullT.as("t1"), nullT.as("t2"), nullT.as("t3")),
+      (acc, e) => {
+        val t1 = acc.getField("t1"); val t2 = acc.getField("t2"); val t3 = acc.getField("t3")
+        val t = e.getField("t"); val et = e.getField("et")
+        struct(
+          when(t1.isNull && et === "view", t).otherwise(t1).as("t1"),
+          when(t1.isNotNull && t2.isNull && et === "click" &&
+            t > t1 && t <= t1 + HOURS24_US, t).otherwise(t2).as("t2"),
+          when(t2.isNotNull && t3.isNull && et === "purchase" &&
+            t > t2 && t <= t1 + HOURS24_US, t).otherwise(t3).as("t3"))
+      })
+    Engine.events(spark, dir)
+      .groupBy("user_id")
+      .agg(folded.as("f"))
+      .select(
+        when(col("f.t3").isNotNull, 3)
+          .when(col("f.t2").isNotNull, 2)
+          .when(col("f.t1").isNotNull, 1)
+          .otherwise(0).cast("int").as("funnel_level"))
+      .groupBy("funnel_level")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("funnel_level")
+  }
+
+  /** E7: `retention(week1, week2, week3)` — per user booleans
+    * r1 = active in week 1; r2 = r1 AND active week 2; r3 = r1 AND
+    * active week 3 (the reference's retention semantics: later
+    * conditions only count on top of the first). O(1) state per user
+    * (three ORed booleans), one row out. */
+  private def e7Retention(spark: SparkSession, dir: String): DataFrame = {
+    def in(lo: String, hi: String): Column =
+      col("ts") >= lit(lo).cast("timestamp") && col("ts") < lit(hi).cast("timestamp")
+    val perUser = Engine.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        max(in("2024-01-01", "2024-01-08").cast("int")).as("c1"),
+        max(in("2024-01-08", "2024-01-15").cast("int")).as("c2"),
+        max(in("2024-01-15", "2024-01-22").cast("int")).as("c3"))
+    perUser.agg(
+        sum(col("c1")).cast("long").as("r1"),
+        sum((col("c1") === 1 && col("c2") === 1).cast("int")).cast("long").as("r2"),
+        sum((col("c1") === 1 && col("c3") === 1).cast("int")).cast("long").as("r3"))
+      .select(
+        col("r1"), col("r2"), col("r3"),
+        round(col("r2").cast("double") / col("r1").cast("double"), 6).as("week2_rate"),
+        round(col("r3").cast("double") / col("r1").cast("double"), 6).as("week3_rate"))
+  }
+
+  /** E8: `sequenceMatch('(?1).*(?2)')` — does any event matching cond1
+    * precede (strictly) any event matching cond2 for the user? For an
+    * existence pattern this needs no event buffer at all:
+    * min ts(cond1) < max ts(cond2). Two pairs are declared (signup→
+    * purchase, view→error); state per user is 4 timestamps. */
+  private def e8SequenceMatch(spark: SparkSession, dir: String): DataFrame = {
+    def tsIf(et: String, f: Column => Column): Column =
+      f(when(col("event_type") === et, col("ts")))
+    Engine.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        tsIf("signup", min).as("first_signup"),
+        tsIf("purchase", max).as("last_purchase"),
+        tsIf("view", min).as("first_view"),
+        tsIf("error", max).as("last_error"))
+      .agg(
+        count(lit(1)).cast("long").as("n_users"),
+        sum((col("first_signup") < col("last_purchase")).cast("int"))
+          .cast("long").as("n_signup_then_purchase"),
+        sum((col("first_view") < col("last_error")).cast("int"))
+          .cast("long").as("n_view_then_error"))
+  }
+
+  /** E9: weekly cohort retention matrix — users bucketed by the week
+    * of their first event; for each (cohort, weeks-since) cell the
+    * distinct active users. The classic product-analytics rollup the
+    * reference serves with `retention`/`uniq` over a materialized
+    * first-touch dictionary. Two shuffles, both on user_id (the
+    * first-touch aggregate and the join re-use the same partitioning);
+    * the final (cohort × week) grid is tiny. */
+  private def e9CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Engine.events(spark, dir)
+    val firsts = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    ev.join(firsts, "user_id")
+      .select(
+        col("user_id"), col("cohort_week"),
+        (datediff(date_trunc("week", col("ts")).cast("date"), col("cohort_week")) / 7)
+          .cast("int").as("weeks_since"))
+      .groupBy("cohort_week", "weeks_since")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "e6_window_funnel" -> (e6WindowFunnel _),
+    "e7_retention" -> (e7Retention _),
+    "e8_sequence_match" -> (e8SequenceMatch _),
+    "e9_cohort_retention" -> (e9CohortRetention _))
+
+  val oracles: Map[String, String] = Map(
+    "e6_window_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > t1.t1 AND e.ts <= t1.t1 + INTERVAL 24 HOUR GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN t2 ON e.user_id = t2.user_id
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > t2.t2 AND e.ts <= t1.t1 + INTERVAL 24 HOUR GROUP BY 1),
+        |lv AS (SELECT u.user_id,
+        |         CASE WHEN t3.t3 IS NOT NULL THEN 3 WHEN t2.t2 IS NOT NULL THEN 2
+        |              WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_level
+        |       FROM (SELECT DISTINCT user_id FROM events) u
+        |       LEFT JOIN t1 ON u.user_id = t1.user_id
+        |       LEFT JOIN t2 ON u.user_id = t2.user_id
+        |       LEFT JOIN t3 ON u.user_id = t3.user_id)
+        |SELECT CAST(funnel_level AS INT) AS funnel_level, count(*) AS n_users
+        |FROM lv GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e7_retention" ->
+      """WITH pu AS (SELECT user_id,
+        |    max(CASE WHEN ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) AS c1,
+        |    max(CASE WHEN ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS c2,
+        |    max(CASE WHEN ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22' THEN 1 ELSE 0 END) AS c3
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(sum(c1) AS BIGINT) AS r1,
+        |  CAST(sum(CASE WHEN c1 = 1 AND c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+        |  CAST(sum(CASE WHEN c1 = 1 AND c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+        |  round(CAST(sum(CASE WHEN c1 = 1 AND c2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(sum(c1) AS DOUBLE), 6) AS week2_rate,
+        |  round(CAST(sum(CASE WHEN c1 = 1 AND c3 = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(sum(c1) AS DOUBLE), 6) AS week3_rate
+        |FROM pu""".stripMargin,
+    "e8_sequence_match" ->
+      """WITH pu AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+        |    max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+        |    max(CASE WHEN event_type = 'error' THEN ts END) AS last_error
+        |  FROM events GROUP BY 1)
+        |SELECT count(*) AS n_users,
+        |  CAST(sum(CASE WHEN first_signup < last_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_then_purchase,
+        |  CAST(sum(CASE WHEN first_view < last_error THEN 1 ELSE 0 END) AS BIGINT) AS n_view_then_error
+        |FROM pu""".stripMargin,
+    "e9_cohort_retention" ->
+      """WITH firsts AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY 1)
+        |SELECT f.cohort_week,
+        |  CAST(date_diff('day', f.cohort_week, CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT) AS weeks_since,
+        |  count(DISTINCT e.user_id) AS n_active
+        |FROM events e JOIN firsts f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{CH, Engine}
 
@@ -290,7 +290,42 @@ object Functions {
       .orderBy("l_returnflag")
   }
 
+  /** H20: geo functions — `greatCircleDistance`, `geohashEncode`-style
+    * cell bucketing, and a bounding-box `pointInPolygon` special case
+    * (ClickHouse 25.7 geo family, reference `Dockerfile:102-126`
+    * pinned binary). Coordinates derive from key columns on an exact
+    * binary lattice (multiples of 1/8 degree), so lat/lon and the cell
+    * ids are bit-identical across engines; only the haversine itself
+    * is floating point, and every emitted distance is rounded past the
+    * libm ulp gap. Pure codegen'd trig folded into the scan + one
+    * rollup on nationkey — no shuffle before the aggregate's own. */
+  private def h20Geo(spark: SparkSession, dir: String): DataFrame = {
+    def d(c: Column): Column = c.cast("double")
+    val lat1 = d(pmod(col("c_custkey"), lit(144)) * 1.25 - 90 + 0.125)
+    val lon1 = d(pmod(col("c_custkey"), lit(288)) * 1.25 - 180 + 0.125)
+    val lat2 = d(pmod(col("c_nationkey"), lit(36)) * 5.0 - 90 + 2.5)
+    val lon2 = d(pmod(col("c_nationkey"), lit(72)) * 5.0 - 180 + 2.5)
+    val a = pow(sin(radians(lat2 - lat1) / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2)
+    val distKm = lit(2.0 * 6371.0) * asin(least(lit(1.0), sqrt(a)))
+    val cellId = (floor((lat1 + 90) * 8) * 3000 + floor((lon1 + 180) * 8)).cast("long")
+    val inBox = lat1 >= -45 && lat1 < 45 && lon1 >= 0 && lon1 < 90
+    Engine.t(spark, dir, "customer")
+      .select(col("c_nationkey"), distKm.as("dist_km"), cellId.as("cell_id"),
+        inBox.cast("int").as("in_box"))
+      .groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(min(col("dist_km")), 4).as("min_dist_km"),
+        round(max(col("dist_km")), 4).as("max_dist_km"),
+        round(avg(col("dist_km")), 4).as("avg_dist_km"),
+        countDistinct(col("cell_id")).as("n_cells"),
+        sum(col("in_box")).cast("long").as("n_in_box"))
+      .orderBy("c_nationkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "h20_geo" -> (h20Geo _),
     "h17_ip" -> (h17Ip _),
     "h18_bitmap" -> (h18Bitmap _),
     "h19_linreg" -> (h19Linreg _),
@@ -311,6 +346,27 @@ object Functions {
     "h16_rand_uuid" -> (h16Rand _))
 
   val oracles: Map[String, String] = Map(
+    "h20_geo" ->
+      """WITH pts AS (SELECT c_nationkey,
+        |    CAST((c_custkey % 144) * 1.25 - 90 + 0.125 AS DOUBLE) AS lat1,
+        |    CAST((c_custkey % 288) * 1.25 - 180 + 0.125 AS DOUBLE) AS lon1,
+        |    CAST((c_nationkey % 36) * 5.0 - 90 + 2.5 AS DOUBLE) AS lat2,
+        |    CAST((c_nationkey % 72) * 5.0 - 180 + 2.5 AS DOUBLE) AS lon2
+        |  FROM customer),
+        |dd AS (SELECT c_nationkey,
+        |    2.0 * 6371.0 * asin(least(1.0, sqrt(
+        |      pow(sin(radians(lat2 - lat1) / 2), 2)
+        |      + cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2)))) AS dist_km,
+        |    CAST(floor((lat1 + 90) * 8) * 3000 + floor((lon1 + 180) * 8) AS BIGINT) AS cell_id,
+        |    CASE WHEN lat1 >= -45 AND lat1 < 45 AND lon1 >= 0 AND lon1 < 90 THEN 1 ELSE 0 END AS in_box
+        |  FROM pts)
+        |SELECT c_nationkey, count(*) AS n_customers,
+        |  round(min(dist_km), 4) AS min_dist_km,
+        |  round(max(dist_km), 4) AS max_dist_km,
+        |  round(avg(dist_km), 4) AS avg_dist_km,
+        |  count(DISTINCT cell_id) AS n_cells,
+        |  CAST(sum(in_box) AS BIGINT) AS n_in_box
+        |FROM dd GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "h17_ip" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 50),
         |n AS (SELECT user_id, (user_id * 2654435761) % 4294967296 AS ipnum FROM u),

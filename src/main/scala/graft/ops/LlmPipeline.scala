@@ -193,7 +193,123 @@ object LlmPipeline {
       .orderBy("source")
   }
 
+  /** L20: benchmark decontamination — flag corpus documents sharing
+    * any 4-gram with an evaluation set (the GPT-3/PaLM n-gram-overlap
+    * decontamination shape; 13-grams in production, 4 here to match
+    * the synthetic corpus' gram entropy). The eval set's distinct
+    * grams BROADCAST (benchmark suites are tiny next to the corpus),
+    * so corpus grams are checked map-side during the scan — the only
+    * exchange is the final per-source rollup. At 100 TB the corpus
+    * side stays one narrow pass; the eval gram set is bounded by the
+    * benchmark suite, not the corpus. */
+  private def l20Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Engine.t(spark, dir, "documents")
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+        explode(array_distinct(LlmText.ngrams(toks, 4))).as("gram"))
+    val evalGrams = grams(d.filter(col("doc_id") < 20)).select("gram").distinct()
+    val hits = grams(d.filter(col("doc_id") >= 20))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .select("doc_id").distinct()
+      .withColumn("hit", lit(1))
+    d.filter(col("doc_id") >= 20)
+      .join(hits, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_contaminated"))
+      .withColumn("contamination_rate",
+        round(col("n_contaminated").cast("double") / col("n_docs").cast("double"), 6))
+      .orderBy("source")
+  }
+
+  /** L21: intra-document repetition filter — the Gopher quality rules'
+    * repetition family: duplicate-token ratio (1 − distinct/total) and
+    * top-token fraction, thresholded into a keep/drop verdict.
+    * Two-level hash aggregate ((doc,token) then doc), both partially
+    * aggregated map-side — no collected token lists, so a pathological
+    * 1 GB document costs its token count, not a buffered array. */
+  private def l21RepetitionFilter(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), explode(toks).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).cast("long").as("n_toks"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).cast("long").as("top_count"))
+      .select(
+        col("doc_id"), col("n_toks"), col("n_distinct"), col("top_count"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_toks").cast("double"), 6)
+          .as("dup_ratio"),
+        round(col("top_count").cast("double") / col("n_toks").cast("double"), 6)
+          .as("top_frac"),
+        ((lit(1.0) - col("n_distinct").cast("double") / col("n_toks").cast("double")) <= 0.52 &&
+          col("top_count").cast("double") / col("n_toks").cast("double") <= 0.10)
+          .as("quality_pass"))
+      .orderBy("doc_id")
+
+  /** L22: cross-document segment dedup — the C4-style "same 8-token
+    * chunk appears in more than one document" pass that catches
+    * boilerplate exact dedup misses. Non-overlapping 8-token chunks
+    * (each token contributes to exactly one chunk, so the explode is
+    * ~n_tokens/8 rows), one shuffle on the chunk hash, and a join of
+    * the duplicated-chunk set back to mark offending documents. At
+    * 100 TB chunk hashes are 16-byte keys and the dup set is orders of
+    * magnitude smaller than the corpus — the mark-back join broadcasts
+    * in practice (declared as a plain join so the planner can fall
+    * back to shuffle when it does not). */
+  private def l22ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks
+    val nChunks = floor(size(t) / 8).cast("int")
+    val idx = when(nChunks > 0, sequence(lit(0), nChunks - 1))
+      .otherwise(array().cast("array<int>"))
+    val chunks = Engine.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(transform(idx, i => array_join(slice(t, i * 8 + 1, lit(8)), " "))).as("chunk"))
+    val byChunk = chunks.groupBy("chunk")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+    val dupChunks = byChunk.filter(col("n_docs") > 1)
+    val docsWithDup = chunks.join(dupChunks.select("chunk"), Seq("chunk"))
+      .select("doc_id").distinct()
+    dupChunks
+      .agg(
+        count(lit(1)).as("n_dup_chunks"),
+        sum(col("n_occ")).cast("long").as("n_dup_occurrences"))
+      .crossJoin(byChunk.agg(count(lit(1)).as("n_chunks_distinct")))
+      .crossJoin(docsWithDup.agg(count(lit(1)).as("n_docs_with_dup")))
+      .select("n_chunks_distinct", "n_dup_chunks", "n_dup_occurrences", "n_docs_with_dup")
+  }
+
+  /** L23: unigram-LM commonness score — the cheap "perplexity-ish"
+    * quality proxy: mean corpus frequency of a document's tokens
+    * (production pipelines run a KenLM; the plumbing — corpus-wide
+    * token statistics joined back per token — is identical). The
+    * frequency table is vocabulary-sized, so it BROADCASTS; internals
+    * stay in exact integer arithmetic (sum of long counts) so the
+    * score is bit-deterministic across partitionings, and the single
+    * final division is rounded. */
+  private def l23UnigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Engine.t(spark, dir, "documents")
+      .select(col("doc_id"), explode(toks).as("t"))
+    val freq = tok.groupBy("t").agg(count(lit(1)).as("f"))
+    tok.filter(col("doc_id") < 100)
+      .join(broadcast(freq), Seq("t"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum(col("f")).cast("long").as("sum_freq"))
+      .select(
+        col("doc_id"), col("n_toks"), col("sum_freq"),
+        round(col("sum_freq").cast("double") / col("n_toks").cast("double"), 6)
+          .as("mean_token_freq"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "l20_decontaminate" -> (l20Decontaminate _),
+    "l21_repetition_filter" -> (l21RepetitionFilter _),
+    "l22_chunk_dedup" -> (l22ChunkDedup _),
+    "l23_unigram_lm_score" -> (l23UnigramLmScore _),
     "l18_neardup_resolve" -> (l18NeardupResolve _),
     "l19_corpus_mix" -> (l19CorpusMix _),
     "l14_stratified_sample" -> (l14StratifiedSample _),
@@ -202,6 +318,52 @@ object LlmPipeline {
     "l17_sequence_pack" -> (l17SequencePack _))
 
   val oracles: Map[String, String] = Map(
+    "l20_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x != '') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(t) - 3, 0) + 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS gram
+        |  FROM tok),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20),
+        |hit AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram) WHERE g.doc_id >= 20)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(count(h.doc_id) AS BIGINT) AS n_contaminated,
+        |  round(CAST(count(h.doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS contamination_rate
+        |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id >= 20 GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "l21_repetition_filter" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
+        |  FROM documents WHERE doc_id < 200),
+        |cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks, count(*) AS n_distinct,
+        |         CAST(max(c) AS BIGINT) AS top_count FROM cnt GROUP BY 1)
+        |SELECT doc_id, n_toks, n_distinct, top_count,
+        |  round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_toks AS DOUBLE), 6) AS dup_ratio,
+        |  round(CAST(top_count AS DOUBLE) / CAST(n_toks AS DOUBLE), 6) AS top_frac,
+        |  (1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_toks AS DOUBLE)) <= 0.52
+        |    AND CAST(top_count AS DOUBLE) / CAST(n_toks AS DOUBLE) <= 0.10 AS quality_pass
+        |FROM per ORDER BY doc_id""".stripMargin,
+    "l22_chunk_dedup" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+        |  FROM documents),
+        |ch AS (SELECT doc_id, unnest(list_transform(range(0, CAST(floor(len(t) / 8) AS INT)),
+        |    i -> array_to_string(t[i*8+1:i*8+8], ' '))) AS chunk
+        |  FROM tok),
+        |bc AS (SELECT chunk, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ FROM ch GROUP BY 1),
+        |dup AS (SELECT * FROM bc WHERE n_docs > 1),
+        |dwd AS (SELECT DISTINCT ch.doc_id FROM ch JOIN dup ON ch.chunk = dup.chunk)
+        |SELECT (SELECT count(*) FROM bc) AS n_chunks_distinct,
+        |  (SELECT count(*) FROM dup) AS n_dup_chunks,
+        |  (SELECT CAST(sum(n_occ) AS BIGINT) FROM dup) AS n_dup_occurrences,
+        |  (SELECT count(*) FROM dwd) AS n_docs_with_dup""".stripMargin,
+    "l23_unigram_lm_score" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
+        |  FROM documents),
+        |freq AS (SELECT t, count(*) AS f FROM tok GROUP BY 1)
+        |SELECT tok.doc_id, count(*) AS n_toks, CAST(sum(freq.f) AS BIGINT) AS sum_freq,
+        |  round(CAST(sum(freq.f) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_token_freq
+        |FROM tok JOIN freq ON tok.t = freq.t
+        |WHERE tok.doc_id < 100 GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
     // components via recursive reachability — an INDEPENDENT algorithm
     // (BFS closure) confirming the label-propagation fixpoint
     "l18_neardup_resolve" ->

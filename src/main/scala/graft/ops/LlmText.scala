@@ -40,7 +40,7 @@ object LlmText {
     * for every element (observed: a 24-minute single task at sf0.1).
     * Argument-position references evaluate once per row. zip_with pads
     * the shorter side with null and `concat` nulls out those tails. */
-  private def ngrams(t: Column, n: Int): Column = {
+  private[ops] def ngrams(t: Column, n: Int): Column = {
     val joined = (2 to n).foldLeft(t) { (acc, k) =>
       zip_with(acc, slice(t, lit(k), size(t)), (a, b) => concat(a, lit(" "), b))
     }

@@ -19,7 +19,7 @@ class HarnessSpec extends AnyFunSuite {
   test("module query maps do not collide") {
     val all = Seq(
       ops.Basics.queries, ops.Joins.queries, ops.Aggregates.queries,
-      ops.Windows.queries, ops.SortsLimits.queries, ops.SetOps.queries,
+      ops.Windows.queries, ops.Events.queries, ops.SortsLimits.queries, ops.SetOps.queries,
       ops.Functions.queries, ops.LlmText.queries, ops.LlmPipeline.queries,
       ops.LlmVector.queries,
       ops.Multimodal.queries, ops.Formats.queries, ops.Storage.queries,
