@@ -76,6 +76,17 @@ object Basics {
       .agg(count(lit(1)).as("n"), sum(CH.dec(col("value"))).cast("double").as("sum_value"))
       .orderBy("event_type")
 
+  /** A16: `numbers(N)` table function — the reference's generator
+    * source for ad-hoc series (system.numbers). `spark.range` is the
+    * exact equivalent: a parallel, partitioned range with no storage
+    * behind it (at scale the range splits across executors like any
+    * scan). */
+  private def a16Numbers(spark: SparkSession, dir: String): DataFrame =
+    spark.range(1L, 1001L)
+      .groupBy((col("id") % 7).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("id") * col("id")).as("sum_sq"))
+      .orderBy("bucket")
+
   /** B1: projection, aliases, computed columns. */
   private def b1Project(spark: SparkSession, dir: String): DataFrame =
     Engine.t(spark, dir, "part").select(
@@ -147,6 +158,7 @@ object Basics {
     "q1_pricing_summary" -> (q1PricingSummary _),
     "a1_scan_prune" -> (a1Scan _),
     "a8_file_query" -> (a8File _),
+    "a16_numbers" -> (a16Numbers _),
     "b1_project_alias" -> (b1Project _),
     "b2_filter_predicates" -> (b2Filter _),
     "b3_prewhere" -> (b3Prewhere _),
@@ -164,6 +176,10 @@ object Basics {
       """SELECT event_type, count(*) AS n,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a16_numbers" ->
+      """SELECT CAST(range % 7 AS BIGINT) AS bucket, count(*) AS n,
+        |  CAST(sum(range * range) AS BIGINT) AS sum_sq
+        |FROM range(1, 1001) GROUP BY 1 ORDER BY bucket""".stripMargin,
     "b1_project_alias" ->
       """SELECT p_partkey, upper(p_name) AS p_name_u,
         |  p_brand || '#' || p_type AS brand_type,

@@ -133,13 +133,51 @@ object Events {
       .orderBy("cohort_week", "weeks_since")
   }
 
+  /** E10: `sequenceCount('(?1)(?2)')` — the number of NON-OVERLAPPING
+    * view→purchase chains per user. No per-user event buffer: greedy
+    * left-to-right matching equals `n_purchases − max(0, max prefix
+    * excess of purchases over views)` (the ballot-problem identity),
+    * so one windowed running sum + one aggregate computes it exactly.
+    * Shuffle on user_id (shared with the rest of the family); output
+    * is the chain-count histogram. */
+  private def e10SequenceCount(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val step = when(col("event_type") === "purchase", 1L).otherwise(-1L)
+    Engine.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type"), sum(step).over(w).as("deficit"))
+      .groupBy("user_id")
+      .agg(
+        sum((col("event_type") === "purchase").cast("long")).as("n_b"),
+        greatest(max(col("deficit")), lit(0L)).as("max_deficit"))
+      .select(col("user_id"), (col("n_b") - col("max_deficit")).as("n_chains"))
+      .groupBy("n_chains")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("n_chains")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e10_sequence_count" -> (e10SequenceCount _),
     "e6_window_funnel" -> (e6WindowFunnel _),
     "e7_retention" -> (e7Retention _),
     "e8_sequence_match" -> (e8SequenceMatch _),
     "e9_cohort_retention" -> (e9CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "e10_sequence_count" ->
+      """WITH d AS (SELECT user_id, event_type,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS deficit
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |pu AS (SELECT user_id,
+        |    CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_b,
+        |    greatest(CAST(max(deficit) AS BIGINT), 0) AS max_deficit
+        |  FROM d GROUP BY 1)
+        |SELECT n_b - max_deficit AS n_chains, count(*) AS n_users
+        |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin,
     "e6_window_funnel" ->
       """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
         |t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN t1 ON e.user_id = t1.user_id

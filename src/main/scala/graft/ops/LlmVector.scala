@@ -145,11 +145,64 @@ object LlmVector {
       .orderBy("q_id", "rank")
   }
 
+  /** Random-hyperplane LSH (SimHash for vectors, Charikar 2002): bit j
+    * of a vector's bucket is the sign of its projection onto plane j,
+    * whose ±1 components derive from `xxhash64(j·dim + d)` —
+    * data-independent, no stored model, identical on every executor.
+    * 6 bits → 64 buckets. Pure Catalyst higher-order fold per row. */
+  private val LSH_BITS = 6
+  private val LSH_DIM = 64
+
+  def hyperBucket(v: Column): Column = {
+    def sgn(j: Column, d: Column): Column =
+      when(pmod(xxhash64(j * LSH_DIM + d), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+    val bits = transform(sequence(lit(0), lit(LSH_BITS - 1)), j => {
+      val proj = aggregate(sequence(lit(0), lit(LSH_DIM - 1)), lit(0.0),
+        (acc, d) => acc + element_at(v, d + 1).cast("double") * sgn(j, d))
+      when(proj >= 0, pow(lit(2.0), j.cast("double")).cast("int")).otherwise(lit(0))
+    })
+    aggregate(bits, lit(0), (acc, b) => acc + b)
+  }
+
+  /** Probe set for L24: each query's own bucket plus its 6 Hamming-1
+    * neighbors (multiprobe), so a near neighbor split across one
+    * low-margin bit is still found. Exposed for the exactness spec. */
+  def hyperProbes(spark: SparkSession, dir: String): DataFrame = {
+    val hb = hyperBucket(col("q_emb"))
+    val masks = array((0 until LSH_BITS).map(b => lit(1 << b)): _*)
+    querySet(spark, dir)
+      .withColumn("p_bucket",
+        explode(concat(array(hb), transform(masks, m => hb.bitwiseXOR(m)))))
+  }
+
+  /** L24: hyperplane-LSH-bucketed ANN — the model-free complement to
+    * IVF (L12): no centroid build pass, buckets are a pure function of
+    * the vector. Corpus bucketing is one narrow map folded into the
+    * scan (at 100 TB the bucket would be a write-time partition
+    * column); the 7-bucket probe set BROADCASTS, so the corpus
+    * streams once and only ~7/64 of it reaches the exact cosine —
+    * never all-pairs. Exact top-3 within probed buckets
+    * (spec-verified; absolute recall is data-dependent, same isotropy
+    * caveat as L12). */
+  def l24AnnHyperplane(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = corpus(spark, dir)
+      .withColumn("bucket", hyperBucket(col("embedding")))
+    val w = Window.partitionBy("q_id").orderBy(col("cs").desc, col("vec_id").asc)
+    bucketed.join(broadcast(hyperProbes(spark, dir)), col("bucket") === col("p_bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("embedding"), col("q_emb")).as("cs"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id"), round(col("cs"), 4).as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "l2_vector_similarity" -> (l2VectorSim _),
     "l3_knn_bruteforce" -> (l3Knn _),
     "l11_embedding_neardup" -> (l11NearDup _),
-    "l12_ann_ivf" -> (l12AnnIvf _))
+    "l12_ann_ivf" -> (l12AnnIvf _),
+    "l24_ann_hyperplane" -> (l24AnnHyperplane _))
 
   /** Manual double-accumulation distance SQL shared by the oracles
     * (DuckDB's list_* distance fns may accumulate in float32). */

@@ -120,6 +120,37 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ivf == expected, s"ivf=$ivf expected=$expected")
   }
 
+  test("hyperplane LSH ANN is exact within its probed buckets") {
+    // Same data-independent invariant as IVF: restricted to the probed
+    // buckets (own + Hamming-1 multiprobe), L24 equals an independently
+    // computed exact top-3 using the SAME bucket expression.
+    import org.apache.spark.sql.functions.col
+    val probed = LlmVector.hyperProbes(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q_id")).view
+      .mapValues(_.map(_.getAs[Int]("p_bucket")).toSet).toMap
+    val bucketed = Engine.t(spark, sf, "embeddings")
+      .withColumn("bucket", LlmVector.hyperBucket(col("embedding"))).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("bucket"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byId = bucketed.map(v => v._1 -> v).toMap
+    val expected = probed.toSeq.flatMap { case (q, buckets) =>
+      val qv = byId(q)._3
+      bucketed.filter(v => v._1 != q && buckets(v._2))
+        .map(v => (cos(qv, v._3), v._1))
+        .sortBy { case (c, id) => (-c, id) }
+        .take(3).map(_._2).map(id => (q, id))
+    }.toSet
+    val lsh = LlmVector.l24AnnHyperplane(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(lsh == expected, s"lsh=$lsh expected=$expected")
+    // multiprobe must actually widen the candidate set beyond 1 bucket
+    assert(probed.values.forall(_.size == 7))
+  }
+
   test("IVF ANN results are valid neighbors with descending scores") {
     val rows = LlmVector.l12AnnIvf(spark, sf).collect()
     assert(rows.nonEmpty)
