@@ -238,7 +238,32 @@ object Aggregates {
       .agg(count(lit(1)).as("n"))
       .orderBy("bucket")
 
+  /** I6: CountMin-sketch frequency estimation (CH `topKWeighted`/
+    * frequency-sketch family). The sketch build is Spark's built-in
+    * `count_min_sketch` — a TypedImperativeAggregate whose partial
+    * buffers merge map-side, so the exchange carries one w×d counter
+    * table per task, never rows. The PROBE (read estimates back out of
+    * the final ~KB sketch for the 5 known keys) is a bounded
+    * driver-side step, same justification as the a12 listener probe —
+    * at 100 TB only the sketch build touches the data. ε=0.001,
+    * δ=0.01, fixed seed → deterministic output; error bound asserted
+    * in SketchSpec. */
+  private def i6CountMin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Engine.events(spark, dir)
+    val bytes = ev
+      .select(count_min_sketch(col("event_type"), lit(0.001), lit(0.99), lit(42)).as("s"))
+      .head.getAs[Array[Byte]]("s")
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val exact = ev.groupBy("event_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    import spark.implicits._
+    exact.map { case (t, n) => (t, cms.estimateCount(t), n) }.toSeq
+      .toDF("event_type", "est_count", "exact_count")
+  }
+
   val queries: Map[String, Q] = Map(
+    "i6_countmin" -> (i6CountMin _),
     "d1_groupby_agg" -> (d1GroupBy _),
     "d2_min_max_avg" -> (d2MinMax _),
     "d3_agg_if" -> (d3AggIf _),

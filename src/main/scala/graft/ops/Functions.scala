@@ -324,7 +324,20 @@ object Functions {
       .orderBy("c_nationkey")
   }
 
+  /** H21: string-distance family (CH `editDistance`): Levenshtein
+    * between two columns and against a constant probe — pure codegen'd
+    * built-in, O(len²) per row folded into the scan. */
+  private def h21EditDistance(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "part")
+      .filter(col("p_partkey") <= 100)
+      .select(
+        col("p_partkey"),
+        levenshtein(col("p_name"), col("p_type")).as("lev_name_type"),
+        levenshtein(substring(col("p_name"), 1, 10), lit("promo brush")).as("lev_probe"))
+      .orderBy("p_partkey")
+
   val queries: Map[String, Q] = Map(
+    "h21_edit_distance" -> (h21EditDistance _),
     "h20_geo" -> (h20Geo _),
     "h17_ip" -> (h17Ip _),
     "h18_bitmap" -> (h18Bitmap _),
@@ -346,6 +359,11 @@ object Functions {
     "h16_rand_uuid" -> (h16Rand _))
 
   val oracles: Map[String, String] = Map(
+    "h21_edit_distance" ->
+      """SELECT p_partkey,
+        |  CAST(levenshtein(p_name, p_type) AS INT) AS lev_name_type,
+        |  CAST(levenshtein(substr(p_name, 1, 10), 'promo brush') AS INT) AS lev_probe
+        |FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""".stripMargin,
     "h20_geo" ->
       """WITH pts AS (SELECT c_nationkey,
         |    CAST((c_custkey % 144) * 1.25 - 90 + 0.125 AS DOUBLE) AS lat1,

@@ -22,6 +22,21 @@ class SketchSpec extends AnyFunSuite {
     assert(topk.length <= 8)
   }
 
+  test("CountMin estimates are overestimates within eps*N of exact") {
+    // i6's declared guarantee: exact <= est <= exact + eps*N (w.p. 1-δ;
+    // with a fixed seed the run is deterministic, so this is a hard
+    // assert here).
+    val rows = graft.ops.Aggregates.queries("i6_countmin")(spark, TestSpark.sf).collect()
+    assert(rows.length == 5, s"expected 5 event types, got ${rows.length}")
+    val total = rows.map(_.getAs[Long]("exact_count")).sum
+    val bound = math.ceil(0.001 * total).toLong
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est_count"); val exact = r.getAs[Long]("exact_count")
+      assert(est >= exact, s"${r.getString(0)}: est $est < exact $exact")
+      assert(est <= exact + bound, s"${r.getString(0)}: est $est > exact $exact + $bound")
+    }
+  }
+
   test("SpaceSaving counts are exact when distinct values fit in k") {
     import spark.implicits._
     val df = Seq("a", "a", "a", "b", "b", "c").toDF("v").repartition(3)
