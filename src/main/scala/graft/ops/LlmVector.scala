@@ -197,12 +197,28 @@ object LlmVector {
       .orderBy("q_id", "rank")
   }
 
+  /** L25: retrieval — the full RAG-fetch shape: top-k neighbor search
+    * (L3's exact kNN) joined back to the document store for payloads.
+    * The hit set is k×queries rows (tiny), so it is the BROADCAST side
+    * of the payload fetch — the 100 TB document table streams once and
+    * only matching rows materialize their text. */
+  private def l25Retrieval(spark: SparkSession, dir: String): DataFrame = {
+    val hits = l3Knn(spark, dir)
+    val docs = Engine.t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), substring(col("text"), 1, 40).as("snippet"))
+    docs.join(broadcast(hits), docs("doc_id") === hits("vec_id"))
+      .select(col("q_id"), col("rank"), col("doc_id"), col("cos_sim"),
+        col("source"), col("snippet"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "l2_vector_similarity" -> (l2VectorSim _),
     "l3_knn_bruteforce" -> (l3Knn _),
     "l11_embedding_neardup" -> (l11NearDup _),
     "l12_ann_ivf" -> (l12AnnIvf _),
-    "l24_ann_hyperplane" -> (l24AnnHyperplane _))
+    "l24_ann_hyperplane" -> (l24AnnHyperplane _),
+    "l25_retrieval" -> (l25Retrieval _))
 
   /** Manual double-accumulation distance SQL shared by the oracles
     * (DuckDB's list_* distance fns may accumulate in float32). */
@@ -224,6 +240,19 @@ object LlmVector {
          |  round(${l2Sql("c.embedding", "q.embedding")}, 4) AS l2_dist
          |FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
          |ORDER BY c.vec_id, q_id""".stripMargin,
+    "l25_retrieval" ->
+      s"""WITH hits AS (
+         |  SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(cs, 4) AS cos_sim FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |      ${cosSql("c.embedding", "q.embedding")} AS cs,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosSql("c.embedding", "q.embedding")} DESC, c.vec_id ASC) AS rank
+         |    FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+         |    WHERE c.vec_id != q.vec_id)
+         |  WHERE rank <= 5)
+         |SELECT h.q_id, h.rank, d.doc_id, h.cos_sim, d.source,
+         |  substr(d.text, 1, 40) AS snippet
+         |FROM documents d JOIN hits h ON d.doc_id = h.vec_id
+         |ORDER BY h.q_id, h.rank""".stripMargin,
     "l3_knn_bruteforce" ->
       s"""SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(cs, 4) AS cos_sim FROM (
          |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,

@@ -152,6 +152,49 @@ object Streaming {
       .orderBy("event_type")
   }
 
+  /** J7: streaming retention — E7's behavioral-analytics aggregate
+    * maintained incrementally: each micro-batch appends per-user
+    * (c1,c2,c3) conditional maxima, the read merges them by MAX.
+    * Unlike the funnel, retention's per-user state is a bag of ORed
+    * booleans — commutative AND idempotent — so the merge is correct
+    * under any batch split, arrival order, or replay/duplication of
+    * partials: the streaming answer provably equals the batch one
+    * (the oracle IS e7's SQL). */
+  private def j7StreamingRetention(spark: SparkSession, dir: String): DataFrame = {
+    val target = Engine.scratch(spark, dir, "j7_ret")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(target), true)
+    fs.delete(new org.apache.hadoop.fs.Path(target + "_ckpt"), true)
+    def in(lo: String, hi: String) =
+      col("ts") >= lit(lo).cast("timestamp") && col("ts") < lit(hi).cast("timestamp")
+    val q = eventStream(spark, stageEvents(spark, dir), oneFilePerBatch = true)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", target + "_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.groupBy("user_id")
+          .agg(
+            max(in("2024-01-01", "2024-01-08").cast("int")).as("c1"),
+            max(in("2024-01-08", "2024-01-15").cast("int")).as("c2"),
+            max(in("2024-01-15", "2024-01-22").cast("int")).as("c3"))
+          .write.mode("append").parquet(target)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(target)
+      .groupBy("user_id")
+      .agg(max(col("c1")).as("c1"), max(col("c2")).as("c2"), max(col("c3")).as("c3"))
+      .agg(
+        sum(col("c1")).cast("long").as("r1"),
+        sum((col("c1") === 1 && col("c2") === 1).cast("int")).cast("long").as("r2"),
+        sum((col("c1") === 1 && col("c3") === 1).cast("int")).cast("long").as("r3"))
+      .select(
+        col("r1"), col("r2"), col("r3"),
+        round(col("r2").cast("double") / col("r1").cast("double"), 6).as("week2_rate"),
+        round(col("r3").cast("double") / col("r1").cast("double"), 6).as("week3_rate"))
+  }
+
   /** J2: time-bucketed rollup — streaming tumbling 6-hour windows
     * (aligned to the epoch, same as the oracle's floor arithmetic). */
   private def j2WindowRollup(spark: SparkSession, dir: String): DataFrame = withStreamingPartitions(spark) {
@@ -330,9 +373,22 @@ object Streaming {
     "j2_window_rollup" -> (j2WindowRollup _),
     "j3_sessionize_state" -> (j3Sessionize _),
     "j5_session_window" -> (j5SessionWindow _),
-    "j6_streaming_dedup" -> (j6StreamingDedup _))
+    "j6_streaming_dedup" -> (j6StreamingDedup _),
+    "j7_streaming_retention" -> (j7StreamingRetention _))
 
   val oracles: Map[String, String] = Map(
+    "j7_streaming_retention" ->
+      """WITH pu AS (SELECT user_id,
+        |    max(CASE WHEN ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) AS c1,
+        |    max(CASE WHEN ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS c2,
+        |    max(CASE WHEN ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22' THEN 1 ELSE 0 END) AS c3
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(sum(c1) AS BIGINT) AS r1,
+        |  CAST(sum(CASE WHEN c1 = 1 AND c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+        |  CAST(sum(CASE WHEN c1 = 1 AND c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+        |  round(CAST(sum(CASE WHEN c1 = 1 AND c2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(sum(c1) AS DOUBLE), 6) AS week2_rate,
+        |  round(CAST(sum(CASE WHEN c1 = 1 AND c3 = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(sum(c1) AS DOUBLE), 6) AS week3_rate
+        |FROM pu""".stripMargin,
     "j6_streaming_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_unique_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
