@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{CH, Engine}
 
@@ -262,7 +263,34 @@ object Aggregates {
       .toDF("event_type", "est_count", "exact_count")
   }
 
+  /** D18: `quantileExactWeighted` — weighted quantiles (median, p90)
+    * of l_quantity weighted by l_linenumber. Values pre-aggregate to
+    * (group, value, Σweight) — the cumulative-rank window then runs
+    * over DISTINCT values, so ties are deterministic and the window's
+    * per-group sort touches value cardinality, not row count. The rank
+    * test `2·cw ≥ tw` / `10·cw ≥ 9·tw` stays in exact integer
+    * arithmetic — no float rank boundary. */
+  private def d18WeightedQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val byVal = Engine.t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity").as("v"))
+      .agg(sum(col("l_linenumber")).as("wsum"))
+    val cumW = Window.partitionBy("l_returnflag").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy("l_returnflag")
+    val ranked = byVal
+      .withColumn("cw", sum(col("wsum")).over(cumW))
+      .withColumn("tw", sum(col("wsum")).over(totW))
+    ranked.filter(col("cw") * 2 >= col("tw"))
+      .groupBy("l_returnflag").agg(min(col("v")).as("wmedian"))
+      .join(
+        ranked.filter(col("cw") * 10 >= col("tw") * 9)
+          .groupBy("l_returnflag").agg(min(col("v")).as("wp90")),
+        Seq("l_returnflag"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d18_weighted_quantile" -> (d18WeightedQuantile _),
     "i6_countmin" -> (i6CountMin _),
     "d1_groupby_agg" -> (d1GroupBy _),
     "d2_min_max_avg" -> (d2MinMax _),
@@ -288,6 +316,20 @@ object Aggregates {
     "i4_histogram" -> (i4Histogram _))
 
   val oracles: Map[String, String] = Map(
+    "d18_weighted_quantile" ->
+      """WITH bv AS (SELECT l_returnflag, l_quantity AS v,
+        |    CAST(sum(l_linenumber) AS BIGINT) AS wsum
+        |  FROM lineitem GROUP BY 1, 2),
+        |rk AS (SELECT l_returnflag, v,
+        |    CAST(sum(wsum) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+        |    CAST(sum(wsum) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+        |  FROM bv)
+        |SELECT m.l_returnflag, m.wmedian, p.wp90 FROM
+        |  (SELECT l_returnflag, min(v) AS wmedian FROM rk WHERE cw * 2 >= tw GROUP BY 1) m
+        |  JOIN (SELECT l_returnflag, min(v) AS wp90 FROM rk WHERE cw * 10 >= tw * 9 GROUP BY 1) p
+        |  ON m.l_returnflag = p.l_returnflag
+        |ORDER BY m.l_returnflag""".stripMargin,
     "d1_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus

@@ -193,7 +193,29 @@ object Joins {
       .orderBy("lang")
   }
 
+  /** C12: PASTE JOIN — the reference's positional join: zip two result
+    * sets row-by-row, truncating to the shorter. Position only exists
+    * relative to a TOTAL ORDER, so both sides take a row_number over
+    * their declared ordering and equi-join on it. Declared over
+    * dimension-sized inputs (positional zip of 100 TB streams is
+    * semantically order-coupled and belongs to dims/exports; for big
+    * already-sorted data the rank can come from a two-level
+    * per-partition count + offset instead of one global window). */
+  private def c12PasteJoin(spark: SparkSession, dir: String): DataFrame = {
+    val wa = Window.orderBy("n_nationkey")
+    val wb = Window.orderBy("c_custkey")
+    val a = Engine.t(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), row_number().over(wa).as("rn"))
+    val b = Engine.t(spark, dir, "customer")
+      .orderBy("c_custkey").limit(25)
+      .select(col("c_custkey"), col("c_name"), row_number().over(wb).as("rn"))
+    a.join(b, Seq("rn"))
+      .select(col("rn"), col("n_nationkey"), col("n_name"), col("c_custkey"), col("c_name"))
+      .orderBy("rn")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c12_paste_join" -> (c12PasteJoin _),
     "c11_salted_skew_join" -> (c11SaltedSkewJoin _),
     "c1_inner_join" -> (c1Inner _),
     "c2_left_join" -> (c2Left _),
@@ -210,6 +232,14 @@ object Joins {
     "a10_dict_lookup" -> (a10DictGet _))
 
   val oracles: Map[String, String] = Map(
+    "c12_paste_join" ->
+      """WITH a AS (SELECT n_nationkey, n_name,
+        |    CAST(row_number() OVER (ORDER BY n_nationkey) AS INT) AS rn FROM nation),
+        |b AS (SELECT c_custkey, c_name,
+        |    CAST(row_number() OVER (ORDER BY c_custkey) AS INT) AS rn
+        |  FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 25))
+        |SELECT a.rn, a.n_nationkey, a.n_name, b.c_custkey, b.c_name
+        |FROM a JOIN b ON a.rn = b.rn ORDER BY a.rn""".stripMargin,
     // the salted join must produce exactly the unsalted join's result
     "c11_salted_skew_join" ->
       """SELECT lang, count(*) AS n_docs, count(*) AS lang_total

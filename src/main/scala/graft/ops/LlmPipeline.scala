@@ -305,7 +305,35 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  /** L26: the composed curation pipeline — the end-to-end keep/drop
+    * funnel a pretraining corpus actually ships through: length gate →
+    * repetition gate (L21's rules) → stopword-density gate (L7's
+    * language signal), reported as a per-source attrition funnel.
+    * Every gate is EXACT INTEGER arithmetic (`100·(n−nd) ≤ 55·n`
+    * instead of float ratios), so the verdict is bit-identical across
+    * engines and partitionings. One token explode, two-level hash agg,
+    * one rollup on source — the same shuffle budget as L21 alone. */
+  private def l26CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to")
+    val cnt = Engine.t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), explode(toks).as("t"))
+      .groupBy("doc_id", "source", "t").agg(count(lit(1)).as("c"))
+    val per = cnt.groupBy("doc_id", "source").agg(
+      sum(col("c")).as("n"), count(lit(1)).as("nd"), max(col("c")).as("topc"),
+      sum(when(col("t").isin(stop: _*), col("c")).otherwise(0L)).as("nstop"))
+    val gLen = col("n").between(30, 5000)
+    val gRep = (col("n") - col("nd")) * 100 <= col("n") * 55 && col("topc") * 100 <= col("n") * 12
+    val gStop = col("nstop") * 100 >= col("n") * 5
+    per.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        CH.countIf(gLen).as("pass_len"),
+        CH.countIf(gLen && gRep).as("pass_len_rep"),
+        CH.countIf(gLen && gRep && gStop).as("n_kept"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "l26_curation_pipeline" -> (l26CurationPipeline _),
     "l20_decontaminate" -> (l20Decontaminate _),
     "l21_repetition_filter" -> (l21RepetitionFilter _),
     "l22_chunk_dedup" -> (l22ChunkDedup _),
@@ -318,6 +346,24 @@ object LlmPipeline {
     "l17_sequence_pack" -> (l17SequencePack _))
 
   val oracles: Map[String, String] = Map(
+    "l26_curation_pipeline" ->
+      """WITH tok AS (SELECT doc_id, source, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, source, t, count(*) AS c FROM tok GROUP BY 1, 2, 3),
+        |per AS (SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n, count(*) AS nd,
+        |    CAST(max(c) AS BIGINT) AS topc,
+        |    CAST(sum(CASE WHEN t IN ('the','a','of','and','to') THEN c ELSE 0 END) AS BIGINT) AS nstop
+        |  FROM cnt GROUP BY 1, 2),
+        |g AS (SELECT source,
+        |    (n BETWEEN 30 AND 5000) AS g_len,
+        |    ((n - nd) * 100 <= n * 55 AND topc * 100 <= n * 12) AS g_rep,
+        |    (nstop * 100 >= n * 5) AS g_stop
+        |  FROM per)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(count(CASE WHEN g_len THEN 1 END) AS BIGINT) AS pass_len,
+        |  CAST(count(CASE WHEN g_len AND g_rep THEN 1 END) AS BIGINT) AS pass_len_rep,
+        |  CAST(count(CASE WHEN g_len AND g_rep AND g_stop THEN 1 END) AS BIGINT) AS n_kept
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "l20_decontaminate" ->
       """WITH tok AS (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x != '') AS t
         |  FROM documents),

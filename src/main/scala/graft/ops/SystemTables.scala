@@ -119,13 +119,29 @@ object SystemTables {
       col("plan").contains("HashAggregate").as("has_hash_agg"))
   }
 
+  /** A17: system.columns — table metadata as a queryable relation.
+    * Spark's catalog IS the source (`df.schema`); the oracle is
+    * DuckDB's own pragma_table_info over the same parquet, so the two
+    * engines' independent schema readers must agree on order + names.
+    * Types are engine-dialect strings and deliberately not compared. */
+  private def a17Columns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Engine.t(spark, dir, "orders").schema.fields.zipWithIndex
+      .map { case (f, i) => (i + 1, f.name) }.toSeq
+      .toDF("ordinal", "column_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a17_columns" -> (a17Columns _),
     "a11_build_options" -> (a11BuildOptions _),
     "a12_query_log" -> (a12QueryLog _),
     "a13_sql_endpoint" -> (a13SqlEndpoint _),
     "i5_explain" -> (i5Explain _))
 
   val oracles: Map[String, String] = Map(
+    "a17_columns" ->
+      """SELECT CAST(cid + 1 AS INT) AS ordinal, name AS column_name
+        |FROM pragma_table_info('orders') ORDER BY ordinal""".stripMargin,
     // a12/i5 emit deterministic summary invariants, so the oracle is
     // the expected constant row — a real equality check (was no_oracle).
     "a12_query_log" ->
