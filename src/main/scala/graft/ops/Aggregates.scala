@@ -289,7 +289,80 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** D19: `entropy(x)` — Shannon entropy of the o_orderpriority
+    * distribution per status. Two-level exact-count aggregation
+    * (the CH streaming-entropy sketch is unnecessary when counts are
+    * exact): H = log2(n) − Σ c·log2(c) / n. Both shuffles carry one
+    * row per group — at 100 TB the exchange is (statuses × priorities)
+    * rows regardless of input size. */
+  private def d19Entropy(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("o_orderstatus")
+      .agg(
+        round(log2(sum(col("c"))) - sum(col("c") * log2(col("c"))) / sum(col("c")), 6)
+          .as("entropy"),
+        sum(col("c")).as("n"))
+      .orderBy("o_orderstatus")
+
+  /** D20: `deltaSum(v)` — sum of positive consecutive deltas per user
+    * in arrival order (event_id IS arrival order in the testdata; using
+    * it instead of ts sidesteps the ns-vs-µs tie ambiguity between the
+    * two engines, see [[Engine.events]]). One shuffle on user_id; the
+    * window sort is per-user. */
+  private def d20DeltaSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Engine.events(spark, dir)
+      .withColumn("d", col("value") - lag("value", 1).over(w))
+      .groupBy("user_id")
+      .agg(
+        round(sum(when(col("d") > 0, col("d")).otherwise(lit(0.0))), 4).as("delta_sum"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id")
+  }
+
+  /** Element-wise long-vector sum for the -ForEach combinator: a typed
+    * Aggregator (ObjectHashAggregate, map-side partial merge) so the
+    * exchange carries ONE long[dim] buffer per (label × task), never
+    * n×dim exploded rows — same scale argument as [[LlmVector.VecMean]]. */
+  class VecSumLong extends org.apache.spark.sql.expressions.Aggregator[Array[Long], Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b: Array[Long], a: Array[Long]): Array[Long] =
+      if (a == null) b
+      else if (b.isEmpty) a.clone()
+      else { var i = 0; while (i < b.length) { b(i) += a(i); i += 1 }; b }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+      if (x.isEmpty) y else if (y.isEmpty) x
+      else { var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** D21: CH `-ForEach` combinator (`sumForEach(arr)`) — element-wise
+    * aggregation over array columns, here the per-label element-wise
+    * sum of embeddings. Elements are quantized to exact milli-units
+    * (long) first so the sum is associative and engine-portable —
+    * float addition order would otherwise differ between Spark's
+    * partial-merge tree and DuckDB's. Emitted string-joined (driver
+    * hash discipline for array outputs, same as mm2). */
+  private def d21SumForEach(spark: SparkSession, dir: String): DataFrame = {
+    val vsum = udaf(new VecSumLong)
+    Engine.t(spark, dir, "embeddings")
+      .withColumn("mv", expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"))
+      .groupBy("label")
+      .agg(vsum(col("mv")).as("vs"), count(lit(1)).as("n"))
+      .select(col("label"), array_join(col("vs"), ",").as("vsum_csv"), col("n"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d19_entropy" -> (d19Entropy _),
+    "d20_delta_sum" -> (d20DeltaSum _),
+    "d21_sum_foreach" -> (d21SumForEach _),
     "d18_weighted_quantile" -> (d18WeightedQuantile _),
     "i6_countmin" -> (i6CountMin _),
     "d1_groupby_agg" -> (d1GroupBy _),
@@ -316,6 +389,30 @@ object Aggregates {
     "i4_histogram" -> (i4Histogram _))
 
   val oracles: Map[String, String] = Map(
+    "d19_entropy" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS c
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderstatus,
+        |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy,
+        |  CAST(sum(c) AS BIGINT) AS n
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d20_delta_sum" ->
+      """WITH d AS (SELECT user_id,
+        |    value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS d
+        |  FROM events)
+        |SELECT user_id,
+        |  round(sum(CASE WHEN d > 0 THEN d ELSE 0 END), 4) AS delta_sum,
+        |  count(*) AS n
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d21_sum_foreach" ->
+      """WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS v
+        |  FROM embeddings),
+        |s AS (SELECT label, i, CAST(sum(v) AS BIGINT) AS sv FROM e GROUP BY 1, 2)
+        |SELECT label,
+        |  array_to_string(list(sv ORDER BY i), ',') AS vsum_csv,
+        |  (SELECT count(*) FROM embeddings x WHERE x.label = s.label) AS n
+        |FROM s GROUP BY label ORDER BY label""".stripMargin,
     "d18_weighted_quantile" ->
       """WITH bv AS (SELECT l_returnflag, l_quantity AS v,
         |    CAST(sum(l_linenumber) AS BIGINT) AS wsum
