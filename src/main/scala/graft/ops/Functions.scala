@@ -336,7 +336,68 @@ object Functions {
         levenshtein(substring(col("p_name"), 1, 10), lit("promo brush")).as("lev_probe"))
       .orderBy("p_partkey")
 
+  /** H7b: CH array-transform family — `arrayCumSum`, `arrayDifference`,
+    * `arrayEnumerate`, `arrayIntersect` — as pure higher-order Catalyst
+    * expressions over the word-length arrays of p_name (no UDFs; the
+    * per-row arrays are tiny so the O(n) fold stays in codegen).
+    * CH semantics: arrayDifference emits 0 for the first element;
+    * intersect is emitted sorted+distinct so both engines agree on
+    * order. All arrays string-joined (driver hash discipline). */
+  private def h22ArrayTransforms(spark: SparkSession, dir: String): DataFrame = {
+    val L = "transform(split(p_name, ' '), w -> length(w))"
+    def csv(arr: String) = s"array_join(transform($arr, x -> cast(x as string)), ',')"
+    Engine.t(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        expr(csv(L)).as("lens_csv"),
+        expr(csv(s"aggregate($L, cast(array() as array<int>), " +
+          "(acc, x) -> concat(acc, array(coalesce(try_element_at(acc, -1), 0) + x)))"))
+          .as("cum_csv"),
+        expr(csv(s"transform(sequence(1, size($L)), i -> " +
+          s"CASE WHEN i = 1 THEN 0 ELSE element_at($L, i) - element_at($L, i - 1) END)"))
+          .as("diff_csv"),
+        expr(csv(s"sequence(1, size($L))")).as("enum_csv"),
+        expr(csv(s"array_sort(array_distinct(filter($L, x -> x in (4, 5, 6))))"))
+          .as("common_csv"))
+      .orderBy("p_partkey")
+  }
+
+  /** H23: CH display helpers — `formatReadableSize` (1024-based unit
+    * ladder), `formatReadableQuantity` (1000-based), and `bar(x,min,
+    * max,width)` (ASCII gauge; full blocks only — CH's eighth-block
+    * glyphs are a rendering nicety, not semantics). All codegen'd
+    * when-chains. NOT `%.2f`: Java's Formatter rounds the SHORTEST
+    * decimal repr of a double (427.335 → 427.34) while C printf rounds
+    * the exact binary value (427.33499…97 → 427.33) — so the 2-dp
+    * string is built from exact integer cents on both engines. */
+  private def h23Readable(spark: SparkSession, dir: String): DataFrame = {
+    val b = (col("o_totalprice").cast("double") * 100).as("b")
+    def fmt(v: Column, unit: String) = {
+      val cents = round(v * 100).cast("long")
+      concat(CH.intDiv(cents, lit(100L)).cast("string"), lit("."),
+        lpad((cents % 100).cast("string"), 2, "0"), lit(if (unit.isEmpty) "" else " " + unit))
+    }
+    Engine.t(spark, dir, "orders")
+      .filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey"), b, col("o_totalprice").cast("double").as("q"))
+      .select(
+        col("o_orderkey"),
+        CH.multiIf(
+          (col("b") < 1024L) -> fmt(col("b"), "B"),
+          (col("b") < 1048576L) -> fmt(col("b") / 1024, "KiB"),
+          (col("b") < 1073741824L) -> fmt(col("b") / 1048576, "MiB"))(
+          fmt(col("b") / 1073741824L, "GiB")).as("size_h"),
+        CH.multiIf(
+          (col("q") < 1000) -> fmt(col("q"), ""),
+          (col("q") < 1000000) -> fmt(col("q") / 1000, "thousand"))(
+          fmt(col("q") / 1000000, "million")).as("qty_h"),
+        repeat(lit("#"), least(floor(col("q") / 600000.0 * 20).cast("int"), lit(20))).as("bar_s"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "h23_readable" -> (h23Readable _),
+    "h22_array_transforms" -> (h22ArrayTransforms _),
     "h21_edit_distance" -> (h21EditDistance _),
     "h20_geo" -> (h20Geo _),
     "h17_ip" -> (h17Ip _),
@@ -359,6 +420,44 @@ object Functions {
     "h16_rand_uuid" -> (h16Rand _))
 
   val oracles: Map[String, String] = Map(
+    "h23_readable" ->
+      """WITH t AS (SELECT o_orderkey,
+        |    CAST(o_totalprice AS DOUBLE) * 100 AS b,
+        |    CAST(o_totalprice AS DOUBLE) AS q
+        |  FROM orders WHERE o_orderkey <= 2000),
+        |f AS (SELECT o_orderkey, b, q,
+        |    CAST(round(CASE WHEN b < 1024 THEN b
+        |      WHEN b < 1048576 THEN b / 1024
+        |      WHEN b < 1073741824 THEN b / 1048576
+        |      ELSE b / 1073741824 END * 100) AS BIGINT) AS bc,
+        |    CAST(round(CASE WHEN q < 1000 THEN q
+        |      WHEN q < 1000000 THEN q / 1000
+        |      ELSE q / 1000000 END * 100) AS BIGINT) AS qc
+        |  FROM t)
+        |SELECT o_orderkey,
+        |  CAST(bc // 100 AS VARCHAR) || '.' || lpad(CAST(bc % 100 AS VARCHAR), 2, '0') ||
+        |    CASE WHEN b < 1024 THEN ' B' WHEN b < 1048576 THEN ' KiB'
+        |         WHEN b < 1073741824 THEN ' MiB' ELSE ' GiB' END AS size_h,
+        |  CAST(qc // 100 AS VARCHAR) || '.' || lpad(CAST(qc % 100 AS VARCHAR), 2, '0') ||
+        |    CASE WHEN q < 1000 THEN '' WHEN q < 1000000 THEN ' thousand'
+        |         ELSE ' million' END AS qty_h,
+        |  repeat('#', least(CAST(floor(q / 600000.0 * 20) AS INT), 20)) AS bar_s
+        |FROM f ORDER BY o_orderkey""".stripMargin,
+    "h22_array_transforms" ->
+      """WITH t AS (SELECT p_partkey,
+        |    list_transform(string_split(p_name, ' '), w -> CAST(length(w) AS INT)) AS l
+        |  FROM part)
+        |SELECT p_partkey,
+        |  array_to_string(list_transform(l, x -> CAST(x AS VARCHAR)), ',') AS lens_csv,
+        |  array_to_string(list_transform(range(1, len(l) + 1),
+        |    i -> CAST(CAST(list_sum(l[1:i]) AS INT) AS VARCHAR)), ',') AS cum_csv,
+        |  array_to_string(list_transform(range(1, len(l) + 1),
+        |    i -> CAST(CASE WHEN i = 1 THEN 0 ELSE l[i] - l[i-1] END AS VARCHAR)), ',') AS diff_csv,
+        |  array_to_string(list_transform(range(1, len(l) + 1),
+        |    i -> CAST(i AS VARCHAR)), ',') AS enum_csv,
+        |  coalesce(array_to_string(list_transform(list_sort(list_distinct(list_filter(l, x -> x IN (4, 5, 6)))),
+        |    x -> CAST(x AS VARCHAR)), ','), '') AS common_csv
+        |FROM t ORDER BY p_partkey""".stripMargin,
     "h21_edit_distance" ->
       """SELECT p_partkey,
         |  CAST(levenshtein(p_name, p_type) AS INT) AS lev_name_type,
