@@ -240,7 +240,24 @@ object LlmText {
       .orderBy("a_id", "b_id")
   }
 
+  /** L28: token-length histogram per source on power-of-2 buckets —
+    * the data-mixture diagnostic a curation pipeline runs before
+    * setting packing/truncation budgets. One tiny shuffle (sources ×
+    * ~12 buckets); the bucket expr (2^⌊log2 n⌋) is exact integer-range
+    * double math, portable across engines. */
+  private def l28LengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val srcW = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    Engine.t(spark, dir, "documents")
+      .withColumn("nt", size(toks))
+      .withColumn("bucket", pow(lit(2.0), floor(log2(greatest(col("nt"), lit(1))))).cast("long"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), min("nt").as("min_toks"), max("nt").as("max_toks"))
+      .withColumn("pct", round(lit(100.0) * col("n_docs") / sum("n_docs").over(srcW), 4))
+      .orderBy("source", "bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "l28_length_histogram" -> (l28LengthHistogram _),
     "l1_exact_dedup" -> (l1ExactDedup _),
     "l4_minhash_lsh" -> (l4MinhashLsh _),
     "l5_text_stats" -> (l5TextStats _),
@@ -253,6 +270,16 @@ object LlmText {
     "l13_simhash_neardup" -> (l13Simhash _))
 
   val oracles: Map[String, String] = Map(
+    "l28_length_histogram" ->
+      """WITH t AS (SELECT source,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS INT) AS nt
+        |  FROM documents),
+        |b AS (SELECT source, nt,
+        |    CAST(power(2, floor(log2(greatest(nt, 1)))) AS BIGINT) AS bucket FROM t)
+        |SELECT source, bucket, count(*) AS n_docs,
+        |  min(nt) AS min_toks, max(nt) AS max_toks,
+        |  round(100.0 * count(*) / (sum(count(*)) OVER (PARTITION BY source)), 4) AS pct
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "l1_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

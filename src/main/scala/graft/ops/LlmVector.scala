@@ -212,7 +212,31 @@ object LlmVector {
       .orderBy("q_id", "rank")
   }
 
+  /** L27: symmetric per-vector int8 quantization — the storage/compute
+    * scale path for 100 TB embedding stores (4× smaller, int8 SIMD
+    * kernels downstream): scale = max|x|/127, codes = round(x/scale).
+    * Pure per-row higher-order expressions (narrow map, no shuffle, no
+    * UDF). Emits exact-integer checksums (code sum, saturation count)
+    * plus the max reconstruction error; the ≤ scale/2 error bound is
+    * asserted in VectorExpressionSpec. */
+  private def l27Quantize(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
+      .withColumn("mx",
+        expr("aggregate(embedding, cast(0.0 as double), (m, x) -> greatest(m, abs(cast(x as double))))"))
+      .withColumn("qv",
+        expr("transform(embedding, x -> cast(round(cast(x as double) / (mx / 127.0)) as int))"))
+      .select(
+        col("vec_id"),
+        round(col("mx") / 127.0, 6).as("scale_r"),
+        expr("aggregate(qv, cast(0 as bigint), (a, x) -> a + x)").as("qsum"),
+        expr("size(filter(qv, x -> abs(x) = 127))").as("n_sat"),
+        round(expr(
+          "aggregate(zip_with(embedding, qv, (x, q) -> abs(cast(x as double) - q * (mx / 127.0))), " +
+            "cast(0.0 as double), (m, v) -> greatest(m, v))"), 5).as("max_err"))
+      .orderBy("vec_id")
+
   val queries: Map[String, Q] = Map(
+    "l27_embedding_quantize" -> (l27Quantize _),
     "l2_vector_similarity" -> (l2VectorSim _),
     "l3_knn_bruteforce" -> (l3Knn _),
     "l11_embedding_neardup" -> (l11NearDup _),
@@ -230,6 +254,19 @@ object LlmVector {
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
   val oracles: Map[String, String] = Map(
+    "l27_embedding_quantize" ->
+      """WITH m AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, e, scale,
+        |    list_transform(e, x -> CAST(round(x / scale) AS INT)) AS qv FROM m)
+        |SELECT vec_id, round(scale, 6) AS scale_r,
+        |  CAST(list_sum(qv) AS BIGINT) AS qsum,
+        |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INT) AS n_sat,
+        |  round(list_max(list_transform(range(1, len(e) + 1),
+        |    i -> abs(e[i] - qv[i] * scale))), 5) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
     // `+ 0.0` normalizes IEEE -0.0 → +0.0: DuckDB round(-1e-9, 4)
     // yields -0.0 where Spark's round yields +0.0 (hit at sf0.1,
     // vec 1235 × query 1).

@@ -53,6 +53,19 @@ class VectorExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("l27 int8 quantization: max reconstruction error ≤ scale/2, no code overflows") {
+    val rows = graft.ops.LlmVector.queries("l27_embedding_quantize")(spark, TestSpark.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale_r")
+      val maxErr = r.getAs[Double]("max_err")
+      // round(x/s) is within 1/2 of x/s, so |x - q·s| ≤ s/2 (+ rounding
+      // slack from the 6-dp scale_r column itself).
+      assert(maxErr <= scale / 2 + 1e-5, s"vec ${r.get(0)}: err $maxErr > ${scale / 2}")
+    }
+  }
+
   test("mixed float/double arrays are accepted (IVF centroid case)") {
     val r = spark.sql(
       "SELECT dot_f(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS DOUBLE))) AS d")
