@@ -368,7 +368,44 @@ object Streaming {
       .orderBy("event_type")
   }
 
+  /** J8: streaming heavy hitters — a SpaceSaving summary maintained
+    * insert-time, j1's partial-state MV discipline applied to a
+    * mergeable sketch (Agarwal et al., "Mergeable Summaries", PODS'12:
+    * SpaceSaving merge = sum counters, re-cap to k — error stays
+    * ε-bounded). Each micro-batch appends its block's k-capped
+    * counters (bounded state: k rows per batch, never per-key);
+    * the read merges partials by sum and takes the global top-k.
+    * With distinct(event_type) < k no counter ever evicts, so the
+    * streaming answer is EXACT and the DuckDB oracle checks it; the
+    * eviction regime's error bound is SketchSpec's i3 property. */
+  private def j8StreamingTopk(spark: SparkSession, dir: String): DataFrame = withStreamingPartitions(spark) {
+    val target = Engine.scratch(spark, dir, "j8_topk")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(target), true)
+    fs.delete(new org.apache.hadoop.fs.Path(target + "_ckpt"), true)
+    spark.udf.register("ss_topk_j8", udaf(new Sampling.SpaceSaving(8)))
+    val q = eventStream(spark, stageEvents(spark, dir), oneFilePerBatch = true)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", target + "_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.agg(expr("ss_topk_j8(event_type)").as("topk"))
+          .select(explode(col("topk")).as("e"))
+          .select(col("e._1").as("value"), col("e._2").as("cnt"))
+          .write.mode("append").parquet(target)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(target)
+      .groupBy("value")
+      .agg(sum(col("cnt")).as("est_n"))
+      .orderBy(desc("est_n"), col("value"))
+      .limit(8)
+  }
+
   val queries: Map[String, Q] = Map(
+    "j8_streaming_topk" -> (j8StreamingTopk _),
     "j1_incremental_mv" -> (j1IncrementalMv _),
     "j2_window_rollup" -> (j2WindowRollup _),
     "j3_sessionize_state" -> (j3Sessionize _),
@@ -377,6 +414,10 @@ object Streaming {
     "j7_streaming_retention" -> (j7StreamingRetention _))
 
   val oracles: Map[String, String] = Map(
+    "j8_streaming_topk" ->
+      """SELECT event_type AS value, count(*) AS est_n
+        |FROM events GROUP BY 1
+        |ORDER BY est_n DESC, value LIMIT 8""".stripMargin,
     "j7_streaming_retention" ->
       """WITH pu AS (SELECT user_id,
         |    max(CASE WHEN ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) AS c1,
