@@ -359,7 +359,25 @@ object Aggregates {
       .orderBy("label")
   }
 
+  /** D22: CH `-Array` / `-Distinct` aggregate combinators —
+    * `sumArray` folds each row's array then aggregates across rows
+    * (per-row fold stays in codegen; the agg sees one scalar per row),
+    * `minArray`/`maxArray` likewise, `sumDistinct` is the built-in.
+    * Int arrays so every sum is exact. */
+  private def d22ArrayCombinators(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "part")
+      .withColumn("lens", expr("transform(split(p_name, ' '), w -> length(w))"))
+      .groupBy("p_brand")
+      .agg(
+        sum(expr("aggregate(lens, 0, (a, x) -> a + x)")).as("sum_array"),
+        min(expr("array_min(lens)")).as("min_array"),
+        max(expr("array_max(lens)")).as("max_array"),
+        sum_distinct(col("p_size")).as("sum_distinct_size"),
+        count(lit(1)).as("n"))
+      .orderBy("p_brand")
+
   val queries: Map[String, Q] = Map(
+    "d22_array_combinators" -> (d22ArrayCombinators _),
     "d19_entropy" -> (d19Entropy _),
     "d20_delta_sum" -> (d20DeltaSum _),
     "d21_sum_foreach" -> (d21SumForEach _),
@@ -389,6 +407,17 @@ object Aggregates {
     "i4_histogram" -> (i4Histogram _))
 
   val oracles: Map[String, String] = Map(
+    "d22_array_combinators" ->
+      """WITH t AS (SELECT p_brand, p_size,
+        |    list_transform(string_split(p_name, ' '), w -> CAST(length(w) AS INT)) AS lens
+        |  FROM part)
+        |SELECT p_brand,
+        |  CAST(sum(list_sum(lens)) AS BIGINT) AS sum_array,
+        |  CAST(min(list_min(lens)) AS INT) AS min_array,
+        |  CAST(max(list_max(lens)) AS INT) AS max_array,
+        |  CAST(sum(DISTINCT p_size) AS BIGINT) AS sum_distinct_size,
+        |  count(*) AS n
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "d19_entropy" ->
       """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS c
         |  FROM orders GROUP BY 1, 2)
