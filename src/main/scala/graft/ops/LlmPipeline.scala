@@ -332,7 +332,37 @@ object LlmPipeline {
       .orderBy("source")
   }
 
+  /** L29: temperature-based source re-sampling (the mT5/XLM-R mixture
+    * rule, public): sample source s with probability ∝ p_s^α, realized
+    * as a per-doc deterministic keep test with rate r_s ∝ p_s^(α−1),
+    * normalized so the rarest source keeps everything. α = 0.5, and
+    * p^−0.5 is computed as 1/sqrt(p) — sqrt is IEEE-correctly-rounded
+    * in both engines where pow is not, so the floor(r·65536) keep
+    * threshold can never disagree across engines. Two tiny shuffles
+    * (source counts, final rollup); the rates broadcast back onto a
+    * single corpus scan — at 100 TB this is one pass over the data
+    * plus a sources-sized side table. */
+  private def l29TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.t(spark, dir, "documents")
+    val all = Window.partitionBy()
+    val rates = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("p", col("n_docs").cast("double") / sum("n_docs").over(all))
+      .withColumn("w", lit(1.0) / sqrt(col("p")))
+      .withColumn("r", col("w") / max("w").over(all))
+      .select("source", "r")
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+    docs.join(broadcast(rates), Seq("source"))
+      .withColumn("u", u)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        CH.countIf(col("u") < floor(col("r") * 65536)).as("n_kept"),
+        round(min("r"), 6).as("target_rate"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "l29_temperature_mix" -> (l29TemperatureMix _),
     "l26_curation_pipeline" -> (l26CurationPipeline _),
     "l20_decontaminate" -> (l20Decontaminate _),
     "l21_repetition_filter" -> (l21RepetitionFilter _),
@@ -346,6 +376,22 @@ object LlmPipeline {
     "l17_sequence_pack" -> (l17SequencePack _))
 
   val oracles: Map[String, String] = Map(
+    "l29_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT source, n,
+        |    1.0 / sqrt(CAST(n AS DOUBLE) / CAST((SELECT sum(n) FROM c) AS DOUBLE)) AS w
+        |  FROM c),
+        |r AS (SELECT source, w / (SELECT max(w) FROM w) AS r FROM w),
+        |u AS (SELECT d.source, r.r,
+        |    CAST(list_sum(list_transform(range(1, 5),
+        |      i -> (strpos('0123456789abcdef',
+        |        substring(md5(CAST(d.doc_id AS VARCHAR)), i, 1)) - 1)
+        |        * CAST(power(16, 4 - i) AS BIGINT))) AS BIGINT) AS u
+        |  FROM documents d JOIN r ON d.source = r.source)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(count(CASE WHEN u < floor(r * 65536) THEN 1 END) AS BIGINT) AS n_kept,
+        |  round(min(r), 6) AS target_rate
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "l26_curation_pipeline" ->
       """WITH tok AS (SELECT doc_id, source, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
         |  FROM documents),
