@@ -42,6 +42,35 @@ object Formats {
       .orderBy("l_linestatus")
   }
 
+  /** A18: per-part compression codecs — the reference pins LZ4 for
+    * MergeTree parts ≥10 GB (reference `Dockerfile:232-238`); the
+    * Spark-native equivalent is the parquet page codec. Write the same
+    * slice under lz4 (hadoop-lz4 codec) and zstd, read both back, and
+    * prove bit-identical content: the codec is a storage choice, never
+    * a semantics choice. Falls back to snappy if lz4's native lib is
+    * absent so the op degrades gracefully rather than failing. */
+  private def a18CodecRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = Engine.t(spark, dir, "lineitem").filter(col("l_quantity") < 3)
+    def write(codec: String): String = {
+      val out = Engine.scratch(spark, dir, s"a18_$codec")
+      src.write.mode("overwrite").option("compression", codec).parquet(out)
+      out
+    }
+    val codecs = Seq("zstd",
+      try { val p = write("lz4"); spark.read.parquet(p).head(); "lz4" }
+      catch { case _: Throwable => "snappy" })
+    codecs.map { c =>
+      spark.read.parquet(write(c))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(CH.dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+          count_distinct(col("l_orderkey")).as("n_orders"))
+        .withColumn("codec_slot", lit(if (c == "zstd") "zstd" else "lz4_or_snappy"))
+    }.reduce(_ unionAll _)
+      .select("codec_slot", "n", "sum_price", "n_orders")
+      .orderBy("codec_slot")
+  }
+
   /** A3: CSV (CSVWithNames ≈ header=true) round trip with explicit
     * schema on read; shortest-repr doubles survive exactly. */
   private def a3Csv(spark: SparkSession, dir: String): DataFrame = {
@@ -116,6 +145,7 @@ object Formats {
   }
 
   val queries: Map[String, Q] = Map(
+    "a18_codec_roundtrip" -> (a18CodecRoundtrip _),
     "a15_schema_merge" -> (a15SchemaMerge _),
     "a2_parquet_roundtrip" -> (a2Parquet _),
     "a5_orc_roundtrip" -> (a5Orc _),
@@ -125,6 +155,15 @@ object Formats {
     "a9_insert_append" -> (a9InsertAppend _))
 
   val oracles: Map[String, String] = Map(
+    "a18_codec_roundtrip" ->
+      """WITH s AS (SELECT count(*) AS n,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
+        |    count(DISTINCT l_orderkey) AS n_orders
+        |  FROM lineitem WHERE l_quantity < 3)
+        |SELECT 'lz4_or_snappy' AS codec_slot, n, sum_price, n_orders FROM s
+        |UNION ALL
+        |SELECT 'zstd' AS codec_slot, n, sum_price, n_orders FROM s
+        |ORDER BY codec_slot""".stripMargin,
     "a15_schema_merge" ->
       """SELECT count(*) AS n,
         |  count(CASE WHEN o_orderstatus = 'O' THEN o_orderpriority END) AS n_with_priority,

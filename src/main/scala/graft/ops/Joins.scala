@@ -214,7 +214,27 @@ object Joins {
       .orderBy("rn")
   }
 
+  /** C13: null-safe equi join (CH joins match NULL keys when
+    * `join_use_nulls`-style semantics are asked for; ANSI spells it
+    * IS NOT DISTINCT FROM, Spark `<=>`). `<=>` is a first-class
+    * equi-join key for Spark's hash joins — no fallback to a
+    * theta-join nested loop — so the shape shuffles/broadcasts exactly
+    * like c1. Keys are made sparse-NULL with nullif; output is the
+    * grouped pair count so the NULL×NULL match block stays bounded. */
+  private def c13NullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Engine.t(spark, dir, "customer")
+      .select(col("c_custkey"), nullif(pmod(col("c_nationkey"), lit(7)), lit(3)).as("k"))
+    val s = Engine.t(spark, dir, "supplier")
+      .select(col("s_suppkey"), nullif(pmod(col("s_nationkey"), lit(7)), lit(3)).as("k"))
+    c.join(broadcast(s), c("k") <=> s("k"))
+      .groupBy(c("k").as("key"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(col("s_suppkey")).as("n_supp"))
+      .orderBy(asc_nulls_first("key"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c13_null_safe_join" -> (c13NullSafeJoin _),
     "c12_paste_join" -> (c12PasteJoin _),
     "c11_salted_skew_join" -> (c11SaltedSkewJoin _),
     "c1_inner_join" -> (c1Inner _),
@@ -232,6 +252,13 @@ object Joins {
     "a10_dict_lookup" -> (a10DictGet _))
 
   val oracles: Map[String, String] = Map(
+    "c13_null_safe_join" ->
+      """WITH c AS (SELECT c_custkey, nullif(c_nationkey % 7, 3) AS k FROM customer),
+        |s AS (SELECT s_suppkey, nullif(s_nationkey % 7, 3) AS k FROM supplier)
+        |SELECT c.k AS key, count(*) AS n_pairs,
+        |  count(DISTINCT s.s_suppkey) AS n_supp
+        |FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
     "c12_paste_join" ->
       """WITH a AS (SELECT n_nationkey, n_name,
         |    CAST(row_number() OVER (ORDER BY n_nationkey) AS INT) AS rn FROM nation),

@@ -22,6 +22,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"dim join must not shuffle the fact side, plan:\n$plan")
   }
 
+  test("l27 quantization is a pure narrow map (scan→project; only the presentation sort exchanges)") {
+    val df = SparkEntry.queries("l27_embedding_quantize")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected at most the orderBy's range exchange, plan:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"),
+      s"quantization must stay a per-row map, plan:\n$plan")
+  }
+
   test("q1 scan shows pushed shipdate filter and pruned ReadSchema") {
     val df = ops.Basics.q1PricingSummary(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
