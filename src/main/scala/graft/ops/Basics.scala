@@ -154,7 +154,33 @@ object Basics {
         to_date(date_format(col("o_orderdate"), "yyyy-MM-dd")).cast("string").as("od_roundtrip"))
       .orderBy("o_orderkey")
 
+  /** B6: `SELECT … FINAL` — ReplacingMergeTree read-side collapse:
+    * duplicate keys (an update stream appended onto a base) resolve to
+    * the highest-version row at READ time, no rewrite of the base.
+    * Spark-native: `max_by(struct(payload), version)` per key — an
+    * aggregate, not a window, so it partial-aggregates map-side and
+    * the exchange carries one candidate row per key per task (a
+    * window's rank would sort whole partitions; at 100 TB the
+    * max_by form is the one that scales). */
+  private def b6Final(spark: SparkSession, dir: String): DataFrame = {
+    val o = Engine.t(spark, dir, "orders")
+    val base = o.select(col("o_orderkey"), CH.dec(col("o_totalprice")).as("price"),
+      col("o_orderstatus"), lit(1).as("version"))
+    val updates = o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      .select(col("o_orderkey"),
+        (CH.dec(col("o_totalprice")) * 2).cast("decimal(12,2)").as("price"),
+        lit("U").as("o_orderstatus"), lit(2).as("version"))
+    base.unionByName(updates)
+      .groupBy("o_orderkey")
+      .agg(max_by(struct(col("price"), col("o_orderstatus")), col("version")).as("r"))
+      .select(col("o_orderkey"), col("r.price"), col("r.o_orderstatus"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, Q] = Map(
+    "b6_final" -> (b6Final _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "a1_scan_prune" -> (a1Scan _),
     "a8_file_query" -> (a8File _),
@@ -167,6 +193,20 @@ object Basics {
     "h6_conversions" -> (h6Conversions _))
 
   val oracles: Map[String, String] = Map(
+    "b6_final" ->
+      """WITH base AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+        |    o_orderstatus, 1 AS version FROM orders),
+        |upd AS (SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DECIMAL(12,2)) AS price,
+        |    'U' AS o_orderstatus, 2 AS version FROM orders WHERE o_orderkey % 10 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+        |f AS (SELECT o_orderkey,
+        |    arg_max(price, version) AS price,
+        |    arg_max(o_orderstatus, version) AS o_orderstatus
+        |  FROM u GROUP BY 1)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(CAST(sum(price) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_pricing_summary" -> q1OracleSql,
     "a1_scan_prune" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem

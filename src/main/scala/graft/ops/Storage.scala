@@ -184,7 +184,34 @@ object Storage {
         count_distinct(col("c_name")).as("n_names"),
         count_distinct(col("c_mktsegment")).as("n_segments"))
 
+  /** K14: partition lifecycle — `ALTER TABLE … DROP PARTITION`:
+    * removing a partition is a DIRECTORY delete against the
+    * `partitionBy` layout, never a data rewrite — the property that
+    * makes retention management O(1) in table size at 100 TB (same
+    * mechanism k10b's TTL expiry rides; here it is the explicit
+    * admin-op surface). Read-back proves the remaining partitions are
+    * untouched. */
+  private def k14DropPartition(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch(spark, dir, "k14_parts")
+    Engine.t(spark, dir, "orders")
+      .withColumn("yyyymm", CH.toYYYYMM(col("o_orderdate")))
+      .repartition(col("yyyymm"), pmod(hash(col("o_orderkey")), lit(4)))
+      .write.mode("overwrite").partitionBy("yyyymm").parquet(out)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Seq(199701, 199702).foreach { m =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$out/yyyymm=$m"), true)
+    }
+    spark.read.parquet(out)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        CH.countIf(col("yyyymm").between(199701, 199702)).as("n_dropped_range"),
+        sum(CH.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, Q] = Map(
+    "k14_drop_partition" -> (k14DropPartition _),
     "k13_bucketed_join" -> (bucketedJoin _),
     "k10_partitioned_write" -> (k10PartitionedWrite _),
     "k10b_ttl_rewrite" -> (k10bTtlRewrite _),
@@ -193,6 +220,13 @@ object Storage {
     "k7_obfuscator" -> (k7Obfuscator _))
 
   val oracles: Map[String, String] = Map(
+    "k14_drop_partition" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(0 AS BIGINT) AS n_dropped_range,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE (year(o_orderdate) * 100 + month(o_orderdate)) NOT IN (199701, 199702)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // k12's outputs are deterministic (round-robin repartition(16) and
     // repartition(2) write exactly that many non-empty files; row count
     // is the filter's), so the oracle is a real equality check.

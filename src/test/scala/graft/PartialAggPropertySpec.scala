@@ -37,6 +37,26 @@ class PartialAggPropertySpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("VecSumLong (d21 -ForEach) merge is associative, partition-invariant") {
+    import spark.implicits._
+    val agg = new ops.Aggregates.VecSumLong
+    // direct algebra: fold in two different groupings == flat fold
+    val vs = (1 to 40).map(i => Array(i.toLong, (i * 3).toLong, (100 - i).toLong))
+    val flat = vs.foldLeft(agg.zero)((b, a) => agg.reduce(b, a.clone()))
+    val (l, r) = vs.splitAt(17)
+    val merged = agg.merge(
+      l.foldLeft(agg.zero)((b, a) => agg.reduce(b, a.clone())),
+      r.foldLeft(agg.zero)((b, a) => agg.reduce(b, a.clone())))
+    assert(flat.toSeq == merged.toSeq)
+    // through the engine: result invariant to physical partitioning
+    spark.udf.register("vec_sum_long_t", udaf(agg))
+    val df = vs.zipWithIndex.map { case (a, i) => (i % 3, a) }.toDF("k", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("k").agg(expr("vec_sum_long_t(v)").as("s"))
+        .collect().map(row => row.getInt(0) -> row.getSeq[Long](1)).toMap
+    assert(run(df.coalesce(1)) == run(df.repartition(11)))
+  }
+
   test("udaf through SQL matches manual computation") {
     import spark.implicits._
     spark.udf.register("sum_sq_t", udaf(SumSqState))
