@@ -179,7 +179,24 @@ object Basics {
       .orderBy("o_orderstatus")
   }
 
+  /** B7: CH projection modifiers — `* EXCEPT(col)`, `* REPLACE(expr AS
+    * col)`, and `COLUMNS('regex')`. All three are plan-time schema
+    * rewrites (the schema is known before execution, so the "dynamic"
+    * column set costs nothing at runtime): EXCEPT = drop, REPLACE =
+    * withColumn, COLUMNS = a name-regex filter over `df.columns`. */
+  private def b7SelectModifiers(spark: SparkSession, dir: String): DataFrame = {
+    val d = Engine.t(spark, dir, "customer")
+    val star = d.drop("c_mktsegment") // * EXCEPT(c_mktsegment)
+      .withColumn("c_acctbal", // * REPLACE(round(c_acctbal) AS c_acctbal)
+        floor(col("c_acctbal")).cast("long"))
+    val nCols = d.columns.filter(_.matches("c_n.*")) // COLUMNS('c_n.*')
+    star.select((star.columns.filterNot(nCols.contains).map(col) ++
+        nCols.map(n => col(n).as(s"sel_$n"))).toIndexedSeq: _*)
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "b7_select_modifiers" -> (b7SelectModifiers _),
     "b6_final" -> (b6Final _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "a1_scan_prune" -> (a1Scan _),
@@ -193,6 +210,10 @@ object Basics {
     "h6_conversions" -> (h6Conversions _))
 
   val oracles: Map[String, String] = Map(
+    "b7_select_modifiers" ->
+      """SELECT c_custkey, CAST(floor(c_acctbal) AS BIGINT) AS c_acctbal,
+        |  c_name AS sel_c_name, c_nationkey AS sel_c_nationkey
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "b6_final" ->
       """WITH base AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
         |    o_orderstatus, 1 AS version FROM orders),

@@ -395,7 +395,29 @@ object Functions {
       .orderBy("o_orderkey")
   }
 
+  /** H24: CH timezone family (`toTimeZone`, tz-aware hour/day parts).
+    * Storage stays UTC (reference fixes server TZ to UTC,
+    * `Dockerfile:220`); conversion is a read-time projection —
+    * `from_utc_timestamp` against the IANA zone db, rendered to
+    * strings so the engines compare wall-clock semantics, not
+    * timestamp encodings. Includes a half-hour-offset zone to prove
+    * the conversion is real zone math, not a whole-hour shift. */
+  private def h24Timezone(spark: SparkSession, dir: String): DataFrame = {
+    def at(zone: String) = from_utc_timestamp(col("ts"), zone)
+    Engine.events(spark, dir)
+      .filter(col("event_id") < 500)
+      .select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("utc_s"),
+        date_format(at("America/New_York"), "yyyy-MM-dd HH:mm:ss").as("ny_s"),
+        date_format(at("Asia/Kolkata"), "yyyy-MM-dd HH:mm:ss").as("kolkata_s"),
+        hour(at("America/New_York")).as("ny_hour"),
+        dayofmonth(at("Asia/Kolkata")).as("kolkata_day"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "h24_timezone" -> (h24Timezone _),
     "h23_readable" -> (h23Readable _),
     "h22_array_transforms" -> (h22ArrayTransforms _),
     "h21_edit_distance" -> (h21EditDistance _),
@@ -420,6 +442,14 @@ object Functions {
     "h16_rand_uuid" -> (h16Rand _))
 
   val oracles: Map[String, String] = Map(
+    "h24_timezone" ->
+      """SELECT event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS utc_s,
+        |  strftime((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York', '%Y-%m-%d %H:%M:%S') AS ny_s,
+        |  strftime((ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Kolkata', '%Y-%m-%d %H:%M:%S') AS kolkata_s,
+        |  CAST(hour((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York') AS INT) AS ny_hour,
+        |  CAST(day((ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Kolkata') AS INT) AS kolkata_day
+        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
     "h23_readable" ->
       """WITH t AS (SELECT o_orderkey,
         |    CAST(o_totalprice AS DOUBLE) * 100 AS b,

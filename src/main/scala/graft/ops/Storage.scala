@@ -210,7 +210,39 @@ object Storage {
       .orderBy("o_orderstatus")
   }
 
+  /** K15: `EXCHANGE TABLES` — atomic publish: rebuild into a staging
+    * path, swap it into the live location with two directory renames
+    * (rename is the atomic primitive on HDFS-like stores), keep the
+    * old version for instant rollback. Readers see strictly old-or-new
+    * data, never a half-written table — the only sane way to republish
+    * a 100 TB derived table. */
+  private def k15AtomicSwap(spark: SparkSession, dir: String): DataFrame = {
+    val live = scratch(spark, dir, "k15_live")
+    val staging = scratch(spark, dir, "k15_staging")
+    val retired = scratch(spark, dir, "k15_retired")
+    val o = Engine.t(spark, dir, "orders")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // v1 live: stale subset (pretend it predates this month's orders)
+    o.filter(col("o_orderstatus") === "F").write.mode("overwrite").parquet(live)
+    // v2 staged: full recompute, never touching the live path
+    o.write.mode("overwrite").parquet(staging)
+    // atomic swap: live → retired, staging → live
+    fs.delete(p(retired), true)
+    fs.rename(p(live), p(retired))
+    fs.rename(p(staging), p(live))
+    val now = spark.read.parquet(live)
+      .agg(count(lit(1)).as("n"), count_distinct(col("o_orderstatus")).as("n_status"))
+      .withColumn("table_version", lit("live_v2"))
+    val rollback = spark.read.parquet(retired)
+      .agg(count(lit(1)).as("n"), count_distinct(col("o_orderstatus")).as("n_status"))
+      .withColumn("table_version", lit("retired_v1"))
+    now.unionAll(rollback).select("table_version", "n", "n_status")
+      .orderBy("table_version")
+  }
+
   val queries: Map[String, Q] = Map(
+    "k15_atomic_swap" -> (k15AtomicSwap _),
     "k14_drop_partition" -> (k14DropPartition _),
     "k13_bucketed_join" -> (bucketedJoin _),
     "k10_partitioned_write" -> (k10PartitionedWrite _),
@@ -220,6 +252,13 @@ object Storage {
     "k7_obfuscator" -> (k7Obfuscator _))
 
   val oracles: Map[String, String] = Map(
+    "k15_atomic_swap" ->
+      """SELECT 'live_v2' AS table_version, count(*) AS n,
+        |  count(DISTINCT o_orderstatus) AS n_status FROM orders
+        |UNION ALL
+        |SELECT 'retired_v1' AS table_version, count(*) AS n,
+        |  count(DISTINCT o_orderstatus) AS n_status FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY table_version""".stripMargin,
     "k14_drop_partition" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(0 AS BIGINT) AS n_dropped_range,
