@@ -159,7 +159,30 @@ object Events {
       .orderBy("n_chains")
   }
 
+  /** E11: rate-anomaly detection — hourly event counts per type
+    * z-scored against that type's own mean/σ, |z| ≥ 2 flagged. Two
+    * one-row-per-group shuffles (hourly rollup, per-type moments); σ
+    * uses the population form and z is rounded on both engines. The
+    * sample std of counts is exact integer sums → double at the end,
+    * so the compare is stable. */
+  private def e11AnomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Engine.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    hourly
+      .withColumn("mu", avg(col("n")).over(w))
+      .withColumn("sigma", stddev_pop(col("n")).over(w))
+      .withColumn("z", (col("n") - col("mu")) / col("sigma"))
+      .filter(abs(col("z")) >= 2)
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm").as("hour_s"),
+        col("n"), round(col("z"), 4).as("z"))
+      .orderBy("event_type", "hour_s")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e11_anomaly_zscore" -> (e11AnomalyZscore _),
     "e10_sequence_count" -> (e10SequenceCount _),
     "e6_window_funnel" -> (e6WindowFunnel _),
     "e7_retention" -> (e7Retention _),
@@ -167,6 +190,17 @@ object Events {
     "e9_cohort_retention" -> (e9CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "e11_anomaly_zscore" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |z AS (SELECT event_type, h, n,
+        |    avg(n) OVER (PARTITION BY event_type) AS mu,
+        |    stddev_pop(n) OVER (PARTITION BY event_type) AS sigma
+        |  FROM hourly)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M') AS hour_s, n,
+        |  round((n - mu) / sigma, 4) AS z
+        |FROM z WHERE abs((n - mu) / sigma) >= 2
+        |ORDER BY event_type, hour_s""".stripMargin,
     "e10_sequence_count" ->
       """WITH d AS (SELECT user_id, event_type,
         |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END)

@@ -102,12 +102,51 @@ object Sampling {
       .orderBy(desc("approx_count"), col("brand"))
   }
 
+  /** I7: KMV bottom-k sample (CH `groupArraySample`'s deterministic,
+    * distributed twin): per group, the k distinct values with the
+    * SMALLEST md5 — a uniform sample that is mergeable (min of mins),
+    * replica-stable, and doubles as a distinct-count sketch: the kth
+    * smallest hash fraction estimates n ≈ (k−1)/frac (Bar-Yossef et
+    * al. 2002, public). Exact oracle: rank-by-hash is deterministic,
+    * so both the sample AND the estimate hash-match. */
+  private def i7KmvSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority").orderBy("h")
+    Engine.t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_custkey")).distinct()
+      .withColumn("h", md5(col("o_custkey").cast("string")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(rk, o_custkey))), " +
+          "x -> cast(x.o_custkey as string)), ',')").as("sample_csv"),
+        round(lit(4.0) /
+          (conv(substring(max(col("h")), 1, 8), 16, 10).cast("double") / 4294967296.0), 2)
+          .as("kmv_est"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
+    "i7_kmv_sample" -> (i7KmvSample _),
     "b5_sample" -> (b5Sample _),
     "j4_refreshable_mv" -> (j4RefreshableMv _),
     "i3_spacesaving_topk" -> (i3SpaceSaving _))
 
   val oracles: Map[String, String] = Map(
+    "i7_kmv_sample" ->
+      """WITH d AS (SELECT DISTINCT o_orderpriority, o_custkey FROM orders),
+        |h AS (SELECT o_orderpriority, o_custkey,
+        |    md5(CAST(o_custkey AS VARCHAR)) AS h FROM d),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rk
+        |  FROM h)
+        |SELECT o_orderpriority,
+        |  array_to_string(list(CAST(o_custkey AS VARCHAR) ORDER BY rk), ',') AS sample_csv,
+        |  round(4.0 / (CAST(list_sum(list_transform(range(1, 9),
+        |    i -> (strpos('0123456789abcdef', substring(max(h), i, 1)) - 1)
+        |      * CAST(power(16, 8 - i) AS BIGINT))) AS DOUBLE) / 4294967296.0), 2) AS kmv_est
+        |FROM r WHERE rk <= 5
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "b5_sample" ->
       """SELECT count(*) AS n_sampled,
         |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_sampled_price
