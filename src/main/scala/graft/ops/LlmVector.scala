@@ -235,7 +235,30 @@ object LlmVector {
             "cast(0.0 as double), (m, v) -> greatest(m, v))"), 5).as("max_err"))
       .orderBy("vec_id")
 
+  /** L30: semantic decontamination — the embedding-space twin of l20's
+    * n-gram pass: flag corpus vectors whose max cosine against ANY
+    * eval-set vector exceeds τ. The eval set is benchmark-sized, so it
+    * broadcasts and the 100 TB corpus streams once through one fused
+    * scan→probe→partial-max; rollup is per-label. */
+  private def l30SemanticDecon(spark: SparkSession, dir: String): DataFrame = {
+    val eval = corpus(spark, dir).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("e_id"), col("embedding").as("e_emb"))
+    corpus(spark, dir).filter(col("vec_id") >= 20)
+      .crossJoin(broadcast(eval))
+      .select(col("vec_id"), col("label"),
+        cosine(col("embedding"), col("e_emb")).as("cs"))
+      .groupBy("vec_id", "label")
+      .agg(max(col("cs")).as("mx"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        graft.CH.countIf(col("mx") > 0.3).as("n_contaminated"),
+        round(max(col("mx")), 4).as("worst_cos"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, Q] = Map(
+    "l30_semantic_decontaminate" -> (l30SemanticDecon _),
     "l27_embedding_quantize" -> (l27Quantize _),
     "l2_vector_similarity" -> (l2VectorSim _),
     "l3_knn_bruteforce" -> (l3Knn _),
@@ -254,6 +277,16 @@ object LlmVector {
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
   val oracles: Map[String, String] = Map(
+    "l30_semantic_decontaminate" ->
+      s"""WITH cs AS (SELECT c.vec_id, c.label,
+         |    ${cosSql("c.embedding", "e.embedding")} AS cs
+         |  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 20) e
+         |  WHERE c.vec_id >= 20),
+         |mx AS (SELECT vec_id, label, max(cs) AS mx FROM cs GROUP BY 1, 2)
+         |SELECT label, count(*) AS n_docs,
+         |  count(CASE WHEN mx > 0.3 THEN 1 END) AS n_contaminated,
+         |  round(max(mx), 4) AS worst_cos
+         |FROM mx GROUP BY 1 ORDER BY 1""".stripMargin,
     "l27_embedding_quantize" ->
       """WITH m AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
