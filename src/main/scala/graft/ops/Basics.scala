@@ -195,7 +195,38 @@ object Basics {
       .orderBy("c_custkey")
   }
 
+  /** Q3 (second flagship): shipping-priority — the classic
+    * select-project-join-aggregate-topk spine: segment-filtered
+    * customer dim joins orders (both sides prune + push filters),
+    * lineitem joins on orderkey, revenue aggregates per order, top 10
+    * by revenue. Plan: customer is dim-sized → broadcast; the orders ⋈
+    * lineitem equi-join shuffles on l_orderkey only AFTER both scans
+    * filtered; final top-10 is TakeOrderedAndProject (no global
+    * sort materializes). */
+  private def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("date")
+    val c = Engine.t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Engine.t(spark, dir, "orders")
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Engine.t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val revenue = CH.dec(col("l_extendedprice")) * CH.dec(lit(1) - CH.dec(col("l_discount"), 8, 4), 8, 4)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(revenue).cast("double").as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("revenue"), col("n_lines"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q3_shipping_priority" -> (q3ShippingPriority _),
     "b7_select_modifiers" -> (b7SelectModifiers _),
     "b6_final" -> (b6Final _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -210,6 +241,20 @@ object Basics {
     "h6_conversions" -> (h6Conversions _))
 
   val oracles: Map[String, String] = Map(
+    "q3_shipping_priority" ->
+      """SELECT o.o_orderkey,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,
+        |  CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |    CAST(1 - CAST(l.l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY o.o_orderkey, o.o_orderdate
+        |ORDER BY revenue DESC, o.o_orderkey LIMIT 10""".stripMargin,
     "b7_select_modifiers" ->
       """SELECT c_custkey, CAST(floor(c_acctbal) AS BIGINT) AS c_acctbal,
         |  c_name AS sel_c_name, c_nationkey AS sel_c_nationkey

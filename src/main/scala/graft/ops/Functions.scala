@@ -416,7 +416,24 @@ object Functions {
       .orderBy("event_id")
   }
 
+  /** H8b: multi-array `ARRAY JOIN` — CH expands PARALLEL arrays in
+    * lockstep (zip), not as a cross product. Spark-native:
+    * `posexplode(arrays_zip(...))` — one Generate node, still
+    * pipelined inside the scan stage. DuckDB's multi-unnest zips the
+    * same way, so the oracle is the natural SQL. */
+  private def h8bMultiArrayJoin(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("p_name"), " ")
+    Engine.t(spark, dir, "part")
+      .filter(col("p_partkey") <= 500)
+      .select(col("p_partkey"),
+        posexplode(arrays_zip(words, transform(words, w => length(w)))).as(Seq("idx", "z")))
+      .select(col("p_partkey"), (col("idx") + 1).as("pos"),
+        col("z").getField("0").as("word"), col("z").getField("1").as("wlen"))
+      .orderBy("p_partkey", "pos")
+  }
+
   val queries: Map[String, Q] = Map(
+    "h8b_multi_array_join" -> (h8bMultiArrayJoin _),
     "h24_timezone" -> (h24Timezone _),
     "h23_readable" -> (h23Readable _),
     "h22_array_transforms" -> (h22ArrayTransforms _),
@@ -442,6 +459,14 @@ object Functions {
     "h16_rand_uuid" -> (h16Rand _))
 
   val oracles: Map[String, String] = Map(
+    "h8b_multi_array_join" ->
+      """WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS ws
+        |  FROM part WHERE p_partkey <= 500)
+        |SELECT p_partkey,
+        |  CAST(generate_subscripts(ws, 1) AS INT) AS pos,
+        |  unnest(ws) AS word,
+        |  CAST(unnest(list_transform(ws, x -> length(x))) AS INT) AS wlen
+        |FROM w ORDER BY p_partkey, pos""".stripMargin,
     "h24_timezone" ->
       """SELECT event_id,
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS utc_s,

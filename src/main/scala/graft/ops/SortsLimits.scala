@@ -74,7 +74,22 @@ object SortsLimits {
       .orderBy("day")
   }
 
+  /** F6: `LIMIT n WITH TIES` — top-n plus every row tied with the nth
+    * on the sort key. Semantics ≡ rank() ≤ n (rank, not row_number),
+    * which is also the scale implementation: Spark's WindowGroupLimit
+    * pushes the rank filter below the exchange, so each task emits at
+    * most its local candidates — no global sort of the full input. */
+  private def f6WithTies(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("p_size").desc)
+    Engine.t(spark, dir, "part")
+      .withColumn("rk", rank().over(w))
+      .filter(col("rk") <= 10)
+      .select("p_partkey", "p_size", "rk")
+      .orderBy(col("p_size").desc, col("p_partkey").asc)
+  }
+
   val queries: Map[String, Q] = Map(
+    "f6_with_ties" -> (f6WithTies _),
     "f1_sort_multi" -> (f1SortMulti _),
     "f2_limit_offset" -> (f2LimitOffset _),
     "f3_topk" -> (f3TopK _),
@@ -82,6 +97,11 @@ object SortsLimits {
     "f5_with_fill" -> (f5WithFill _))
 
   val oracles: Map[String, String] = Map(
+    "f6_with_ties" ->
+      """SELECT p_partkey, p_size, CAST(rk AS INT) AS rk FROM (
+        |  SELECT p_partkey, p_size, rank() OVER (ORDER BY p_size DESC) AS rk
+        |  FROM part)
+        |WHERE rk <= 10 ORDER BY p_size DESC, p_partkey""".stripMargin,
     "f1_sort_multi" ->
       """SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber FROM lineitem
         |ORDER BY l_returnflag ASC, l_quantity DESC, l_orderkey ASC, l_linenumber ASC
