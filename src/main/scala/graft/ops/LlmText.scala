@@ -256,7 +256,37 @@ object LlmText {
       .orderBy("source", "bucket")
   }
 
+  /** L31: Bloom-filter incremental dedup — the memory-bounded
+    * insert-time membership test: the existing corpus folds into a
+    * fixed-size bit array (Spark's `bloom_filter_agg`, a
+    * TypedImperativeAggregate whose partials OR-merge map-side), the
+    * incoming batch probes it with the codegen'd `might_contain` —
+    * no UDF, no join against 100 TB of history. Bloom positives ⊇
+    * true duplicates (zero false negatives, by construction); the
+    * exact join column is carried alongside to expose the FP rate.
+    * Approx output → no oracle; SketchSpec asserts the containment
+    * and FP-rate properties. */
+  private def l31BloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.t(spark, dir, "documents").withColumn("h", md5(col("text")))
+    val existing = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val bloomBytes = existing
+      .agg(expr("bloom_agg(xxhash64(h), 100000L, 800000L)").as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val exact = existing.select(col("h").as("eh")).distinct()
+    incoming
+      .withColumn("maybe_dup", call_function("bloom_might_contain", lit(bloomBytes), xxhash64(col("h"))))
+      .join(exact, col("h") === col("eh"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_incoming"),
+        graft.CH.countIf(col("maybe_dup")).as("n_flagged"),
+        graft.CH.countIf(col("eh").isNotNull).as("n_true_dup"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "l31_bloom_dedup" -> (l31BloomDedup _),
     "l28_length_histogram" -> (l28LengthHistogram _),
     "l1_exact_dedup" -> (l1ExactDedup _),
     "l4_minhash_lsh" -> (l4MinhashLsh _),

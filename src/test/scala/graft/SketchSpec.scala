@@ -83,6 +83,21 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("l31 bloom dedup: zero false negatives, FP rate within budget") {
+    val rows = graft.ops.LlmText.queries("l31_bloom_dedup")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    var flagged = 0L; var trueDup = 0L; var incoming = 0L
+    rows.foreach { r =>
+      val (n, f, t) = (r.getAs[Long]("n_incoming"), r.getAs[Long]("n_flagged"), r.getAs[Long]("n_true_dup"))
+      assert(f >= t, s"${r.get(0)}: bloom missed a true duplicate ($f < $t)")
+      incoming += n; flagged += f; trueDup += t
+    }
+    // 100k capacity vs a few hundred inserts → FP rate far under 5%
+    val cleanDocs = incoming - trueDup
+    assert(cleanDocs == 0 || (flagged - trueDup).toDouble / cleanDocs <= 0.05,
+      s"false-positive rate too high: flagged=$flagged true=$trueDup incoming=$incoming")
+  }
+
   test("deterministic hash sample: rate near 26/256 and stable across runs") {
     val l = Engine.t(spark, TestSpark.sf, "lineitem")
     val total = l.count().toDouble
