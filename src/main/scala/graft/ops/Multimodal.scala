@@ -130,7 +130,33 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** MM4: modality routing — the write-side of a mixed-modality lake:
+    * rows fan out to `modality=<x>/` directory partitions (salted
+    * pre-shuffle, k10's writer discipline), so every downstream
+    * modality-specific pipeline (image decode, audio resample, …)
+    * reads ONLY its directory — partition pruning does the routing,
+    * no per-row dispatch at 100 TB. Read-back rolls up per modality
+    * from the partition column, proving the directory layout carries
+    * the data. */
+  private def mm4ModalityRoute(spark: SparkSession, dir: String): DataFrame = {
+    val out = Engine.scratch(spark, dir, "mm4_route")
+    mediaTable(spark, dir)
+      .withColumn("modality",
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")))
+      .repartition(col("modality"), pmod(hash(col("doc_id")), lit(4)))
+      .write.mode("overwrite").partitionBy("modality").parquet(out)
+    spark.read.parquet(out)
+      .groupBy("modality")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(length(col("payload"))).as("total_bytes"),
+        max(col("width")).as("max_width"))
+      .orderBy("modality")
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm4_modality_route" -> (mm4ModalityRoute _),
     "mm1_media_features" -> (mm1Features _),
     "mm2_resize" -> (mm2Resize _),
     "mm3_frame_sample" -> (mm3FrameSample _))
@@ -140,6 +166,13 @@ object Multimodal {
     * pipeline (payload → partition decode → features) against an
     * independent computation. */
   val oracles: Map[String, String] = Map(
+    "mm4_modality_route" ->
+      """SELECT CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  count(*) AS n,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |  CAST(max(n_chars % 64 + 1) AS INT) AS max_width
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "mm1_media_features" ->
       """SELECT doc_id,
         |  CAST(n_chars % 64 + 1 AS INT) AS width,
