@@ -59,6 +59,39 @@ class EdgeSemanticsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 2 && r.getLong(1) == 3 && r.getLong(2) == 4)
   }
 
+  test("entropy edge: single-value group is exactly 0, uniform group is log2(k)") {
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "x"),
+      ("b", "p"), ("b", "q"), ("b", "r"), ("b", "s")).toDF("g", "v")
+    val h = df.groupBy("g", "v").agg(count(lit(1)).as("c"))
+      .groupBy("g")
+      .agg((log2(sum(col("c"))) - sum(col("c") * log2(col("c"))) / sum(col("c"))).as("h"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(h("a") == 0.0)
+    assert(math.abs(h("b") - 2.0) < 1e-12) // uniform over 4 values
+  }
+
+  test("deltaSum edges: single event contributes 0; monotone decrease contributes 0") {
+    val df = Seq((1L, 1L, 10.0), (2L, 1L, 7.0), (3L, 1L, 4.0), (4L, 2L, 5.0))
+      .toDF("event_id", "user_id", "value")
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val r = df.withColumn("d", col("value") - lag("value", 1).over(w))
+      .groupBy("user_id")
+      .agg(sum(when(col("d") > 0, col("d")).otherwise(lit(0.0))).as("ds"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) == 0.0 && r(2L) == 0.0)
+  }
+
+  test("arrayDifference/cumSum edges: single-element array → [0] / [x]") {
+    val r = spark.sql(
+      """SELECT
+        |  transform(sequence(1, size(a)), i ->
+        |    CASE WHEN i = 1 THEN 0 ELSE element_at(a, i) - element_at(a, i - 1) END) AS d,
+        |  aggregate(a, cast(array() as array<int>),
+        |    (acc, x) -> concat(acc, array(coalesce(try_element_at(acc, -1), 0) + x))) AS c
+        |FROM (SELECT array(7) AS a)""".stripMargin).collect().head
+    assert(r.getSeq[Int](0) == Seq(0) && r.getSeq[Int](1) == Seq(7))
+  }
+
   test("LIMIT BY returns at most n rows per group and top-K equals sort-take") {
     val df = Seq(("a", 5), ("a", 3), ("a", 9), ("b", 1), ("b", 2)).toDF("g", "v")
     val w = Window.partitionBy("g").orderBy(col("v").desc)
