@@ -404,7 +404,64 @@ object Streaming {
       .limit(8)
   }
 
+  /** J9: watermark + late-data semantics — the row SURVEY marks
+    * "absent in reference" (ClickHouse has insert-time semantics only;
+    * Structured Streaming adds bounded-disorder event-time): a
+    * 30-minute watermark over 30-minute tumbling windows, fed three
+    * mod-time-ordered files — an on-time hour, a watermark-advancing
+    * burst at 02:00, then a LATE file whose timestamps replay the
+    * first 20 minutes. The late rows arrive when the watermark is
+    * already ≈01:40, their windows are closed, and the state store
+    * provably drops them; append mode then emits exactly the windows
+    * whose end ≤ final watermark. The oracle recomputes both emitted
+    * windows from the on-time file alone — a single late row leaking
+    * in (or an unclosed window leaking out) fails the hash. */
+  private def j9WatermarkLateDrop(spark: SparkSession, dir: String): DataFrame = withStreamingPartitions(spark) {
+    val staged = Engine.stagingCache(dir, "events_src_wm4")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val done = new org.apache.hadoop.fs.Path(staged + "/_WM_STAGED")
+    if (!fs.exists(done)) {
+      val ev = Engine.events(spark, dir)
+      def reshape(cond: org.apache.spark.sql.Column, secExpr: String) =
+        ev.filter(cond).withColumn("ts",
+          expr(s"timestampadd(SECOND, cast($secExpr as int), timestamp'2024-06-01 00:00:00')"))
+      Seq(
+        reshape(col("event_id") < 1000, "(event_id * 7) % 3600"), // on-time hour
+        reshape(col("event_id").between(1000, 1009), "7200 + event_id % 600"), // raises max event time to ~02:07
+        // spacer batch: state eviction happens at END of a batch using the
+        // watermark derived from PRIOR batches — this batch runs with
+        // watermark ≈01:37, so the first two windows close and emit here
+        reshape(col("event_id").between(2000, 2004), "8400 + event_id % 60"),
+        reshape(col("event_id").between(1010, 1099), "(event_id * 7) % 1200") // LATE replay of first 20 min
+      ).zipWithIndex.foreach { case (df, i) =>
+        df.coalesce(1).write.mode(if (i == 0) "overwrite" else "append").parquet(staged)
+        Thread.sleep(100) // strictly increasing mod-time → arrival order
+      }
+      fs.create(done).close()
+    }
+    val sinkName = "j9_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.schema(spark.read.parquet(staged).schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("w_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm").as("w_end"),
+        col("n"))
+      .orderBy("w_start")
+  }
+
   val queries: Map[String, Q] = Map(
+    "j9_watermark_late_drop" -> (j9WatermarkLateDrop _),
     "j8_streaming_topk" -> (j8StreamingTopk _),
     "j1_incremental_mv" -> (j1IncrementalMv _),
     "j2_window_rollup" -> (j2WindowRollup _),
@@ -414,6 +471,15 @@ object Streaming {
     "j7_streaming_retention" -> (j7StreamingRetention _))
 
   val oracles: Map[String, String] = Map(
+    "j9_watermark_late_drop" ->
+      """WITH f0 AS (SELECT (event_id * 7) % 3600 AS s FROM events WHERE event_id < 1000)
+        |SELECT * FROM (
+        |  SELECT '2024-06-01 00:00' AS w_start, '2024-06-01 00:30' AS w_end,
+        |    count(*) AS n FROM f0 WHERE s < 1800
+        |  UNION ALL
+        |  SELECT '2024-06-01 00:30' AS w_start, '2024-06-01 01:00' AS w_end,
+        |    count(*) AS n FROM f0 WHERE s >= 1800)
+        |ORDER BY w_start""".stripMargin,
     "j8_streaming_topk" ->
       """SELECT event_type AS value, count(*) AS est_n
         |FROM events GROUP BY 1
