@@ -376,7 +376,27 @@ object Aggregates {
         count(lit(1)).as("n"))
       .orderBy("p_brand")
 
+  /** I2b: the ENGINE-OWNED t-digest (see [[TDigestAgg]]) — i2 maps the
+    * reference's quantileTDigest onto Spark's built-in
+    * `percentile_approx` sketch; this op runs the actual t-digest
+    * algorithm as a custom mergeable Aggregator. No oracle (sketch
+    * internals are engine-specific); SketchSpec pins p50/p90/p99 rank
+    * error against exact percentiles. */
+  private def i2bTdigestCustom(spark: SparkSession, dir: String): DataFrame = {
+    spark.udf.register("tdigest_q",
+      udaf(new TDigestAgg(100, Array(0.5, 0.9, 0.99))))
+    Engine.t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("tdigest_q(cast(l_extendedprice as double))").as("qv"))
+      .select(col("l_returnflag"),
+        round(col("qv").getItem(0), 2).as("p50"),
+        round(col("qv").getItem(1), 2).as("p90"),
+        round(col("qv").getItem(2), 2).as("p99"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "i2b_tdigest_custom" -> (i2bTdigestCustom _),
     "d22_array_combinators" -> (d22ArrayCombinators _),
     "d19_entropy" -> (d19Entropy _),
     "d20_delta_sum" -> (d20DeltaSum _),

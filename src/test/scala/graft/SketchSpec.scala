@@ -83,6 +83,30 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("custom t-digest: p50/p90/p99 rank error ≤ 0.02 vs exact") {
+    import org.apache.spark.sql.functions._
+    val vals = Engine.t(spark, TestSpark.sf, "lineitem")
+      .select(col("l_extendedprice").cast("double")).collect().map(_.getDouble(0)).sorted
+    val n = vals.length
+    spark.udf.register("tdigest_t",
+      udaf(new graft.ops.TDigestAgg(100, Array(0.5, 0.9, 0.99))))
+    val est = Engine.t(spark, TestSpark.sf, "lineitem")
+      .agg(expr("tdigest_t(cast(l_extendedprice as double))")).collect().head.getSeq[Double](0)
+    Seq(0.5, 0.9, 0.99).zip(est).foreach { case (q, e) =>
+      // rank of the estimate in the exact sorted data
+      val rank = vals.count(_ <= e).toDouble / n
+      assert(math.abs(rank - q) <= 0.02, s"q=$q est=$e rank=$rank")
+    }
+    // mergeability: result invariant-ish under partitioning is implied by
+    // the aggregator algebra; check the digest survives a repartition
+    val est2 = Engine.t(spark, TestSpark.sf, "lineitem").repartition(7)
+      .agg(expr("tdigest_t(cast(l_extendedprice as double))")).collect().head.getSeq[Double](0)
+    Seq(0.5, 0.9, 0.99).zip(est2).foreach { case (q, e) =>
+      val rank = vals.count(_ <= e).toDouble / n
+      assert(math.abs(rank - q) <= 0.02, s"repartitioned: q=$q est=$e rank=$rank")
+    }
+  }
+
   test("l31 bloom dedup: zero false negatives, FP rate within budget") {
     val rows = graft.ops.LlmText.queries("l31_bloom_dedup")(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)
