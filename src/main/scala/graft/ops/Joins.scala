@@ -233,7 +233,35 @@ object Joins {
       .orderBy(asc_nulls_first("key"))
   }
 
+  /** C14: join-algorithm selection — the reference's `join_algorithm`
+    * setting (hash / partial_merge / grace_hash) maps onto Spark's
+    * physical join hints: SHUFFLE_HASH (build a hash table per
+    * partition), MERGE (sort-merge, the spill-safe grace path),
+    * BROADCAST. The ALGORITHM is a physical choice and must never
+    * change the ANSWER — the declared op runs the same join under all
+    * three hints and diffs them pairwise (0 mismatches), with the
+    * result itself oracle-checked; `PlanShapeSpec` asserts each hint
+    * actually selects its operator. */
+  def c14JoinWithHint(spark: SparkSession, dir: String, hint: String): DataFrame = {
+    val o = Engine.t(spark, dir, "orders")
+    val c = Engine.t(spark, dir, "customer").hint(hint)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(CH.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  private def c14JoinAlgorithms(spark: SparkSession, dir: String): DataFrame = {
+    val hash = c14JoinWithHint(spark, dir, "shuffle_hash")
+    val merge = c14JoinWithHint(spark, dir, "merge")
+    val bcast = c14JoinWithHint(spark, dir, "broadcast")
+    val diffs = hash.exceptAll(merge).count() + merge.exceptAll(hash).count() +
+      hash.exceptAll(bcast).count() + bcast.exceptAll(hash).count()
+    hash.withColumn("algo_mismatches", lit(diffs))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c14_join_algorithms" -> (c14JoinAlgorithms _),
     "c13_null_safe_join" -> (c13NullSafeJoin _),
     "c12_paste_join" -> (c12PasteJoin _),
     "c11_salted_skew_join" -> (c11SaltedSkewJoin _),
@@ -252,6 +280,12 @@ object Joins {
     "a10_dict_lookup" -> (a10DictGet _))
 
   val oracles: Map[String, String] = Map(
+    "c14_join_algorithms" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
+        |  CAST(0 AS BIGINT) AS algo_mismatches
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "c13_null_safe_join" ->
       """WITH c AS (SELECT c_custkey, nullif(c_nationkey % 7, 3) AS k FROM customer),
         |s AS (SELECT s_suppkey, nullif(s_nationkey % 7, 3) AS k FROM supplier)

@@ -31,6 +31,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"quantization must stay a per-row map, plan:\n$plan")
   }
 
+  test("c14 join hints select their physical operators (join_algorithm mapping)") {
+    def planOf(hint: String): String =
+      ops.Joins.c14JoinWithHint(spark, sf, hint).queryExecution.executedPlan.toString
+    assert(planOf("shuffle_hash").contains("ShuffledHashJoin"), "shuffle_hash hint ignored")
+    assert(planOf("merge").contains("SortMergeJoin"), "merge hint ignored")
+    assert(planOf("broadcast").contains("BroadcastHashJoin"), "broadcast hint ignored")
+  }
+
   test("q1 scan shows pushed shipdate filter and pruned ReadSchema") {
     val df = ops.Basics.q1PricingSummary(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
