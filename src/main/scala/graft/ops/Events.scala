@@ -181,7 +181,40 @@ object Events {
       .orderBy("event_type", "hour_s")
   }
 
+  /** E6b: `windowFunnel(…, 'strict_order')` — ANY intervening event
+    * kills the chain, so a chain is exactly a CONSECUTIVE run
+    * view→click→purchase in arrival order. That collapses the fold
+    * into `lead()`s: level(view at t) = 1 + [next event is click ≤
+    * t+24h] (+ [the one after is purchase ≤ t+24h]); per-user funnel =
+    * max over views. Scale: one shuffle on user_id, window state is
+    * two leads — no per-user event buffer at all (cheaper than e6's
+    * sorted-list fold). Arrival order = event_id (ns-vs-µs tie rule,
+    * see d20). */
+  private def e6bFunnelStrict(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+    val t = unix_micros(col("ts"))
+    val lvl =
+      when(col("event_type") === "view",
+        lit(1) +
+          when(lead(col("event_type"), 1).over(w) === "click" &&
+              lead(t, 1).over(w) <= t + HOURS24_US,
+            lit(1) +
+              when(lead(col("event_type"), 2).over(w) === "purchase" &&
+                  lead(t, 2).over(w) <= t + HOURS24_US, 1).otherwise(0))
+            .otherwise(0))
+        .otherwise(0)
+    Engine.events(spark, dir)
+      .withColumn("lvl", lvl)
+      .groupBy("user_id")
+      .agg(max(col("lvl")).as("funnel_level"))
+      .groupBy("funnel_level")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("funnel_level")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e6b_window_funnel_strict" -> (e6bFunnelStrict _),
     "e11_anomaly_zscore" -> (e11AnomalyZscore _),
     "e10_sequence_count" -> (e10SequenceCount _),
     "e6_window_funnel" -> (e6WindowFunnel _),
@@ -190,6 +223,21 @@ object Events {
     "e9_cohort_retention" -> (e9CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "e6b_window_funnel_strict" ->
+      """WITH l AS (SELECT user_id, event_type, epoch_us(ts) AS t,
+        |    lead(event_type, 1) OVER w AS et1, lead(epoch_us(ts), 1) OVER w AS t1,
+        |    lead(event_type, 2) OVER w AS et2, lead(epoch_us(ts), 2) OVER w AS t2
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |lv AS (SELECT user_id,
+        |    CASE WHEN event_type = 'view' THEN 1 +
+        |      CASE WHEN et1 = 'click' AND t1 <= t + 86400000000 THEN 1 +
+        |        CASE WHEN et2 = 'purchase' AND t2 <= t + 86400000000 THEN 1 ELSE 0 END
+        |      ELSE 0 END
+        |    ELSE 0 END AS lvl
+        |  FROM l),
+        |pu AS (SELECT user_id, max(lvl) AS funnel_level FROM lv GROUP BY 1)
+        |SELECT CAST(funnel_level AS INT) AS funnel_level, count(*) AS n_users
+        |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin,
     "e11_anomaly_zscore" ->
       """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
         |  FROM events GROUP BY 1, 2),
