@@ -361,7 +361,35 @@ object LlmPipeline {
       .orderBy("source")
   }
 
+  /** L32: model-based quality scoring — the fastText/CCNet-style
+    * learned quality filter (public pipeline stage), reduced to its
+    * runtime shape: a linear model over engineered text features
+    * scored at scan speed (weights are broadcast literals; a real
+    * pipeline swaps in trained ones). The keep decision thresholds the
+    * LOGIT (z ≥ 0 ⇔ sigmoid ≥ 0.5): z is +,×,/ arithmetic only, so
+    * both engines compute bit-identical doubles — no libm exp at the
+    * decision boundary. Narrow map + one rollup shuffle. */
+  private def l32ModelQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val nt = size(toks).cast("double")
+    val nstop = size(filter(toks, t => t.isin("the", "a", "of", "and", "to"))).cast("double")
+    val fLen = least(nt / 200.0, lit(1.0))
+    val fStop = nstop / nt
+    val fPunct = length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
+      length(col("text")).cast("double")
+    val z = lit(1.2) * fLen + lit(3.0) * fStop - lit(2.5) * fPunct - lit(0.15)
+    Engine.t(spark, dir, "documents")
+      .withColumn("z", z)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        CH.countIf(col("z") >= 0).as("n_kept"),
+        round(min(col("z")), 6).as("z_min"),
+        round(max(col("z")), 6).as("z_max"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "l32_model_quality_score" -> (l32ModelQualityScore _),
     "l29_temperature_mix" -> (l29TemperatureMix _),
     "l26_curation_pipeline" -> (l26CurationPipeline _),
     "l20_decontaminate" -> (l20Decontaminate _),
@@ -376,6 +404,22 @@ object LlmPipeline {
     "l17_sequence_pack" -> (l17SequencePack _))
 
   val oracles: Map[String, String] = Map(
+    "l32_model_quality_score" ->
+      """WITH f AS (SELECT source,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS DOUBLE) AS nt,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) AS nstop,
+        |    CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS npunct,
+        |    CAST(length(text) AS DOUBLE) AS nchars
+        |  FROM documents),
+        |z AS (SELECT source,
+        |    1.2 * least(nt / 200.0, 1.0) + 3.0 * (nstop / nt)
+        |      - 2.5 * (npunct / nchars) - 0.15 AS z
+        |  FROM f)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(count(CASE WHEN z >= 0 THEN 1 END) AS BIGINT) AS n_kept,
+        |  round(min(z), 6) AS z_min, round(max(z), 6) AS z_max
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     "l29_temperature_mix" ->
       """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
         |w AS (SELECT source, n,

@@ -55,7 +55,26 @@ object SetOps {
       .orderBy("k")
   }
 
+  /** G4: UNION by NAME — position-independent union with missing
+    * columns null-filled (the schema-evolution union: two table
+    * versions with different projections combine without a rewrite).
+    * Spark `unionByName(allowMissingColumns = true)` ≡ DuckDB
+    * `UNION ALL BY NAME`. */
+  private def g4UnionByName(spark: SparkSession, dir: String): DataFrame = {
+    val o = Engine.t(spark, dir, "orders")
+    val v1 = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val v2 = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.CH.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy(asc_nulls_first("o_orderpriority"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "g4_union_by_name" -> (g4UnionByName _),
     "g1_union_all" -> (g1UnionAll _),
     "g1_union_distinct" -> (g1UnionDistinct _),
     "g2_intersect" -> (g2Intersect _),
@@ -64,6 +83,16 @@ object SetOps {
     "g3_except_all" -> (g3ExceptAll _))
 
   val oracles: Map[String, String] = Map(
+    "g4_union_by_name" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL BY NAME
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderstatus = 'O')
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM u GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
     "g1_union_all" ->
       """SELECT nk, count(*) AS n FROM (
         |  SELECT c_nationkey AS nk FROM customer

@@ -241,7 +241,39 @@ object Storage {
       .orderBy("table_version")
   }
 
+  /** K16: stored-checksum integrity validation — the `check-marks` /
+    * `checksum-for-compressed-block` tool surface (reference
+    * `Dockerfile:154-176`): after a write, a MANIFEST of per-file
+    * (row count, order-free content checksum) is persisted beside the
+    * data; a later validation pass recomputes both from the files and
+    * diffs against the manifest. Order-free checksum = per-row xxhash64
+    * XOR-folded (`bit_xor`: commutative, overflow-free under ANSI), so
+    * re-reads with different task orders still match; `_metadata.file_name` attributes rows to files without a
+    * second listing. At 100 TB both passes are scan-bound and
+    * embarrassingly parallel. */
+  private def k16IntegrityCheck(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch(spark, dir, "k16_data")
+    val manifestP = scratch(spark, dir, "k16_manifest")
+    Engine.t(spark, dir, "customer").repartition(4)
+      .write.mode("overwrite").parquet(out)
+    def fileSummary() = spark.read.parquet(out)
+      .select(col("_metadata.file_name").as("f"),
+        xxhash64(col("c_custkey"), col("c_name"), col("c_acctbal")).as("h"))
+      .groupBy("f")
+      .agg(count(lit(1)).as("n_rows"), bit_xor(col("h")).as("content_sum"))
+    fileSummary().write.mode("overwrite").parquet(manifestP)
+    val manifest = spark.read.parquet(manifestP)
+      .select(col("f"), col("n_rows").as("m_rows"), col("content_sum").as("m_sum"))
+    fileSummary().join(manifest, Seq("f"), "full")
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("n_rows")).as("total_rows"),
+        (CH.countIf(col("n_rows") === col("m_rows") && col("content_sum") === col("m_sum")) ===
+          count(lit(1))).as("all_match"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "k16_integrity_check" -> (k16IntegrityCheck _),
     "k15_atomic_swap" -> (k15AtomicSwap _),
     "k14_drop_partition" -> (k14DropPartition _),
     "k13_bucketed_join" -> (bucketedJoin _),
@@ -252,6 +284,11 @@ object Storage {
     "k7_obfuscator" -> (k7Obfuscator _))
 
   val oracles: Map[String, String] = Map(
+    // n_files is the deterministic repartition(4) file count (k12
+    // precedent); total_rows and the all_match verdict carry the data.
+    "k16_integrity_check" ->
+      """SELECT CAST(4 AS BIGINT) AS n_files, count(*) AS total_rows,
+        |  true AS all_match FROM customer""".stripMargin,
     "k15_atomic_swap" ->
       """SELECT 'live_v2' AS table_version, count(*) AS n,
         |  count(DISTINCT o_orderstatus) AS n_status FROM orders
