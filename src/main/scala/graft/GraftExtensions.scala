@@ -31,6 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64Expr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("jump_hash"),
+      new ExpressionInfo(classOf[graft.expressions.JumpConsistentHash].getName, "jump_hash"),
+      (children: Seq[Expression]) =>
+        graft.expressions.JumpConsistentHash(children(0), children(1))))
     // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
     // runtime row-level filters but does not register them as SQL
     // functions; surface them for the l31 incremental-dedup op (the

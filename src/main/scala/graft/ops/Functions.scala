@@ -432,7 +432,27 @@ object Functions {
       .orderBy("p_partkey", "pos")
   }
 
+  /** H26: `jumpConsistentHash` — consistent shard routing via the
+    * engine's codegen'd [[graft.expressions.JumpConsistentHash]]
+    * kernel. The op routes orders into 8 shards AND into 9, and counts
+    * per-shard membership + moved keys: the minimal-movement property
+    * (~1/9 of keys move on reshard) is visible in the declared output
+    * and spec-asserted. No oracle (the hash is engine-internal);
+    * rows-only + VectorExpressionSpec properties. */
+  private def h26ConsistentHash(spark: SparkSession, dir: String): DataFrame = {
+    val key = xxhash64(col("o_orderkey"))
+    val s8 = call_function("jump_hash", key, lit(8))
+    val s9 = call_function("jump_hash", key, lit(9))
+    Engine.t(spark, dir, "orders")
+      .select(s8.as("shard"), s9.as("shard_after_grow"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"),
+        CH.countIf(col("shard") =!= col("shard_after_grow")).as("n_moved"))
+      .orderBy("shard")
+  }
+
   val queries: Map[String, Q] = Map(
+    "h26_consistent_hash" -> (h26ConsistentHash _),
     "h8b_multi_array_join" -> (h8bMultiArrayJoin _),
     "h24_timezone" -> (h24Timezone _),
     "h23_readable" -> (h23Readable _),

@@ -66,6 +66,27 @@ class VectorExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("jump_hash: balanced shards, minimal movement on grow, codegen == interpreted == reference") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 20000)
+      .select(xxhash64(col("id")).as("k"))
+      .select(col("k"),
+        call_function("jump_hash", col("k"), lit(8)).as("s8"),
+        call_function("jump_hash", col("k"), lit(9)).as("s9"))
+    val rows = df.collect()
+    // reference implementation parity (also pins interpreted == codegen,
+    // since collect() ran through codegen and JumpHash.jump is the eval path)
+    rows.take(500).foreach { r =>
+      assert(r.getInt(1) == graft.expressions.JumpHash.jump(r.getLong(0), 8))
+      assert(r.getInt(2) == graft.expressions.JumpHash.jump(r.getLong(0), 9))
+    }
+    val byShard = rows.groupBy(_.getInt(1)).view.mapValues(_.length)
+    assert(byShard.size == 8, s"all 8 shards populated, got ${byShard.size}")
+    assert(byShard.values.max.toDouble / byShard.values.min < 1.5, s"balance: $byShard")
+    val moved = rows.count(r => r.getInt(1) != r.getInt(2)).toDouble / rows.length
+    assert(moved > 0.05 && moved < 0.20, s"minimal movement on 8→9 grow: got $moved, expect ≈1/9")
+  }
+
   test("mixed float/double arrays are accepted (IVF centroid case)") {
     val r = spark.sql(
       "SELECT dot_f(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS DOUBLE))) AS d")
