@@ -131,7 +131,24 @@ object SystemTables {
       .toDF("ordinal", "column_name")
   }
 
+  /** A19: `system.tables` — the catalog relation: every registered
+    * table with its column count and row count. Proves registerAll
+    * wires the whole sf directory into the catalog (the reference's
+    * `metadata/` registry, Dockerfile:185). Row counts come from the
+    * tables themselves, so this is a data-derived oracle, not a
+    * constant list. */
+  private def a19Tables(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Engine.registerAll(spark, dir)
+    graft.Engine.tableNames.sorted
+      .map { t =>
+        val df = graft.Engine.t(spark, dir, t)
+        (t, df.schema.fields.length, df.count())
+      }.toSeq.toDF("table_name", "n_columns", "n_rows")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a19_tables" -> (a19Tables _),
     "a17_columns" -> (a17Columns _),
     "a11_build_options" -> (a11BuildOptions _),
     "a12_query_log" -> (a12QueryLog _),
@@ -139,6 +156,20 @@ object SystemTables {
     "i5_explain" -> (i5Explain _))
 
   val oracles: Map[String, String] = Map(
+    "a19_tables" ->
+      """SELECT t AS table_name, CAST(c AS INT) AS n_columns, n AS n_rows
+        |FROM (
+        |  SELECT 'customer' AS t, 5 AS c, count(*) AS n FROM customer
+        |  UNION ALL SELECT 'documents', 5, count(*) FROM documents
+        |  UNION ALL SELECT 'embeddings', 3, count(*) FROM embeddings
+        |  UNION ALL SELECT 'events', 6, count(*) FROM events
+        |  UNION ALL SELECT 'lineitem', 11, count(*) FROM lineitem
+        |  UNION ALL SELECT 'nation', 3, count(*) FROM nation
+        |  UNION ALL SELECT 'orders', 6, count(*) FROM orders
+        |  UNION ALL SELECT 'part', 6, count(*) FROM part
+        |  UNION ALL SELECT 'region', 2, count(*) FROM region
+        |  UNION ALL SELECT 'supplier', 4, count(*) FROM supplier)
+        |ORDER BY table_name""".stripMargin,
     "a17_columns" ->
       """SELECT CAST(cid + 1 AS INT) AS ordinal, name AS column_name
         |FROM pragma_table_info('orders') ORDER BY ordinal""".stripMargin,

@@ -18,17 +18,17 @@ import org.apache.spark.sql.expressions.Aggregator
   * rank error at extreme quantiles. `SketchSpec` pins the rank error
   * of p50/p90/p99 against exact percentiles.
   */
-case class TDigestBuf(means: Array[Double], weights: Array[Double])
+case class TDigestBuf(means: Array[Double], weights: Array[Double], used: Int)
 
 class TDigestAgg(delta: Int, qs: Array[Double]) extends Aggregator[Double, TDigestBuf, Array[Double]] {
   private val bufferCap = delta * 5
 
-  override def zero: TDigestBuf = TDigestBuf(Array.empty, Array.empty)
+  override def zero: TDigestBuf = TDigestBuf(new Array(bufferCap), new Array(bufferCap), 0)
 
   /** Greedy size-bounded centroid merge over mean-sorted input. */
   private def compress(means: Array[Double], weights: Array[Double]): TDigestBuf = {
     val n = means.length
-    if (n == 0) return TDigestBuf(Array.empty, Array.empty)
+    if (n == 0) return TDigestBuf(Array.empty, Array.empty, 0)
     val idx = (0 until n).sortBy(i => means(i))
     val total = weights.sum
     val om = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -48,24 +48,48 @@ class TDigestAgg(delta: Int, qs: Array[Double]) extends Aggregator[Double, TDige
       }
     }
     om += cm; ow += cw
-    TDigestBuf(om.toArray, ow.toArray)
+    TDigestBuf(om.toArray, ow.toArray, om.length)
   }
 
-  private def maybeCompress(b: TDigestBuf): TDigestBuf =
-    if (b.means.length > bufferCap) compress(b.means, b.weights) else b
-
-  override def reduce(b: TDigestBuf, x: Double): TDigestBuf =
-    maybeCompress(TDigestBuf(b.means :+ x, b.weights :+ 1.0))
+  /** The buffer is a MUTABLE pre-allocated scratch (ScalaAggregator
+    * keeps one live object per group per task; serialization only at
+    * the shuffle): appending a point is an O(1) slot write, and when
+    * the scratch fills it compresses in place back to ≤δ-ish
+    * centroids — amortized O(1) per row, vs O(cap) per row for an
+    * immutable `:+` append (measured 25 s → sub-second at sf0.1). */
+  override def reduce(b: TDigestBuf, x: Double): TDigestBuf = {
+    var buf = b
+    if (buf.used == buf.means.length) {
+      val c = compress(buf.means.take(buf.used), buf.weights.take(buf.used))
+      if (c.used < buf.means.length) {
+        System.arraycopy(c.means, 0, buf.means, 0, c.used)
+        System.arraycopy(c.weights, 0, buf.weights, 0, c.used)
+        buf = TDigestBuf(buf.means, buf.weights, c.used)
+      } else {
+        // compression gave no headroom (e.g. a post-merge buffer already
+        // at the size bound): grow the scratch instead of overflowing
+        val cap = math.max(bufferCap, c.used * 2)
+        val nm = new Array[Double](cap); val nw = new Array[Double](cap)
+        System.arraycopy(c.means, 0, nm, 0, c.used)
+        System.arraycopy(c.weights, 0, nw, 0, c.used)
+        buf = TDigestBuf(nm, nw, c.used)
+      }
+    }
+    buf.means(buf.used) = x
+    buf.weights(buf.used) = 1.0
+    TDigestBuf(buf.means, buf.weights, buf.used + 1)
+  }
 
   override def merge(a: TDigestBuf, b: TDigestBuf): TDigestBuf =
-    if (a.means.isEmpty) b else if (b.means.isEmpty) a
-    else compress(a.means ++ b.means, a.weights ++ b.weights)
+    if (a.used == 0) b else if (b.used == 0) a
+    else compress(a.means.take(a.used) ++ b.means.take(b.used),
+      a.weights.take(a.used) ++ b.weights.take(b.used))
 
   /** Standard t-digest quantile: linear interpolation between centroid
     * midpoints of the mean-sorted digest. */
   override def finish(buf: TDigestBuf): Array[Double] = {
-    val d = compress(buf.means, buf.weights)
-    val n = d.means.length
+    val d = compress(buf.means.take(buf.used), buf.weights.take(buf.used))
+    val n = d.used
     if (n == 0) return qs.map(_ => Double.NaN)
     if (n == 1) return qs.map(_ => d.means(0))
     val total = d.weights.sum
