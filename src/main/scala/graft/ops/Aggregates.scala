@@ -395,7 +395,52 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** D8b: `topKWeighted` — heavy hitters by accumulated weight rather
+    * than row count (exact form: one partial-aggregated shuffle on the
+    * key, then a global top-5 via TakeOrdered). */
+  private def d8bTopKWeighted(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(CH.dec(col("o_totalprice"))).as("w"))
+      .orderBy(col("w").desc, col("o_custkey").asc)
+      .limit(5)
+      .select(col("o_custkey"), col("w").cast("double").as("weight"))
+
+  /** D25: `welchTTest` — CH's hypothesis-testing family. Welch's
+    * unequal-variance t statistic + Satterthwaite dof between two
+    * groups, computed from EXACT decimal moment sums (Σx, Σx² stay
+    * associative/deterministic through partial aggregation; the final
+    * t/dof arithmetic is +,×,/,sqrt only — IEEE-identical on both
+    * engines, the same discipline as l29/l32). One row out of one
+    * scan-side aggregation. */
+  private def d25WelchTtest(spark: SparkSession, dir: String): DataFrame = {
+    val v = CH.dec(col("value"))
+    val vv = (v * v).cast("decimal(24,4)")
+    def grp(t: String) = col("event_type") === t
+    val s = Engine.events(spark, dir)
+      .filter(col("event_type").isin("click", "error"))
+      .agg(
+        CH.countIf(grp("click")).cast("double").as("n1"),
+        CH.sumIf(v, grp("click")).cast("double").as("sx1"),
+        CH.sumIf(vv, grp("click")).cast("double").as("sxx1"),
+        CH.countIf(grp("error")).cast("double").as("n2"),
+        CH.sumIf(v, grp("error")).cast("double").as("sx2"),
+        CH.sumIf(vv, grp("error")).cast("double").as("sxx2"))
+    val m1 = col("sx1") / col("n1"); val m2 = col("sx2") / col("n2")
+    val v1 = (col("sxx1") - col("sx1") * col("sx1") / col("n1")) / (col("n1") - 1)
+    val v2 = (col("sxx2") - col("sx2") * col("sx2") / col("n2")) / (col("n2") - 1)
+    val se1 = v1 / col("n1"); val se2 = v2 / col("n2")
+    s.select(
+      col("n1").cast("long").as("n_click"),
+      col("n2").cast("long").as("n_error"),
+      round((m1 - m2) / sqrt(se1 + se2), 4).as("t_stat"),
+      round((se1 + se2) * (se1 + se2) /
+        (se1 * se1 / (col("n1") - 1) + se2 * se2 / (col("n2") - 1)), 2).as("dof"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d8b_topk_weighted" -> (d8bTopKWeighted _),
+    "d25_welch_ttest" -> (d25WelchTtest _),
     "i2b_tdigest_custom" -> (i2bTdigestCustom _),
     "d22_array_combinators" -> (d22ArrayCombinators _),
     "d19_entropy" -> (d19Entropy _),
@@ -427,6 +472,29 @@ object Aggregates {
     "i4_histogram" -> (i4Histogram _))
 
   val oracles: Map[String, String] = Map(
+    "d8b_topk_weighted" ->
+      """SELECT o_custkey,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS weight
+        |FROM orders GROUP BY 1
+        |ORDER BY sum(CAST(o_totalprice AS DECIMAL(12,2))) DESC, o_custkey LIMIT 5""".stripMargin,
+    "d25_welch_ttest" ->
+      """WITH s AS (SELECT
+        |    CAST(count(*) FILTER (WHERE event_type = 'click') AS DOUBLE) AS n1,
+        |    CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) FILTER (WHERE event_type = 'click') AS VARCHAR) AS DOUBLE) AS sx1,
+        |    CAST(CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)) AS DECIMAL(24,4))) FILTER (WHERE event_type = 'click') AS VARCHAR) AS DOUBLE) AS sxx1,
+        |    CAST(count(*) FILTER (WHERE event_type = 'error') AS DOUBLE) AS n2,
+        |    CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) FILTER (WHERE event_type = 'error') AS VARCHAR) AS DOUBLE) AS sx2,
+        |    CAST(CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)) AS DECIMAL(24,4))) FILTER (WHERE event_type = 'error') AS VARCHAR) AS DOUBLE) AS sxx2
+        |  FROM events WHERE event_type IN ('click', 'error'))
+        |SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_error,
+        |  round((sx1 / n1 - sx2 / n2) /
+        |    sqrt((sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1 +
+        |         (sxx2 - sx2 * sx2 / n2) / (n2 - 1) / n2), 4) AS t_stat,
+        |  round(((sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1 + (sxx2 - sx2 * sx2 / n2) / (n2 - 1) / n2)
+        |      * ((sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1 + (sxx2 - sx2 * sx2 / n2) / (n2 - 1) / n2) /
+        |    ((sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1 * ((sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1) / (n1 - 1)
+        |     + (sxx2 - sx2 * sx2 / n2) / (n2 - 1) / n2 * ((sxx2 - sx2 * sx2 / n2) / (n2 - 1) / n2) / (n2 - 1)), 2) AS dof
+        |FROM s""".stripMargin,
     "d22_array_combinators" ->
       """WITH t AS (SELECT p_brand, p_size,
         |    list_transform(string_split(p_name, ' '), w -> CAST(length(w) AS INT)) AS lens

@@ -213,7 +213,26 @@ object Events {
       .orderBy("funnel_level")
   }
 
+  /** E12: `sequenceNextNode` — path analysis: after a given anchor
+    * event, what happens next? One `lead()` per user stream (arrival
+    * order), rolled up into the next-event distribution per anchor
+    * type. The window state is a single lead — no per-user buffer;
+    * one shuffle on user_id then a tiny rollup. */
+  private def e12SequenceNextNode(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+    Engine.events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("anchor"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("pct", round(lit(100.0) * col("n") /
+        sum("n").over(org.apache.spark.sql.expressions.Window.partitionBy("anchor")), 4))
+      .orderBy("anchor", "next_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e12_sequence_next_node" -> (e12SequenceNextNode _),
     "e6b_window_funnel_strict" -> (e6bFunnelStrict _),
     "e11_anomaly_zscore" -> (e11AnomalyZscore _),
     "e10_sequence_count" -> (e10SequenceCount _),
@@ -223,6 +242,14 @@ object Events {
     "e9_cohort_retention" -> (e9CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "e12_sequence_next_node" ->
+      """WITH nx AS (SELECT event_type AS anchor,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
+        |  FROM events)
+        |SELECT anchor, next_type, count(*) AS n,
+        |  round(100.0 * count(*) / (sum(count(*)) OVER (PARTITION BY anchor)), 4) AS pct
+        |FROM nx WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e6b_window_funnel_strict" ->
       """WITH l AS (SELECT user_id, event_type, epoch_us(ts) AS t,
         |    lead(event_type, 1) OVER w AS et1, lead(epoch_us(ts), 1) OVER w AS t1,
