@@ -438,7 +438,23 @@ object Aggregates {
         (se1 * se1 / (col("n1") - 1) + se2 * se2 / (col("n2") - 1)), 2).as("dof"))
   }
 
+  /** D24: `-Resample` combinator (`sumResample(start,end,step)(x,key)`)
+    * — the aggregate splits into key-range bands and emits one value
+    * per band. Spark-native: band = floor(key/step) as a second group
+    * key, re-assembled into the banded vector per group (string-joined,
+    * driver hash discipline). Two one-row-per-group shuffles. */
+  private def d24Resample(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "lineitem")
+      .withColumn("band", floor(col("l_quantity") / 10).cast("int"))
+      .groupBy("l_returnflag", "band")
+      .agg(sum(CH.dec(col("l_quantity"))).as("s"))
+      .groupBy("l_returnflag")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(band, s))), " +
+        "x -> concat(cast(x.band as string), ':', cast(x.s as string))), ',')").as("resampled"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, Q] = Map(
+    "d24_resample" -> (d24Resample _),
     "d8b_topk_weighted" -> (d8bTopKWeighted _),
     "d25_welch_ttest" -> (d25WelchTtest _),
     "i2b_tdigest_custom" -> (i2bTdigestCustom _),
@@ -472,6 +488,13 @@ object Aggregates {
     "i4_histogram" -> (i4Histogram _))
 
   val oracles: Map[String, String] = Map(
+    "d24_resample" ->
+      """WITH b AS (SELECT l_returnflag, CAST(floor(l_quantity / 10) AS INT) AS band,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS s
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag,
+        |  array_to_string(list(CAST(band AS VARCHAR) || ':' || s ORDER BY band), ',') AS resampled
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "d8b_topk_weighted" ->
       """SELECT o_custkey,
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS weight

@@ -225,7 +225,24 @@ object Basics {
         col("revenue"), col("n_lines"))
   }
 
+  /** B8: WITH/CTE reuse — the TPC-H Q11 shape: an aggregate subquery
+    * consumed twice (per-key totals AND their global average). Catalyst
+    * plans the shared subtree once where exchange reuse applies; the
+    * global average is a one-row broadcast, so the second consumption
+    * costs nothing at scale. */
+  private def b8CteReuse(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Engine.t(spark, dir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(sum(CH.dec(col("l_quantity"))).as("tq"))
+    val globalAvg = perPart.agg((sum(col("tq")) / count(lit(1))).as("avg_tq"))
+    perPart.crossJoin(broadcast(globalAvg))
+      .filter(col("tq") > col("avg_tq") * 1.5)
+      .select(col("l_partkey"), col("tq").cast("double").as("total_qty"))
+      .orderBy("l_partkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "b8_cte_reuse" -> (b8CteReuse _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "b7_select_modifiers" -> (b7SelectModifiers _),
     "b6_final" -> (b6Final _),
@@ -241,6 +258,13 @@ object Basics {
     "h6_conversions" -> (h6Conversions _))
 
   val oracles: Map[String, String] = Map(
+    "b8_cte_reuse" ->
+      """WITH pp AS (SELECT l_partkey,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS tq
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_partkey, CAST(CAST(tq AS VARCHAR) AS DOUBLE) AS total_qty
+        |FROM pp WHERE tq > (SELECT sum(tq) / count(*) FROM pp) * 1.5
+        |ORDER BY l_partkey""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT o.o_orderkey,
         |  strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,

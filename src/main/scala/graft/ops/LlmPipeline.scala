@@ -388,7 +388,25 @@ object LlmPipeline {
       .orderBy("source")
   }
 
+  /** L33: dataset card — the per-source summary a curation pipeline
+    * publishes with a release: volume, token mass, language share,
+    * exact-dup rate, length envelope. One scan, one rollup shuffle;
+    * the dup rate rides the same md5 key as l1. */
+  private def l33DatasetCard(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "documents")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(toks)).as("total_tokens"),
+        round(CH.countIf(col("lang") === "en") * 100.0 / count(lit(1)), 4).as("pct_en"),
+        round(lit(1.0) - count_distinct(md5(col("text"))).cast("double") /
+          count(lit(1)).cast("double"), 6).as("dup_rate"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("source")
+
   val queries: Map[String, Q] = Map(
+    "l33_dataset_card" -> (l33DatasetCard _),
     "l32_model_quality_score" -> (l32ModelQualityScore _),
     "l29_temperature_mix" -> (l29TemperatureMix _),
     "l26_curation_pipeline" -> (l26CurationPipeline _),
@@ -404,6 +422,13 @@ object LlmPipeline {
     "l17_sequence_pack" -> (l17SequencePack _))
 
   val oracles: Map[String, String] = Map(
+    "l33_dataset_card" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split(text, ' '), t -> t != ''))) AS BIGINT) AS total_tokens,
+        |  round(count(CASE WHEN lang = 'en' THEN 1 END) * 100.0 / count(*), 4) AS pct_en,
+        |  round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "l32_model_quality_score" ->
       """WITH f AS (SELECT source,
         |    CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS DOUBLE) AS nt,
