@@ -260,7 +260,35 @@ object Joins {
     hash.withColumn("algo_mismatches", lit(diffs))
   }
 
+  /** C15: banded range join — the interval-join scale pattern: a
+    * BETWEEN join would plan as a nested loop (no equi key), so each
+    * interval EXPLODES into the 1-hour bands it covers and each event
+    * carries its single band; the join becomes a hash equi-join on
+    * band with the BETWEEN as a residual filter. Band fan-out is
+    * ⌈len/band⌉ per interval (≤2 here) — the exchange carries bands,
+    * never the cross product. Left join keeps empty intervals. */
+  private def c15BandedRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val baseS = 1704067200L // 2024-01-01T00:00:00Z
+    val iv = spark.range(0, 50).select(
+      col("id").as("interval_id"),
+      (lit(baseS) + col("id") * 13600).as("s"),
+      (lit(baseS) + col("id") * 13600 + (col("id") % 3 + 1) * 1800).as("e"))
+    val ivBanded = iv.withColumn("band",
+      explode(sequence(CH.intDiv(col("s"), lit(3600L)), CH.intDiv(col("e"), lit(3600L)))))
+    val ev = Engine.events(spark, dir)
+      .select(CH.intDiv(unix_micros(col("ts")), lit(1000000L)).as("ts_s"))
+      .withColumn("band", CH.intDiv(col("ts_s"), lit(3600L)))
+    val matched = ivBanded.join(ev, Seq("band"))
+      .filter(col("ts_s").between(col("s"), col("e")))
+      .groupBy("interval_id")
+      .agg(count(lit(1)).as("n"))
+    iv.join(matched, Seq("interval_id"), "left")
+      .select(col("interval_id"), coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy("interval_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c15_banded_range_join" -> (c15BandedRangeJoin _),
     "c14_join_algorithms" -> (c14JoinAlgorithms _),
     "c13_null_safe_join" -> (c13NullSafeJoin _),
     "c12_paste_join" -> (c12PasteJoin _),
@@ -280,6 +308,15 @@ object Joins {
     "a10_dict_lookup" -> (a10DictGet _))
 
   val oracles: Map[String, String] = Map(
+    "c15_banded_range_join" ->
+      """WITH iv AS (SELECT range AS interval_id,
+        |    1704067200 + range * 13600 AS s,
+        |    1704067200 + range * 13600 + (range % 3 + 1) * 1800 AS e
+        |  FROM range(0, 50)),
+        |ev AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events)
+        |SELECT interval_id, CAST(count(ev.ts_s) AS BIGINT) AS n_events
+        |FROM iv LEFT JOIN ev ON ev.ts_s BETWEEN iv.s AND iv.e
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "c14_join_algorithms" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
