@@ -460,7 +460,43 @@ object Streaming {
       .orderBy("w_start")
   }
 
+  /** J10: stream–static join — insert-time dimension enrichment (the
+    * streaming face of c8's dictionary join): each micro-batch of the
+    * event stream hash-joins the STATIC customer dim (planned per
+    * batch, broadcast when small — no state store involved, because
+    * the static side never changes mid-query). Rollup by segment is
+    * maintained via j1's partial-state MV discipline. Oracle = the
+    * identical batch join. */
+  private def j10StreamStaticJoin(spark: SparkSession, dir: String): DataFrame = withStreamingPartitions(spark) {
+    val target = Engine.scratch(spark, dir, "j10_enriched")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(target), true)
+    fs.delete(new org.apache.hadoop.fs.Path(target + "_ckpt"), true)
+    val dim = Engine.t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val q = eventStream(spark, stageEvents(spark, dir), oneFilePerBatch = true)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", target + "_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("partial_n"),
+            sum(CH.dec(col("value"))).as("partial_sum"))
+          .write.mode("append").parquet(target)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(target)
+      .groupBy("c_mktsegment")
+      .agg(sum(col("partial_n")).as("n"),
+        sum(col("partial_sum")).cast("double").as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "j10_stream_static_join" -> (j10StreamStaticJoin _),
     "j9_watermark_late_drop" -> (j9WatermarkLateDrop _),
     "j8_streaming_topk" -> (j8StreamingTopk _),
     "j1_incremental_mv" -> (j1IncrementalMv _),
@@ -471,6 +507,11 @@ object Streaming {
     "j7_streaming_retention" -> (j7StreamingRetention _))
 
   val oracles: Map[String, String] = Map(
+    "j10_stream_static_join" ->
+      """SELECT c.c_mktsegment, count(*) AS n,
+        |  CAST(CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "j9_watermark_late_drop" ->
       """WITH f0 AS (SELECT (event_id * 7) % 3600 AS s FROM events WHERE event_id < 1000)
         |SELECT * FROM (
