@@ -39,6 +39,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(planOf("broadcast").contains("BroadcastHashJoin"), "broadcast hint ignored")
   }
 
+  test("c15 interval join plans as a hash equi-join on band, not a nested loop") {
+    val df = SparkEntry.queries("c15_banded_range_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the interval⋈events core must be a hash join keyed on the band;
+    // the only acceptable nested loop would be a dim-sized cross —
+    // an NLJ against the event stream is the shape this op exists to avoid
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), s"expected an equi join on band, plan:\n$plan")
+  }
+
   test("q1 scan shows pushed shipdate filter and pruned ReadSchema") {
     val df = ops.Basics.q1PricingSummary(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
