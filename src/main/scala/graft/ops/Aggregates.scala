@@ -453,7 +453,22 @@ object Aggregates {
         "x -> concat(cast(x.band as string), ':', cast(x.s as string))), ',')").as("resampled"))
       .orderBy("l_returnflag")
 
+  /** D26: minMap / maxMap — the pointwise map-combinator family next
+    * to d10's sumMap: per-key minimum and maximum folded across rows
+    * (exploded relational agg underneath, canonical sorted k:v form). */
+  private def d26MinMaxMap(spark: SparkSession, dir: String): DataFrame =
+    Engine.events(spark, dir)
+      .groupBy("event_type")
+      .agg(min(CH.dec(col("value"))).as("mn"), max(CH.dec(col("value"))).as("mx"))
+      .select(
+        concat(col("event_type"), lit(":"), col("mn").cast("string")).as("kvn"),
+        concat(col("event_type"), lit(":"), col("mx").cast("string")).as("kvx"))
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("kvn")))).as("minmap"),
+        concat_ws(",", sort_array(collect_list(col("kvx")))).as("maxmap"))
+
   val queries: Map[String, Q] = Map(
+    "d26_minmax_map" -> (d26MinMaxMap _),
     "d24_resample" -> (d24Resample _),
     "d8b_topk_weighted" -> (d8bTopKWeighted _),
     "d25_welch_ttest" -> (d25WelchTtest _),
@@ -610,6 +625,12 @@ object Aggregates {
     "d10_summap" ->
       """SELECT string_agg(kv, ',' ORDER BY kv) AS summap FROM
         |(SELECT event_type || ':' || CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS kv
+        | FROM events GROUP BY event_type)""".stripMargin,
+    "d26_minmax_map" ->
+      """SELECT string_agg(kvn, ',' ORDER BY kvn) AS minmap,
+        |  string_agg(kvx, ',' ORDER BY kvx) AS maxmap FROM
+        |(SELECT event_type || ':' || CAST(min(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS kvn,
+        |   event_type || ':' || CAST(max(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS kvx
         | FROM events GROUP BY event_type)""".stripMargin,
     "d11_stats" ->
       """WITH m AS (

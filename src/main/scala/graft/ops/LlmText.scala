@@ -285,7 +285,30 @@ object LlmText {
       .orderBy("source")
   }
 
+  /** L34: bigram conditional statistics — the n-gram LM table one
+    * level up from l23's unigram scores: for the 20 heaviest anchor
+    * words, the most likely next word and P(next|anchor). Corpus
+    * streams once through the shingle kernel; two one-row-per-bigram
+    * shuffles; WindowGroupLimit prunes the per-anchor rank before the
+    * exchange. */
+  private def l34BigramStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val pairs = Engine.t(spark, dir, "documents")
+      .select(explode(ngrams(toks, 2)).as("bg"))
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    pairs
+      .withColumn("tw", sum("c").over(w.partitionBy("w1")))
+      .withColumn("rk", row_number().over(w.partitionBy("w1").orderBy(col("c").desc, col("w2"))))
+      .filter(col("rk") === 1)
+      .orderBy(col("tw").desc, col("w1")).limit(20)
+      .select(col("w1"), col("w2").as("top_next"), col("c"), col("tw"),
+        round(col("c").cast("double") / col("tw").cast("double"), 6).as("p_next"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "l34_bigram_stats" -> (l34BigramStats _),
     "l31_bloom_dedup" -> (l31BloomDedup _),
     "l28_length_histogram" -> (l28LengthHistogram _),
     "l1_exact_dedup" -> (l1ExactDedup _),
@@ -300,6 +323,19 @@ object LlmText {
     "l13_simhash_neardup" -> (l13Simhash _))
 
   val oracles: Map[String, String] = Map(
+    "l34_bigram_stats" ->
+      """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x != '') AS tk
+        |  FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS b FROM t),
+        |p AS (SELECT string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2,
+        |    count(*) AS c FROM bg GROUP BY 1, 2),
+        |r AS (SELECT w1, w2, c,
+        |    CAST(sum(c) OVER (PARTITION BY w1) AS BIGINT) AS tw,
+        |    row_number() OVER (PARTITION BY w1 ORDER BY c DESC, w2) AS rk FROM p)
+        |SELECT w1, w2 AS top_next, c, tw,
+        |  round(CAST(c AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS p_next
+        |FROM r WHERE rk = 1 ORDER BY tw DESC, w1 LIMIT 20""".stripMargin,
     "l28_length_histogram" ->
       """WITH t AS (SELECT source,
         |    CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS INT) AS nt
