@@ -467,7 +467,21 @@ object Aggregates {
         concat_ws(",", sort_array(collect_list(col("kvn")))).as("minmap"),
         concat_ws(",", sort_array(collect_list(col("kvx")))).as("maxmap"))
 
+  /** D27: `GROUP BY ALL` — the modern grouping sugar (CH 25.x and
+    * DuckDB both speak it): every non-aggregate select item becomes a
+    * group key at ANALYSIS time, so the plan is identical to the
+    * explicit form. Declared through the SQL front door since the
+    * sugar is syntax, not semantics. */
+  private def d27GroupByAll(spark: SparkSession, dir: String): DataFrame = {
+    Engine.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY ALL ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "d27_group_by_all" -> (d27GroupByAll _),
     "d26_minmax_map" -> (d26MinMaxMap _),
     "d24_resample" -> (d24Resample _),
     "d8b_topk_weighted" -> (d8bTopKWeighted _),
@@ -626,6 +640,10 @@ object Aggregates {
       """SELECT string_agg(kv, ',' ORDER BY kv) AS summap FROM
         |(SELECT event_type || ':' || CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS kv
         | FROM events GROUP BY event_type)""".stripMargin,
+    "d27_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY ALL ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     "d26_minmax_map" ->
       """SELECT string_agg(kvn, ',' ORDER BY kvn) AS minmap,
         |  string_agg(kvx, ',' ORDER BY kvx) AS maxmap FROM

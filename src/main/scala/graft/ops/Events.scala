@@ -231,7 +231,33 @@ object Events {
       .orderBy("anchor", "next_type")
   }
 
+  /** E13: time-to-convert — the funnel's latency dimension: per user,
+    * the gap from FIRST view to the first subsequent purchase (≤24h),
+    * rolled into a latency distribution (count, min/median/p90 in
+    * minutes). Two conditional-min aggregations per user — O(1) state,
+    * one shuffle — then a 1-group exact-percentile rollup. */
+  private def e13TimeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val t = unix_micros(col("ts"))
+    val perUser = Engine.events(spark, dir)
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", t)).as("first_view"))
+    val purchases = Engine.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), t.as("pt"))
+    perUser.filter(col("first_view").isNotNull)
+      .join(purchases, Seq("user_id"))
+      .filter(col("pt") > col("first_view") && col("pt") <= col("first_view") + HOURS24_US)
+      .groupBy("user_id")
+      .agg(((min(col("pt")) - first(col("first_view"))) / 60000000.0).as("mins"))
+      .agg(
+        count(lit(1)).as("n_converted"),
+        round(min(col("mins")), 4).as("min_mins"),
+        round(expr("percentile(mins, 0.5)"), 4).as("median_mins"),
+        round(expr("percentile(mins, 0.9)"), 4).as("p90_mins"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e13_time_to_convert" -> (e13TimeToConvert _),
     "e12_sequence_next_node" -> (e12SequenceNextNode _),
     "e6b_window_funnel_strict" -> (e6bFunnelStrict _),
     "e11_anomaly_zscore" -> (e11AnomalyZscore _),
@@ -242,6 +268,22 @@ object Events {
     "e9_cohort_retention" -> (e9CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "e13_time_to_convert" ->
+      """WITH fv AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view
+        |  FROM events GROUP BY 1),
+        |conv AS (SELECT e.user_id,
+        |    (min(epoch_us(e.ts)) - min(fv.first_view)) / 60000000.0 AS mins
+        |  FROM events e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND fv.first_view IS NOT NULL
+        |    AND epoch_us(e.ts) > fv.first_view
+        |    AND epoch_us(e.ts) <= fv.first_view + 86400000000
+        |  GROUP BY 1)
+        |SELECT count(*) AS n_converted,
+        |  round(min(mins), 4) AS min_mins,
+        |  round(quantile_cont(mins, 0.5), 4) AS median_mins,
+        |  round(quantile_cont(mins, 0.9), 4) AS p90_mins
+        |FROM conv""".stripMargin,
     "e12_sequence_next_node" ->
       """WITH nx AS (SELECT event_type AS anchor,
         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
