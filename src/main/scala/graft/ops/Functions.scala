@@ -451,7 +451,21 @@ object Functions {
       .orderBy("shard")
   }
 
+  /** H8c: LEFT ARRAY JOIN — CH's outer variant: rows whose array is
+    * empty survive with a NULL element instead of disappearing.
+    * Spark-native: `explode_outer` (same Generate node, outer=true).
+    * The long-words array is empty for many parts, so the outer
+    * semantics are actually exercised. */
+  private def h8cLeftArrayJoin(spark: SparkSession, dir: String): DataFrame = {
+    val longWords = filter(split(col("p_name"), " "), w => length(w) > 8)
+    Engine.t(spark, dir, "part")
+      .filter(col("p_partkey") <= 300)
+      .select(col("p_partkey"), explode_outer(longWords).as("long_word"))
+      .orderBy(col("p_partkey"), asc_nulls_first("long_word"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "h8c_left_array_join" -> (h8cLeftArrayJoin _),
     "h26_consistent_hash" -> (h26ConsistentHash _),
     "h8b_multi_array_join" -> (h8bMultiArrayJoin _),
     "h24_timezone" -> (h24Timezone _),
@@ -479,6 +493,14 @@ object Functions {
     "h16_rand_uuid" -> (h16Rand _))
 
   val oracles: Map[String, String] = Map(
+    "h8c_left_array_join" ->
+      """WITH t AS (SELECT p_partkey,
+        |    list_filter(string_split(p_name, ' '), w -> length(w) > 8) AS lw
+        |  FROM part WHERE p_partkey <= 300)
+        |SELECT p_partkey, unnest(lw) AS long_word FROM t WHERE len(lw) > 0
+        |UNION ALL
+        |SELECT p_partkey, NULL AS long_word FROM t WHERE len(lw) = 0
+        |ORDER BY p_partkey, long_word NULLS FIRST""".stripMargin,
     "h8b_multi_array_join" ->
       """WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS ws
         |  FROM part WHERE p_partkey <= 500)
