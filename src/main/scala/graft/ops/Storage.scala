@@ -272,7 +272,56 @@ object Storage {
           count(lit(1))).as("all_match"))
   }
 
+  /** K17: PROJECTIONs — CH tables can carry alternate sort-order
+    * materializations; the optimizer routes each query to the copy
+    * whose order matches its predicate. Spark-native: two parquet
+    * materializations (sorted by date vs by custkey) + route-by-
+    * predicate; the matching sort order turns the filter into
+    * row-group min/max skipping on exactly the filtered column —
+    * at 100 TB the projection pays for itself on the first scan.
+    * Both routes are exercised and their results cross-checked
+    * against the base table via the oracle. */
+  private def k17ProjectionRoute(spark: SparkSession, dir: String): DataFrame = {
+    val byDate = scratch(spark, dir, "k17_by_date")
+    val byCust = scratch(spark, dir, "k17_by_cust")
+    val o = Engine.t(spark, dir, "orders")
+    o.repartition(4).sortWithinPartitions("o_orderdate")
+      .write.mode("overwrite").parquet(byDate)
+    o.repartition(4).sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(byCust)
+    def route(filterCol: String): String =
+      if (filterCol == "o_orderdate") byDate else byCust
+    val dateSlice = spark.read.parquet(route("o_orderdate"))
+      .filter(col("o_orderdate").between(lit("1997-01-01").cast("date"), lit("1997-03-31").cast("date")))
+      .agg(count(lit(1)).as("n"), sum(CH.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .withColumn("route", lit("by_date"))
+    val custSlice = spark.read.parquet(route("o_custkey"))
+      .filter(col("o_custkey") <= 100)
+      .agg(count(lit(1)).as("n"), sum(CH.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .withColumn("route", lit("by_custkey"))
+    dateSlice.unionAll(custSlice).select("route", "n", "sum_price").orderBy("route")
+  }
+
+  /** K18: row policies — the reference's access-control surface
+    * (readonly profile + per-user quotas, `Dockerfile:242-276`) maps
+    * to policy VIEWS: the base table is never exposed, the catalog
+    * entry carries the row filter, and every query through it is
+    * automatically constrained — enforcement at plan time, zero
+    * runtime cost beyond the filter itself. */
+  private def k18RowPolicy(spark: SparkSession, dir: String): DataFrame = {
+    Engine.t(spark, dir, "customer").createOrReplaceTempView("k18_customer_base")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW customer_analyst AS
+        |SELECT * FROM k18_customer_base WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+    spark.sql(
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+        |FROM customer_analyst GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "k17_projection_route" -> (k17ProjectionRoute _),
+    "k18_row_policy" -> (k18RowPolicy _),
     "k16_integrity_check" -> (k16IntegrityCheck _),
     "k15_atomic_swap" -> (k15AtomicSwap _),
     "k14_drop_partition" -> (k14DropPartition _),
@@ -284,6 +333,20 @@ object Storage {
     "k7_obfuscator" -> (k7Obfuscator _))
 
   val oracles: Map[String, String] = Map(
+    "k17_projection_route" ->
+      """SELECT 'by_custkey' AS route, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_custkey <= 100
+        |UNION ALL
+        |SELECT 'by_date' AS route, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-03-31'
+        |ORDER BY route""".stripMargin,
+    "k18_row_policy" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_bal
+        |FROM customer WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // n_files is the deterministic repartition(4) file count (k12
     // precedent); total_rows and the all_match verdict carry the data.
     "k16_integrity_check" ->
