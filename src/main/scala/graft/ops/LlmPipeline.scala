@@ -405,7 +405,30 @@ object LlmPipeline {
         max(col("n_chars")).as("max_chars"))
       .orderBy("source")
 
+  /** L35: deterministic token masking — the MLM (BERT-style) label
+    * generation step: each position masks iff a hash coin flips under
+    * p ≈ 15.6% (first md5 byte < 0x28). Hash-derived, so the SAME
+    * tokens mask on every run and every replica — reproducible
+    * pretraining batches with no RNG state to ship. Pure narrow map
+    * (one higher-order filter per row), no shuffle before the
+    * presentation sort. */
+  private def l35TokenMasking(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .withColumn("tk", toks)
+      .withColumn("masked",
+        expr("filter(sequence(1, size(tk)), i -> " +
+          "substring(md5(concat(cast(doc_id as string), ':', cast(i as string))), 1, 2) < '28')"))
+      .select(
+        col("doc_id"),
+        size(col("tk")).as("n_toks"),
+        size(col("masked")).as("n_masked"),
+        round(size(col("masked")).cast("double") / size(col("tk")).cast("double"), 6).as("mask_rate"),
+        expr("array_join(transform(masked, x -> cast(x as string)), ',')").as("mask_csv"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "l35_token_masking" -> (l35TokenMasking _),
     "l33_dataset_card" -> (l33DatasetCard _),
     "l32_model_quality_score" -> (l32ModelQualityScore _),
     "l29_temperature_mix" -> (l29TemperatureMix _),
@@ -422,6 +445,19 @@ object LlmPipeline {
     "l17_sequence_pack" -> (l17SequencePack _))
 
   val oracles: Map[String, String] = Map(
+    "l35_token_masking" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS tk
+        |  FROM documents WHERE doc_id < 100),
+        |m AS (SELECT doc_id, tk,
+        |    list_filter(range(1, len(tk) + 1), i ->
+        |      substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 2) < '28') AS masked
+        |  FROM t)
+        |SELECT doc_id, CAST(len(tk) AS INT) AS n_toks,
+        |  CAST(len(masked) AS INT) AS n_masked,
+        |  round(CAST(len(masked) AS DOUBLE) / CAST(len(tk) AS DOUBLE), 6) AS mask_rate,
+        |  coalesce(array_to_string(list_transform(masked, x -> CAST(x AS VARCHAR)), ','), '') AS mask_csv
+        |FROM m ORDER BY doc_id""".stripMargin,
     "l33_dataset_card" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(len(list_filter(string_split(text, ' '), t -> t != ''))) AS BIGINT) AS total_tokens,
