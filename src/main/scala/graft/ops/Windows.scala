@@ -94,7 +94,25 @@ object Windows {
       .orderBy("o_orderkey")
   }
 
+  /** E14: moving median — an exact quantile aggregate evaluated over a
+    * sliding ROWS frame (CH `quantile` as a window fn). The daily
+    * rollup happens first (exact decimal sums → exact doubles), so the
+    * frame holds ≤7 exact values and the interpolated median is
+    * engine-portable without rounding tricks. One shuffle for the
+    * rollup, one window sort per event_type. */
+  private def e14MovingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    Engine.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(CH.dec(col("value"))).cast("double").as("rev"))
+      .withColumn("mm7", round(expr("percentile(rev, 0.5)").over(w), 6))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+        col("rev"), col("mm7"))
+      .orderBy("event_type", "day_s")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e14_moving_median" -> (e14MovingMedian _),
     "e1_ranking" -> (e1Ranking _),
     "e2_lag_lead" -> (e2LagLead _),
     "e3_first_last_nth" -> (e3FirstLast _),
@@ -102,6 +120,14 @@ object Windows {
     "e5_frames" -> (e5Frames _))
 
   val oracles: Map[String, String] = Map(
+    "e14_moving_median" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS rev
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day_s, rev,
+        |  round(quantile_cont(rev, 0.5) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS mm7
+        |FROM d ORDER BY event_type, day_s""".stripMargin,
     "e1_ranking" ->
       """SELECT c_nationkey, c_custkey,
         |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
