@@ -427,7 +427,35 @@ object LlmPipeline {
         expr("array_join(transform(masked, x -> cast(x as string)), ',')").as("mask_csv"))
       .orderBy("doc_id")
 
+  /** L36: dataset version diff — what a lake-versioning layer computes
+    * between corpus snapshots: FULL OUTER join on doc id, rows
+    * classified added / removed / changed (content hash moved) /
+    * unchanged. Snapshots are deterministic slices of `documents`
+    * (v2 drops every 7th doc, "edits" every 13th). One shuffle on the
+    * id; the md5 comparison prunes to 16-byte keys before the join.
+    * At 100 TB this is the audit step before promoting a snapshot. */
+  private def l36DatasetDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.t(spark, dir, "documents")
+    val v1 = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h1"))
+    val v2 = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .select(col("doc_id"), col("source").as("source2"),
+        md5(when(pmod(col("doc_id"), lit(13)) === 0, concat(col("text"), lit(" edited")))
+          .otherwise(col("text"))).as("h2"))
+    v1.join(v2, Seq("doc_id"), "full")
+      .withColumn("status",
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") === col("h2"), "unchanged")
+          .otherwise("changed"))
+      .withColumn("src", coalesce(col("source"), col("source2")))
+      .groupBy("src", "status")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("src", "status")
+  }
+
   val queries: Map[String, Q] = Map(
+    "l36_dataset_diff" -> (l36DatasetDiff _),
     "l35_token_masking" -> (l35TokenMasking _),
     "l33_dataset_card" -> (l33DatasetCard _),
     "l32_model_quality_score" -> (l32ModelQualityScore _),
@@ -445,6 +473,20 @@ object LlmPipeline {
     "l17_sequence_pack" -> (l17SequencePack _))
 
   val oracles: Map[String, String] = Map(
+    "l36_dataset_diff" ->
+      """WITH v1 AS (SELECT doc_id, source, md5(text) AS h1
+        |  FROM documents WHERE doc_id % 10 != 0),
+        |v2 AS (SELECT doc_id, source AS source2,
+        |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' edited' ELSE text END) AS h2
+        |  FROM documents WHERE doc_id % 7 != 0)
+        |SELECT coalesce(v1.source, v2.source2) AS src,
+        |  CASE WHEN h1 IS NULL THEN 'added'
+        |       WHEN h2 IS NULL THEN 'removed'
+        |       WHEN h1 = h2 THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  count(*) AS n
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "l35_token_masking" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> x != '') AS tk
