@@ -256,7 +256,33 @@ object Events {
         round(expr("percentile(mins, 0.9)"), 4).as("p90_mins"))
   }
 
+  /** E15: RFM segmentation — the classic customer-analytics rollup:
+    * recency / frequency / monetary per customer, each quartiled
+    * (ntile with a total-order tiebreak so bucket edges are
+    * deterministic), customers grouped by RFM code. One shuffle for
+    * the per-customer rollup; the three ntiles share one global sort
+    * at dim-table cardinality. */
+  private def e15RfmSegmentation(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val per = Engine.t(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("freq"),
+        sum(graft.CH.dec(col("o_totalprice"))).as("monetary"))
+    per
+      .withColumn("r", ntile(4).over(w.orderBy(col("last_order").desc, col("o_custkey"))))
+      .withColumn("f", ntile(4).over(w.orderBy(col("freq").desc, col("o_custkey"))))
+      .withColumn("m", ntile(4).over(w.orderBy(col("monetary").desc, col("o_custkey"))))
+      .withColumn("segment", concat(col("r"), col("f"), col("m")))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("monetary")).cast("double").as("segment_value"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e15_rfm_segmentation" -> (e15RfmSegmentation _),
     "e13_time_to_convert" -> (e13TimeToConvert _),
     "e12_sequence_next_node" -> (e12SequenceNextNode _),
     "e6b_window_funnel_strict" -> (e6bFunnelStrict _),
@@ -268,6 +294,20 @@ object Events {
     "e9_cohort_retention" -> (e9CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "e15_rfm_segmentation" ->
+      """WITH per AS (SELECT o_custkey, max(o_orderdate) AS last_order,
+        |    count(*) AS freq, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary
+        |  FROM orders GROUP BY 1),
+        |rfm AS (SELECT
+        |    ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+        |    ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f,
+        |    ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m,
+        |    monetary
+        |  FROM per)
+        |SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) AS segment,
+        |  count(*) AS n_customers,
+        |  CAST(CAST(sum(monetary) AS VARCHAR) AS DOUBLE) AS segment_value
+        |FROM rfm GROUP BY 1 ORDER BY 1""".stripMargin,
     "e13_time_to_convert" ->
       """WITH fv AS (SELECT user_id,
         |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view
