@@ -480,7 +480,27 @@ object Aggregates {
         |FROM orders GROUP BY ALL ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
   }
 
+  /** I4b: equi-HEIGHT histogram — the other histogram CH (and every
+    * CBO) keeps: ntile splits the value distribution into equal-count
+    * buckets, each summarized by (lo, hi, n). Total-order tiebreak on
+    * the row key makes bucket edges deterministic; the global sort
+    * runs at the grouped cardinality. Complements i4's equi-width
+    * exact-bucket form. */
+  private def i4bEquiheight(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Engine.t(spark, dir, "orders")
+      .withColumn("bucket", ntile(10).over(w))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "i4b_equiheight_histogram" -> (i4bEquiheight _),
     "d27_group_by_all" -> (d27GroupByAll _),
     "d26_minmax_map" -> (d26MinMaxMap _),
     "d24_resample" -> (d24Resample _),
@@ -640,6 +660,13 @@ object Aggregates {
       """SELECT string_agg(kv, ',' ORDER BY kv) AS summap FROM
         |(SELECT event_type || ':' || CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS kv
         | FROM events GROUP BY event_type)""".stripMargin,
+    "i4b_equiheight_histogram" ->
+      """WITH b AS (SELECT o_totalprice,
+        |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        |  FROM orders)
+        |SELECT CAST(bucket AS INT) AS bucket, count(*) AS n,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "d27_group_by_all" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
