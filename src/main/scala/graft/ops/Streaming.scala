@@ -495,7 +495,46 @@ object Streaming {
       .orderBy("c_mktsegment")
   }
 
+  /** J11: running per-user totals via `mapGroupsWithState` — the
+    * one-row-per-group-per-batch stateful API (j3's flatMap sibling):
+    * state is an O(1) (count, exact cent total) pair per user, each
+    * micro-batch folds its rows in and emits the updated running
+    * value. Totals are monotone, so the LAST emission per user is the
+    * complete aggregate and max() recovers it from the update-mode
+    * sink deterministically. Oracle = the batch rollup. */
+  private def j11RunningUserStats(spark: SparkSession, dir: String): DataFrame = withStreamingPartitions(spark) {
+    import spark.implicits._
+    val sinkName = "j11_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = eventStream(spark, stageEvents(spark, dir), oneFilePerBatch = true)
+      // exact cents: round before the cast — a bare truncation of
+      // value*100 loses a cent whenever the double lands below the
+      // integer (8.2*100 = 819.99…)
+      .select(col("user_id").as[Long], round(col("value") * 100).cast("long").as[Long])
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (Long, Long, Long)](GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          var (n, cents) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { case (_, c) => n += 1; cents += c }
+          state.update((n, cents))
+          (user, n, cents)
+      }
+      .toDF("user_id", "n", "cents")
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .groupBy("user_id")
+      .agg(max(col("n")).as("n_events"),
+        (max(col("cents")) / 100.0).as("sum_value"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "j11_running_user_stats" -> (j11RunningUserStats _),
     "j10_stream_static_join" -> (j10StreamStaticJoin _),
     "j9_watermark_late_drop" -> (j9WatermarkLateDrop _),
     "j8_streaming_topk" -> (j8StreamingTopk _),
@@ -507,6 +546,10 @@ object Streaming {
     "j7_streaming_retention" -> (j7StreamingRetention _))
 
   val oracles: Map[String, String] = Map(
+    "j11_running_user_stats" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS DOUBLE) / 100.0 AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "j10_stream_static_join" ->
       """SELECT c.c_mktsegment, count(*) AS n,
         |  CAST(CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
