@@ -499,7 +499,39 @@ object Aggregates {
       .orderBy("bucket")
   }
 
+  /** D31: `cramersV` — CH's categorical-association family: χ² over
+    * the exact contingency table of two columns, normalized to [0,1].
+    * All counts are exact integers; the χ² fold is +,×,/ double
+    * arithmetic over 15 cells (rounded 6 dp both engines). Shape:
+    * one (r×c)-row aggregation, then a broadcast of the marginals —
+    * scan-bound at any scale. */
+  private def d31CramersV(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Engine.t(spark, dir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+    val withMarginals = cells
+      .withColumn("rt", sum("c").over(w.partitionBy("o_orderstatus")))
+      .withColumn("ct", sum("c").over(w.partitionBy("o_orderpriority")))
+      .withColumn("n", sum("c").over(w.partitionBy()))
+    val e = col("rt").cast("double") * col("ct").cast("double") / col("n").cast("double")
+    withMarginals
+      .withColumn("chi", (col("c").cast("double") - e) * (col("c").cast("double") - e) / e)
+      .agg(
+        sum(col("chi")).as("chi2"),
+        first(col("n")).as("n"),
+        count_distinct(col("o_orderstatus")).as("r"),
+        count_distinct(col("o_orderpriority")).as("cc"))
+      .select(
+        round(col("chi2"), 6).as("chi2"),
+        col("n"),
+        round(sqrt(col("chi2") /
+          (col("n").cast("double") * least(col("r") - 1, col("cc") - 1).cast("double"))), 6)
+          .as("cramers_v"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d31_cramers_v" -> (d31CramersV _),
     "i4b_equiheight_histogram" -> (i4bEquiheight _),
     "d27_group_by_all" -> (d27GroupByAll _),
     "d26_minmax_map" -> (d26MinMaxMap _),
@@ -660,6 +692,24 @@ object Aggregates {
       """SELECT string_agg(kv, ',' ORDER BY kv) AS summap FROM
         |(SELECT event_type || ':' || CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS kv
         | FROM events GROUP BY event_type)""".stripMargin,
+    "d31_cramers_v" ->
+      """WITH cells AS (SELECT o_orderstatus, o_orderpriority, count(*) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (SELECT c,
+        |    CAST(sum(c) OVER (PARTITION BY o_orderstatus) AS DOUBLE) AS rt,
+        |    CAST(sum(c) OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS ct,
+        |    CAST(sum(c) OVER () AS DOUBLE) AS n,
+        |    o_orderstatus, o_orderpriority
+        |  FROM cells),
+        |chi AS (SELECT
+        |    sum((CAST(c AS DOUBLE) - rt * ct / n) * (CAST(c AS DOUBLE) - rt * ct / n) / (rt * ct / n)) AS chi2,
+        |    CAST(max(n) AS BIGINT) AS n,
+        |    count(DISTINCT o_orderstatus) AS r,
+        |    count(DISTINCT o_orderpriority) AS cc
+        |  FROM m)
+        |SELECT round(chi2, 6) AS chi2, n,
+        |  round(sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(least(r - 1, cc - 1) AS DOUBLE))), 6) AS cramers_v
+        |FROM chi""".stripMargin,
     "i4b_equiheight_histogram" ->
       """WITH b AS (SELECT o_totalprice,
         |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
