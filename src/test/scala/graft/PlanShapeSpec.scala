@@ -49,6 +49,18 @@ class PlanShapeSpec extends AnyFunSuite {
       plan.contains("ShuffledHashJoin"), s"expected an equi join on band, plan:\n$plan")
   }
 
+  test("q3 top-10 plans as TakeOrderedAndProject (no global sort materializes)") {
+    val df = SparkEntry.queries("q3_shipping_priority")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-K operator, plan:\n$plan")
+  }
+
+  test("l30 semantic decontamination broadcasts the eval set (corpus never shuffles for the probe)") {
+    val df = SparkEntry.queries("l30_semantic_decontaminate")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), s"eval set must broadcast, plan:\n$plan")
+  }
+
   test("q1 scan shows pushed shipdate filter and pruned ReadSchema") {
     val df = ops.Basics.q1PricingSummary(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
