@@ -53,6 +53,56 @@ class EdgeSemanticsSpec extends AnyFunSuite {
     assert(lonely.join(clicks, col("p_user") === col("c_user") && col("c_ts") <= col("p_ts")).count() == 0)
   }
 
+  private def writeEvents(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-edge").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("e6 cascade equals ordered-fold semantics on out-of-order arrival") {
+    // rows written DELIBERATELY out of timestamp order: the conditional-min
+    // cascade must be arrival-order independent (VERDICT r7 #2 done-gate)
+    val dir = writeEvents(Seq(
+      // user 1: view→click→purchase inside 24h, purchase row arrives first → level 3
+      (5L, ts("2024-01-01 11:00:00"), 1L, "purchase", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:30:00"), 1L, "click", 1.0, "{}"),
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      // user 2: all clicks precede the first view → level 1
+      (10L, ts("2024-01-01 09:00:00"), 2L, "click", 1.0, "{}"),
+      (11L, ts("2024-01-01 10:00:00"), 2L, "view", 1.0, "{}"),
+      (12L, ts("2024-01-01 09:30:00"), 2L, "click", 1.0, "{}"),
+      // user 3: purchase at 10:15 precedes the click at 10:30 → level 2
+      (20L, ts("2024-01-01 10:15:00"), 3L, "purchase", 1.0, "{}"),
+      (21L, ts("2024-01-01 10:00:00"), 3L, "view", 1.0, "{}"),
+      (22L, ts("2024-01-01 10:30:00"), 3L, "click", 1.0, "{}"),
+      // user 4: purchase with no view → level 0
+      (30L, ts("2024-01-01 12:00:00"), 4L, "purchase", 1.0, "{}"),
+      // user 5: click at EXACTLY t1 (chain needs strictly-after) → level 1
+      (40L, ts("2024-01-01 10:00:00"), 5L, "view", 1.0, "{}"),
+      (41L, ts("2024-01-01 10:00:00"), 5L, "click", 1.0, "{}"),
+      // user 6: click 25h after first view (outside the 24h window) → level 1
+      (50L, ts("2024-01-01 10:00:00"), 6L, "view", 1.0, "{}"),
+      (51L, ts("2024-01-02 11:00:00"), 6L, "click", 1.0, "{}")))
+    val got = SparkEntry.queries("e6_window_funnel")(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(0 -> 1L, 1 -> 3L, 2 -> 1L, 3 -> 1L))
+  }
+
+  test("c6 union+window rewrite: equal-ts match, tie to larger id, unmatched purchase drops") {
+    val dir = writeEvents(Seq(
+      (1L, ts("2024-01-01 00:00:50"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 00:00:50"), 1L, "click", 1.0, "{}"), // ts tie with click 1
+      (3L, ts("2024-01-01 00:01:00"), 1L, "click", 1.0, "{}"),
+      (100L, ts("2024-01-01 00:00:50"), 1L, "purchase", 1.0, "{}"), // equal ts → click 2 (>= + tie rule)
+      (101L, ts("2024-01-01 00:01:10"), 1L, "purchase", 1.0, "{}"), // → click 3
+      (200L, ts("2024-01-01 00:00:05"), 2L, "purchase", 1.0, "{}"))) // no prior click → dropped
+    val got = SparkEntry.queries("c6_asof_join")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(100L -> 2L, 101L -> 3L))
+  }
+
   test("count/sum ignore nulls; count(*) does not") {
     val df = Seq(Some(1), None, Some(3)).toDF("v")
     val r = df.agg(count(col("v")), count(lit(1)), sum(col("v"))).collect().head

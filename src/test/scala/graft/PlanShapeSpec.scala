@@ -61,6 +61,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange"), s"eval set must broadcast, plan:\n$plan")
   }
 
+  test("c6 asof join plans join-free (union + carry-forward window, no pair blow-up)") {
+    val df = SparkEntry.queries("c6_asof_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"expected carry-forward window, plan:\n$plan")
+    // no join operator of any kind: the pair blow-up stage must not exist
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin") &&
+      !plan.contains("ShuffledHashJoin") && !plan.contains("NestedLoopJoin"),
+      s"asof must be the union+window rewrite, not a range join, plan:\n$plan")
+  }
+
+  test("e6 funnel keeps bounded per-group state (no collect_list event buffer)") {
+    val df = SparkEntry.queries("e6_window_funnel")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString + "\n" +
+      df.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"),
+      s"funnel must not buffer per-user event history, plan:\n$plan")
+  }
+
   test("q1 scan shows pushed shipdate filter and pruned ReadSchema") {
     val df = ops.Basics.q1PricingSummary(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
