@@ -1,9 +1,36 @@
 #!/usr/bin/env python3
 """Dev-only replica of the driver's t2 gate: run Verify's dumped parquet
 against DuckDB executing oracle_sql.json over the same sf tables, and
-compare values exactly. Usage: selfcheck.py [sfdir] [outdir] [name...]"""
+compare values exactly. Usage: selfcheck.py [sfdir] [outdir] [name...]
+
+Bench-regression mode: selfcheck.py --bench <bench.json>
+Compares a Bench run (sf0.1) against the committed per-query floor
+(BASELINE_FLOOR.json, the round-7 clean two-pass MIN). A query fails
+the gate if it exceeds max(2x floor, floor+0.5s) — the +0.5s absolute
+slack keeps sub-second floors from tripping on scheduler noise."""
 import duckdb, sys, json, glob, os, math
 import pyarrow.parquet as pq
+
+if len(sys.argv) > 1 and sys.argv[1] == "--bench":
+    bench = json.load(open(sys.argv[2]))
+    floor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "..", "BASELINE_FLOOR.json")
+    floor = json.load(open(floor_path))["queries"]
+    bad, new = [], []
+    for q, sec in sorted(bench.get("queries", {}).items()):
+        f = floor.get(q)
+        if f is None:
+            new.append(q); continue
+        limit = max(2.0 * f, f + 0.5)
+        if sec > limit:
+            print(f"FAIL {q}: {sec:.3f} s > limit {limit:.3f} (floor {f:.3f})")
+            bad.append(q)
+    for q in new:
+        print(f"new  {q}: {bench['queries'][q]:.3f} s (no recorded floor)")
+    tot = sum(bench.get("queries", {}).values())
+    print(f"\nbench: {len(bench.get('queries', {}))} queries, {tot:.1f} s total, "
+          f"{len(bad)} regressions, {len(new)} without a floor")
+    sys.exit(1 if bad else 0)
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"

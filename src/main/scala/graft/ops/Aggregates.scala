@@ -331,10 +331,18 @@ object Aggregates {
     override def reduce(b: Array[Long], a: Array[Long]): Array[Long] =
       if (a == null) b
       else if (b.isEmpty) a.clone()
-      else { var i = 0; while (i < b.length) { b(i) += a(i); i += 1 }; b }
+      else {
+        // ragged input must fail loudly, not truncate to the buffer's
+        // length established by the first row (ADVICE r7)
+        require(a.length == b.length, s"ragged vector: ${a.length} vs ${b.length}")
+        var i = 0; while (i < b.length) { b(i) += a(i); i += 1 }; b
+      }
     override def merge(x: Array[Long], y: Array[Long]): Array[Long] =
       if (x.isEmpty) y else if (y.isEmpty) x
-      else { var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x }
+      else {
+        require(x.length == y.length, s"ragged vector: ${x.length} vs ${y.length}")
+        var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x
+      }
     override def finish(b: Array[Long]): Array[Long] = b
     override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()

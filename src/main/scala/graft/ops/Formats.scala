@@ -58,7 +58,9 @@ object Formats {
     }
     val codecs = Seq("zstd",
       try { val p = write("lz4"); spark.read.parquet(p).head(); "lz4" }
-      catch { case _: Throwable => "snappy" })
+      // NonFatal only: an OOM/linkage error during the probe must surface,
+      // not masquerade as "lz4 absent" (ADVICE r7)
+      catch { case scala.util.control.NonFatal(_) => "snappy" })
     codecs.map { c =>
       spark.read.parquet(write(c))
         .agg(

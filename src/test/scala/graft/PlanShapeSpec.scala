@@ -79,6 +79,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"funnel must not buffer per-user event history, plan:\n$plan")
   }
 
+  test("k10 read-back prunes yyyymm directories (PartitionFilters + fewer files touched)") {
+    import org.apache.spark.sql.functions._
+    // running the query performs the partitioned write and returns the
+    // pruned read-back — the engine's own layout, not testdata's
+    SparkEntry.queries("k10_partitioned_write")(spark, sf).collect()
+    val out = graft.Engine.scratch(spark, sf, "k10_parts")
+    val all = spark.read.parquet(out)
+    val pruned = all.filter(col("yyyymm").between(199701, 199703))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("yyyymm"),
+      s"yyyymm filter must prune at the directory level, plan:\n$plan")
+    // proof the pruning is effective, not just declared: the pruned scan
+    // touches strictly fewer concrete files than the full table holds
+    val filesAll = all.select(input_file_name()).distinct().count()
+    val filesPruned = pruned.select(input_file_name()).distinct().count()
+    assert(filesPruned > 0 && filesPruned < filesAll,
+      s"expected a strict subset of files: pruned=$filesPruned all=$filesAll")
+  }
+
   test("q1 scan shows pushed shipdate filter and pruned ReadSchema") {
     val df = ops.Basics.q1PricingSummary(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
