@@ -36,6 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.expressions.JumpConsistentHash].getName, "jump_hash"),
       (children: Seq[Expression]) =>
         graft.expressions.JumpConsistentHash(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("farm_fingerprint64"),
+      new ExpressionInfo(classOf[graft.expressions.FarmFingerprint64Expr].getName, "farm_fingerprint64"),
+      (children: Seq[Expression]) =>
+        graft.expressions.FarmFingerprint64Expr(children.head)))
     // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
     // runtime row-level filters but does not register them as SQL
     // functions; surface them for the l31 incremental-dedup op (the

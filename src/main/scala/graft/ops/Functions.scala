@@ -166,6 +166,21 @@ object Functions {
       .select(col("c_custkey"), xxhash64(col("c_name")).as("xxh64"))
       .orderBy("c_custkey")
 
+  /** H11c: `farmFingerprint64` — the reference's stable 64-bit content
+    * fingerprint, reproduced BIT-EXACTLY by the custom codegen
+    * expression [[graft.expressions.FarmHash64]] (FarmHash
+    * Fingerprint64, a frozen public algorithm — unlike the
+    * engine-internal xxhash64 stand-in above, this value is portable
+    * across engines by contract). No DuckDB oracle (DuckDB has no farm
+    * fingerprint); byte-parity with Guava's independent implementation
+    * is pinned in `VectorExpressionSpec` across every length branch. */
+  private def h11FarmFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "customer")
+      .filter(col("c_custkey") <= 100)
+      .select(col("c_custkey"),
+        call_function("farm_fingerprint64", col("c_name")).as("farm_fp64"))
+      .orderBy("c_custkey")
+
   /** H12: base64/hex encode-decode round trips. */
   private def h12Encoding(spark: SparkSession, dir: String): DataFrame =
     Engine.t(spark, dir, "nation")
@@ -486,6 +501,7 @@ object Functions {
     "h10_json" -> (h10Json _),
     "h11_hash" -> (h11Hash _),
     "h11_xxhash64" -> (h11XxHash _),
+    "h11_farm_fingerprint64" -> (h11FarmFingerprint _),
     "h12_encoding" -> (h12Encoding _),
     "h13_bit" -> (h13Bit _),
     "h14_url" -> (h14Url _),

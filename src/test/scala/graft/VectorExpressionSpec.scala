@@ -87,6 +87,40 @@ class VectorExpressionSpec extends AnyFunSuite {
     assert(moved > 0.05 && moved < 0.20, s"minimal movement on 8→9 grow: got $moved, expect ≈1/9")
   }
 
+  test("farm_fingerprint64 is byte-parity with Guava's independent FarmHash Fingerprint64") {
+    import spark.implicits._
+    // deterministic inputs covering every length branch: 0 (empty), 1-3
+    // (byte mix), 4-7 (f32), 8-16, 17-32, 33-64, then >64 including the
+    // 64/65 and 128/129 block boundaries and a multi-block tail
+    val strs = (0 to 300).map { n =>
+      new String((0 until n).map(i => ('a' + (i * 7 + n * 13) % 26).toChar).toArray)
+    }
+    val got = strs.toDF("s")
+      .select(col("s"), call_function("farm_fingerprint64", col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    got.foreach { case (s, h) =>
+      val expect = com.google.common.hash.Hashing.farmHashFingerprint64()
+        .hashBytes(s.getBytes("UTF-8")).asLong()
+      assert(h == expect, s"len=${s.length}: got $h expected $expect")
+    }
+    // binary input path + non-ASCII bytes (seeded PRNG → deterministic)
+    val rnd = new scala.util.Random(42)
+    val bins = Seq(5, 23, 47, 63, 64, 65, 200, 1024).map { n =>
+      val b = new Array[Byte](n); rnd.nextBytes(b); b
+    }
+    val gotBin = bins.toDF("b")
+      .select(col("b"), call_function("farm_fingerprint64", col("b")).as("h"))
+      .collect().map(r => (r.getAs[Array[Byte]](0), r.getLong(1)))
+    gotBin.foreach { case (b, h) =>
+      val expect = com.google.common.hash.Hashing.farmHashFingerprint64().hashBytes(b).asLong()
+      assert(h == expect, s"binary len=${b.length}: got $h expected $expect")
+    }
+    // interpreted eval path == codegen path (collect() above ran codegen)
+    val ex = graft.expressions.FarmHash64.hash("hello world".getBytes("UTF-8"))
+    assert(ex == com.google.common.hash.Hashing.farmHashFingerprint64()
+      .hashBytes("hello world".getBytes("UTF-8")).asLong())
+  }
+
   test("mixed float/double arrays are accepted (IVF centroid case)") {
     val r = spark.sql(
       "SELECT dot_f(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS DOUBLE))) AS d")
