@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.expressions.FarmFingerprint64Expr].getName, "farm_fingerprint64"),
       (children: Seq[Expression]) =>
         graft.expressions.FarmFingerprint64Expr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("sip_hash64"),
+      new ExpressionInfo(classOf[graft.expressions.SipHash64Expr].getName, "sip_hash64"),
+      (children: Seq[Expression]) =>
+        graft.expressions.SipHash64Expr(children.head)))
     // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
     // runtime row-level filters but does not register them as SQL
     // functions; surface them for the l31 incremental-dedup op (the

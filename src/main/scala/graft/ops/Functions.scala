@@ -181,6 +181,17 @@ object Functions {
         call_function("farm_fingerprint64", col("c_name")).as("farm_fp64"))
       .orderBy("c_custkey")
 
+  /** H11d: `sipHash64` — zero-key SipHash-2-4 via the custom codegen
+    * expression [[graft.expressions.SipHash64]]; same portability
+    * contract as h11c (frozen public algorithm, parity pinned against
+    * Guava's independent implementation in `VectorExpressionSpec`). */
+  private def h11SipHash(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "customer")
+      .filter(col("c_custkey") <= 100)
+      .select(col("c_custkey"),
+        call_function("sip_hash64", col("c_name")).as("sip64"))
+      .orderBy("c_custkey")
+
   /** H12: base64/hex encode-decode round trips. */
   private def h12Encoding(spark: SparkSession, dir: String): DataFrame =
     Engine.t(spark, dir, "nation")
@@ -502,6 +513,7 @@ object Functions {
     "h11_hash" -> (h11Hash _),
     "h11_xxhash64" -> (h11XxHash _),
     "h11_farm_fingerprint64" -> (h11FarmFingerprint _),
+    "h11_siphash64" -> (h11SipHash _),
     "h12_encoding" -> (h12Encoding _),
     "h13_bit" -> (h13Bit _),
     "h14_url" -> (h14Url _),

@@ -158,17 +158,22 @@ object LlmPipeline {
     * pipeline). `nodes` = (doc_id); `pairs` = undirected edges (a, b).
     * Labels converge to the component's min doc_id in O(diameter)
     * rounds. The iteration state (labels, edges) is tiny relative to
-    * the corpus — a deployment sizes shuffle partitions to the
-    * candidate frontier, not the corpus; and localCheckpoint truncates
-    * the per-round lineage so round k's plan doesn't re-optimize
-    * rounds 1..k-1. Returns (doc_id, label), materialized. */
+    * the corpus — shuffle partitions are sized to the measured edge
+    * frontier (~100k edges per partition, floor 4, never above the
+    * session default), not to the corpus or a constant; and
+    * localCheckpoint truncates the per-round lineage so round k's plan
+    * doesn't re-optimize rounds 1..k-1. Returns (doc_id, label),
+    * materialized. */
   private[ops] def minLabelComponents(
       spark: SparkSession, nodes: DataFrame, pairs: DataFrame): DataFrame = {
     val spKey = "spark.sql.shuffle.partitions"
     val spPrev = spark.conf.get(spKey)
-    spark.conf.set(spKey, "4")
+    val edges0 = pairs.union(pairs.select(col("b").as("a"), col("a").as("b"))).localCheckpoint()
+    val nEdges = edges0.count()
+    spark.conf.set(spKey,
+      math.max(4L, math.min(spPrev.toLong, nEdges / 100000L)).toString)
     try {
-      val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b"))).localCheckpoint()
+      val edges = edges0
       var labels = nodes.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
       var converged = false
       var rounds = 0

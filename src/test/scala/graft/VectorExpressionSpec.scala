@@ -121,6 +121,33 @@ class VectorExpressionSpec extends AnyFunSuite {
       .hashBytes("hello world".getBytes("UTF-8")).asLong())
   }
 
+  test("sip_hash64 is byte-parity with Guava's independent SipHash-2-4 (zero key)") {
+    import spark.implicits._
+    // every residual-tail length 0..7 across block counts 0..15
+    val strs = (0 to 120).map { n =>
+      new String((0 until n).map(i => ('A' + (i * 11 + n * 3) % 26).toChar).toArray)
+    }
+    val got = strs.toDF("s")
+      .select(col("s"), call_function("sip_hash64", col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    got.foreach { case (s, h) =>
+      val expect = com.google.common.hash.Hashing.sipHash24(0L, 0L)
+        .hashBytes(s.getBytes("UTF-8")).asLong()
+      assert(h == expect, s"len=${s.length}: got $h expected $expect")
+    }
+    // keyed variant against the SipHash paper's test key (via Guava)
+    val paperK0 = 0x0706050403020100L
+    val paperK1 = 0x0f0e0d0c0b0a0908L
+    val msg = (0 until 64).map(_.toByte).toArray
+    (0 to 64).foreach { n =>
+      val m = msg.take(n)
+      val expect = com.google.common.hash.Hashing.sipHash24(paperK0, paperK1)
+        .hashBytes(m).asLong()
+      assert(graft.expressions.SipHash64.hash(m, paperK0, paperK1) == expect,
+        s"keyed parity failed at len=$n")
+    }
+  }
+
   test("mixed float/double arrays are accepted (IVF centroid case)") {
     val r = spark.sql(
       "SELECT dot_f(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS DOUBLE))) AS d")
