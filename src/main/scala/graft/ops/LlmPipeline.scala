@@ -207,12 +207,16 @@ object LlmPipeline {
     * No oracle (the LSH hash family is engine-internal); `LlmOpsSpec`
     * plants a 3-doc near-dup group and asserts it collapses to one
     * keeper while unrelated docs survive. */
-  def dedupVerdicts(spark: SparkSession, dir: String): DataFrame = {
+  /** Stages 1–2 of l37: LSH candidates exact-verified by 3-shingle
+    * Jaccard ≥ 0.6. Factored out so `PlanShapeSpec` can pin that the
+    * verify stage joins ONLY on candidate doc ids (equi joins — never
+    * a CartesianProduct / nested loop against the corpus). */
+  private[graft] def verifiedPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Engine.t(spark, dir, "documents")
     val grams = docs.select(col("doc_id"),
       array_distinct(LlmText.ngrams(toks, 3)).as("grams"))
     val inter = size(array_intersect(col("ga"), col("gb")))
-    val verified = LlmText.lshCandidates(spark, dir)
+    LlmText.lshCandidates(spark, dir)
       .join(grams.select(col("doc_id").as("a"), col("grams").as("ga")), "a")
       .join(grams.select(col("doc_id").as("b"), col("grams").as("gb")), "b")
       .select(col("a"), col("b"),
@@ -220,8 +224,12 @@ object LlmPipeline {
           (size(col("ga")) + size(col("gb")) - inter).cast("double")).as("j"))
       .filter(col("j") >= 0.6)
       .select("a", "b")
+  }
+
+  def dedupVerdicts(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.t(spark, dir, "documents")
     docs.select(col("doc_id"), col("source"))
-      .join(minLabelComponents(spark, docs.select("doc_id"), verified), "doc_id")
+      .join(minLabelComponents(spark, docs.select("doc_id"), verifiedPairs(spark, dir)), "doc_id")
       .select(col("doc_id"), col("source"), col("label").as("keep_id"),
         (col("doc_id") === col("label")).as("is_keeper"))
   }

@@ -26,6 +26,21 @@ class PartialAggPropertySpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("FarmHash64/SipHash64 parity with Guava holds on arbitrary byte arrays (property)") {
+    // stronger than the fixed-length VectorExpressionSpec sweep: random
+    // content AND random lengths, both algorithms, every run
+    val genBytes = Gen.choose(0, 400).flatMap(n => Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte)))
+    val prop = Prop.forAll(genBytes) { (bs: List[Byte]) =>
+      val b = bs.toArray
+      graft.expressions.FarmHash64.hash(b) ==
+        com.google.common.hash.Hashing.farmHashFingerprint64().hashBytes(b).asLong() &&
+      graft.expressions.SipHash64.hash(b) ==
+        com.google.common.hash.Hashing.sipHash24(0L, 0L).hashBytes(b).asLong()
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("decimal sum over repartitioned data equals single-partition sum") {
     import spark.implicits._
     val xs = (1 to 500).map(i => (i % 7, i * 1.25))

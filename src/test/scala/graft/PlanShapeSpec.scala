@@ -79,6 +79,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"funnel must not buffer per-user event history, plan:\n$plan")
   }
 
+  test("l37 verify stage joins only on candidate ids (no all-pairs product against the corpus)") {
+    val df = ops.LlmPipeline.verifiedPairs(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"Jaccard verify must stay candidate-sized (equi joins only), plan:\n$plan")
+  }
+
   test("k10 read-back prunes yyyymm directories (PartitionFilters + fewer files touched)") {
     import org.apache.spark.sql.functions._
     // running the query performs the partitioned write and returns the

@@ -30,6 +30,13 @@ class VectorExpressionSpec extends AnyFunSuite {
         " l2sq_f(array(CAST(1.0 AS FLOAT)), array(CAST(4.0 AS FLOAT))) AS l")
       .collect().head
     assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 9.0)
+    // the hash parity expressions resolve through SQL text too
+    val h = spark.sql(
+      "SELECT farm_fingerprint64('abc') AS f, sip_hash64('abc') AS s").collect().head
+    assert(h.getLong(0) == com.google.common.hash.Hashing.farmHashFingerprint64()
+      .hashBytes("abc".getBytes("UTF-8")).asLong())
+    assert(h.getLong(1) == com.google.common.hash.Hashing.sipHash24(0L, 0L)
+      .hashBytes("abc".getBytes("UTF-8")).asLong())
   }
 
   test("minhash_bands == banded minhash_sigs, codegen and interpreted") {
