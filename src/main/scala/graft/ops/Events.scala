@@ -287,7 +287,46 @@ object Events {
       .orderBy("segment")
   }
 
+  /** E16: `maxIntersections` — the reference's interval-overlap
+    * parametric aggregate: the maximum number of concurrently-open
+    * intervals. Intervals derive deterministically from events
+    * (duration = 60·(1 + event_id mod 30) seconds). Classic sweep:
+    * +1 at each start, −1 at each end (half-open — at an exact
+    * boundary the −1 applies first, so back-to-back intervals never
+    * double-count), running sum, global max.
+    *
+    * Scale shape: a GLOBAL running sum would be one task sorting the
+    * whole corpus, so it is computed with the same two-level prefix
+    * sum as l17: day-chunk windows cumsum locally in parallel, day
+    * totals (≤ a few thousand rows at any scale) prefix-sum on one
+    * tiny task and broadcast back as offsets. DuckDB's flat
+    * whole-table window is the oracle, pinning the decomposition. */
+  private def e16MaxConcurrent(spark: SparkSession, dir: String): DataFrame = {
+    val durUs = (lit(60L) * (lit(1L) + pmod(col("event_id"), lit(30L)))) * lit(1000000L)
+    val iv = Engine.events(spark, dir)
+      .select(unix_micros(col("ts")).as("s"), (unix_micros(col("ts")) + durUs).as("e"))
+    val pts = iv.select(col("s").as("t"), lit(1).as("d"))
+      .unionByName(iv.select(col("e").as("t"), lit(-1).as("d")))
+      .withColumn("day", (col("t") / lit(86400000000L)).cast("long"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("day").orderBy(col("t"), col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val local = pts.withColumn("run_local", sum(col("d")).over(wLocal))
+    // tiny per-day table: exclusive prefix of day sums → chunk offsets
+    val wDays = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = pts.groupBy("day").agg(sum(col("d")).as("day_sum"))
+      .withColumn("offset", coalesce(sum(col("day_sum")).over(wDays), lit(0L)))
+      .select("day", "offset")
+    local.join(broadcast(offsets), "day")
+      .select((col("run_local") + col("offset")).as("run"))
+      .agg(max(col("run")).cast("int").as("max_concurrent"),
+        (count(lit(1)) / 2).cast("long").as("n_intervals"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e16_max_concurrent" -> (e16MaxConcurrent _),
     "e15_rfm_segmentation" -> (e15RfmSegmentation _),
     "e13_time_to_convert" -> (e13TimeToConvert _),
     "e12_sequence_next_node" -> (e12SequenceNextNode _),
@@ -300,6 +339,13 @@ object Events {
     "e9_cohort_retention" -> (e9CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "e16_max_concurrent" ->
+      """WITH iv AS (SELECT ts AS s,
+        |    ts + (60 * (1 + (event_id % 30))) * INTERVAL 1 SECOND AS e FROM events),
+        |pts AS (SELECT s AS t, 1 AS d FROM iv UNION ALL SELECT e AS t, -1 AS d FROM iv),
+        |run AS (SELECT sum(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS r FROM pts)
+        |SELECT CAST(max(r) AS INT) AS max_concurrent,
+        |  CAST(count(*) / 2 AS BIGINT) AS n_intervals FROM run""".stripMargin,
     "e15_rfm_segmentation" ->
       """WITH per AS (SELECT o_custkey, max(o_orderdate) AS last_order,
         |    count(*) AS freq, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary

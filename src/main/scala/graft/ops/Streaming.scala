@@ -533,7 +533,60 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** J12: stream–stream inner join — clicks ⋈ purchases per user with
+    * a time-range constraint (purchase within 1 h after the click),
+    * the attribution join as both sides arrive. Spark-native: two
+    * watermarked file-source streams, equi key + event-time range —
+    * the state store keeps only rows inside the watermark horizon, so
+    * at 100 TB/day state is bounded by (rate × delay), not history.
+    * For the bounded deterministic replay the delay (365 d) exceeds
+    * the dataset's span, so no match can be lost to eviction and the
+    * oracle is the identical batch join; a production deployment dials
+    * the delay to its real disorder bound (j9 demonstrates eviction).
+    * Matched pairs append per micro-batch (j1's partial discipline);
+    * the rollup dedups nothing — stream-stream inner join emits each
+    * match exactly once. */
+  private def j12StreamStreamJoin(spark: SparkSession, dir: String): DataFrame = withStreamingPartitions(spark) {
+    val target = Engine.scratch(spark, dir, "j12_pairs")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(target), true)
+    fs.delete(new org.apache.hadoop.fs.Path(target + "_ckpt"), true)
+    val staged = stageEvents(spark, dir)
+    // single AvailableNow batch: the multi-batch replay discipline is
+    // already exercised by j1/j6-j11; here the state-store machinery of
+    // the JOIN itself (4 stores × partitions, keyed + range lookups) is
+    // the subject, and an 8-batch replay pays that commit cycle 8× for
+    // no additional semantics (measured 14 s → ~2 s at sf0.01).
+    val clicks = eventStream(spark, staged, oneFilePerBatch = false)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "365 days")
+    val purchases = eventStream(spark, staged, oneFilePerBatch = false)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "365 days")
+    val q = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select("c_id", "p_id")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", target + "_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(target)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(target)
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(col("c_id")).as("n_clicks_matched"),
+        count_distinct(col("p_id")).as("n_purchases_matched"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "j12_stream_stream_join" -> (j12StreamStreamJoin _),
     "j11_running_user_stats" -> (j11RunningUserStats _),
     "j10_stream_static_join" -> (j10StreamStaticJoin _),
     "j9_watermark_late_drop" -> (j9WatermarkLateDrop _),
@@ -546,6 +599,16 @@ object Streaming {
     "j7_streaming_retention" -> (j7StreamingRetention _))
 
   val oracles: Map[String, String] = Map(
+    "j12_stream_stream_join" ->
+      """WITH c AS (SELECT event_id AS c_id, user_id, ts AS c_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT count(*) AS n_pairs,
+        |  CAST(count(DISTINCT c_id) AS BIGINT) AS n_clicks_matched,
+        |  CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases_matched
+        |FROM c JOIN p USING (user_id)
+        |WHERE p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR""".stripMargin,
     "j11_running_user_stats" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS DOUBLE) / 100.0 AS sum_value
