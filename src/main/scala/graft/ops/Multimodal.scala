@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Engine
+import graft.{CH, Engine}
 
 /** Multimodal-column plumbing (project brief): media as opaque
   * `binary` columns with typed metadata, processed per-partition.
@@ -155,7 +155,66 @@ object Multimodal {
       .orderBy("modality")
   }
 
+  case class PHash(doc_id: Long, ph: Long)
+
+  /** STUB perceptual hash (aHash): 64 grid-sampled bytes, bit i set
+    * iff sample i exceeds the grid mean. Stands in for a pixel-space
+    * average hash; a real decoder + luma grid drops in without
+    * changing the query shape (same contract as `fakeDecode`). */
+  private[graft] def fakePHash(r: MediaRow): PHash = {
+    val n = r.payload.length
+    val s = new Array[Int](64)
+    var i = 0
+    var sum = 0L
+    while (i < 64) {
+      s(i) = if (n == 0) 0 else r.payload((i.toLong * n / 64).toInt) & 0xff
+      sum += s(i); i += 1
+    }
+    val mean = sum.toDouble / 64
+    var h = 0L
+    i = 0
+    while (i < 64) { if (s(i) > mean) h |= (1L << i); i += 1 }
+    PHash(r.doc_id, h)
+  }
+
+  /** MM5: perceptual near-dup across a media corpus — the modality
+    * sibling of l13's SimHash text dedup: per-asset 64-bit aHash
+    * (decode-stub), then 4×16-bit BAND buckets — pigeonhole: Hamming
+    * ≤ 3 implies at least one band identical — so candidates come
+    * from a hash equi-join on (band, sig), never an all-pairs scan;
+    * the exact `bit_count(xor)` ≤ 3 check verifies candidates only.
+    * At 100 TB: one narrow decode pass, one exchange on the band key.
+    * No oracle (the hash is decoder-internal); `LlmOpsSpec` plants a
+    * byte-identical-but-for-one-edit payload pair and asserts it
+    * collides while unrelated payloads do not. */
+  def phashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ph = mediaTable(spark, dir)
+      .as[MediaRow]
+      .mapPartitions(rows => rows.map(fakePHash))
+      .toDF()
+    val banded = ph.select(col("doc_id"), col("ph"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("ph"), b * 16).bitwiseAND(lit(0xffffL))): _*)).as(Seq("band", "sig")))
+    val a = banded.select(col("band"), col("sig"), col("doc_id").as("a"), col("ph").as("pa"))
+    val b = banded.select(col("band"), col("sig"), col("doc_id").as("b"), col("ph").as("pb"))
+    // candidates (band collision) WITH their exact Hamming distance —
+    // callers filter hd ≤ 3 for the verified near-dups; the declared op
+    // also reports the candidate count, exposing the whole LSH funnel
+    a.join(b, Seq("band", "sig")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).as("hd"))
+      .distinct()
+  }
+
+  private def mm5PhashNeardup(spark: SparkSession, dir: String): DataFrame =
+    phashPairs(spark, dir)
+      .agg(count(lit(1)).as("n_candidate_pairs"),
+        CH.countIf(col("hd") <= 3).as("n_neardup_pairs"),
+        coalesce(min(col("hd")), lit(-1)).cast("int").as("min_hamming"))
+
   val queries: Map[String, Q] = Map(
+    "mm5_phash_neardup" -> (mm5PhashNeardup _),
     "mm4_modality_route" -> (mm4ModalityRoute _),
     "mm1_media_features" -> (mm1Features _),
     "mm2_resize" -> (mm2Resize _),

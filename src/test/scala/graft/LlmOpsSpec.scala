@@ -84,6 +84,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fwd == rev, "shard assignment must be a pure function of the id")
   }
 
+  test("mm5 perceptual-hash banding collides a near-identical payload, not unrelated media") {
+    import spark.implicits._
+    // bimodal bytes (97 vs 122) keep every grid sample far from the
+    // mean, so a single-byte edit flips at most its own bit — the
+    // regime a real luma aHash operates in
+    val base = "aaaazzzz" * 20                 // 160 bytes
+    val near = base.updated(85, 'a')           // one byte, same length (85 = a sampled 'z' cell)
+    val far = "zzzzaaaa" * 20                  // opposite phase → complementary hash
+    val staged = "/tmp/graft_io/test_phash"
+    Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("t").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$staged/documents.parquet")
+    val pairs = Multimodal.phashPairs(spark, staged)
+      .filter(col("hd") <= 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.contains((1L, 2L)), s"near-identical payload pair not found in $pairs")
+    assert(pairs((1L, 2L)) <= 3)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated payload survived the verify: $pairs")
+  }
+
   test("SimHash banding collides planted near-duplicates, not unrelated text") {
     import spark.implicits._
     // Long documents (sentence ×8): per-bit vote margins are multiples
