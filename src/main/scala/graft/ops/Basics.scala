@@ -225,6 +225,43 @@ object Basics {
         col("revenue"), col("n_lines"))
   }
 
+  /** Q5: local-supplier volume — the TPC-H Q5 join spine as the third
+    * flagship: lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈
+    * region with the same-nation (customer trades with a local
+    * supplier) constraint. Scale shape: region and the region-filtered
+    * nation list are explicit broadcasts (true dims); customer and
+    * supplier get NO hint — AQE picks broadcast at test SF from real
+    * stats and degrades them to shuffled hash joins when they outgrow
+    * the threshold, on the same declarative plan. The one unavoidable
+    * fact-fact exchange is lineitem ⋈ orders on orderkey. Decimal
+    * revenue exits as a correctly-rounded double (q1 discipline). */
+  private def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("date")
+    val hi = lit("1997-01-01").cast("date")
+    val r = Engine.t(spark, dir, "region")
+      .filter(col("r_name") === "ASIA").select("r_regionkey")
+    val n = Engine.t(spark, dir, "nation")
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val c = Engine.t(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val o = Engine.t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val s = Engine.t(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val l = Engine.t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val revenue = CH.dec(col("l_extendedprice")) *
+      CH.dec(lit(1) - CH.dec(col("l_discount"), 8, 4), 8, 4)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(revenue).cast("double").as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** B8: WITH/CTE reuse — the TPC-H Q11 shape: an aggregate subquery
     * consumed twice (per-key totals AND their global average). Catalyst
     * plans the shared subtree once where exchange reuse applies; the
@@ -244,6 +281,7 @@ object Basics {
   val queries: Map[String, Q] = Map(
     "b8_cte_reuse" -> (b8CteReuse _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
     "b7_select_modifiers" -> (b7SelectModifiers _),
     "b6_final" -> (b6Final _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -265,6 +303,22 @@ object Basics {
         |SELECT l_partkey, CAST(CAST(tq AS VARCHAR) AS DOUBLE) AS total_qty
         |FROM pp WHERE tq > (SELECT sum(tq) / count(*) FROM pp) * 1.5
         |ORDER BY l_partkey""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT o.o_orderkey,
         |  strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,

@@ -105,6 +105,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected a strict subset of files: pruned=$filesPruned all=$filesAll")
   }
 
+  test("q5 join spine: date filter pushed to orders scan, fact never cartesian, dims broadcast") {
+    val df = SparkEntry.queries("q5_local_supplier")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dims must broadcast, plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no unkeyed join anywhere in the spine, plan:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderdate"),
+      s"order-date range must reach the orders scan, plan:\n$plan")
+    // only the final aggregate + presentation sort may shuffle at test SF
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"fact side should not shuffle for dim joins here, plan:\n$plan")
+  }
+
   test("q1 scan shows pushed shipdate filter and pruned ReadSchema") {
     val df = ops.Basics.q1PricingSummary(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
