@@ -538,7 +538,52 @@ object Aggregates {
           .as("cramers_v"))
   }
 
+  /** D32: `-State` / `-Merge` through STORAGE — the AggregatingMergeTree
+    * pattern: partial aggregate states persist as a table and merge on
+    * read. Spark-native: `hll_sketch_agg` (Datasketches HLL) emits one
+    * BINARY sketch per (source × chunk) to parquet; the read side
+    * `hll_union_agg`s the stored states per source. The sketch is a
+    * deterministic mergeable summary, so the merged estimate equals
+    * the direct single-pass estimate EXACTLY — declared as a per-source
+    * invariant (`state_merge_ok`) next to the oracle-checked exact
+    * count. At 100 TB this is the incremental-rollup contract: each
+    * ingest writes KB-sized states, never re-reading history; a
+    * refresh is a union of states, not a rescan. */
+  private def d32AggStateStorage(spark: SparkSession, dir: String): DataFrame = {
+    val stateDir = Engine.scratch(spark, dir, "d32_states")
+    val docs = Engine.t(spark, dir, "documents")
+    // 4 ingest chunks, each writing its partial HLL state per source
+    docs.withColumn("chunk", pmod(col("doc_id"), lit(4)))
+      .groupBy("source", "chunk")
+      .agg(hll_sketch_agg(col("doc_id")).as("state"))
+      .write.mode("overwrite").parquet(stateDir)
+    val merged = spark.read.parquet(stateDir)
+      .groupBy("source")
+      .agg(hll_sketch_estimate(hll_union_agg(col("state"))).as("est_merged"))
+    val direct = docs.groupBy("source")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("doc_id"))).as("est_direct"),
+        count_distinct(col("doc_id")).as("n_exact"))
+    merged.join(direct, "source")
+      .select(col("source"), col("n_exact"),
+        (col("est_merged") === col("est_direct")).as("state_merge_ok"))
+      .orderBy("source")
+  }
+
+  /** D33: `uniqUpTo(N)` — exact distinct count capped at N+1 (the
+    * reference's "exact until it stops mattering" cardinality probe).
+    * Declarative form: `least(uniqExact, N+1)` — the cap is a
+    * post-aggregation clamp, so the plan is d4's exact-distinct. */
+  private def d33UniqUpTo(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        least(count_distinct(col("l_suppkey")), lit(11L)).as("uniq_upto_10"),
+        least(count_distinct(col("l_linestatus")), lit(11L)).as("uniq_upto_10_small"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, Q] = Map(
+    "d32_agg_state_storage" -> (d32AggStateStorage _),
+    "d33_uniq_upto" -> (d33UniqUpTo _),
     "d31_cramers_v" -> (d31CramersV _),
     "i4b_equiheight_histogram" -> (i4bEquiheight _),
     "d27_group_by_all" -> (d27GroupByAll _),
@@ -700,6 +745,15 @@ object Aggregates {
       """SELECT string_agg(kv, ',' ORDER BY kv) AS summap FROM
         |(SELECT event_type || ':' || CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS kv
         | FROM events GROUP BY event_type)""".stripMargin,
+    "d32_agg_state_storage" ->
+      """SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_exact,
+        |  true AS state_merge_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "d33_uniq_upto" ->
+      """SELECT l_returnflag,
+        |  least(count(DISTINCT l_suppkey), 11) AS uniq_upto_10,
+        |  least(count(DISTINCT l_linestatus), 11) AS uniq_upto_10_small
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "d31_cramers_v" ->
       """WITH cells AS (SELECT o_orderstatus, o_orderpriority, count(*) AS c
         |  FROM orders GROUP BY 1, 2),
