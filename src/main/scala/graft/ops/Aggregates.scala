@@ -249,6 +249,75 @@ object Aggregates {
     * at 100 TB only the sketch build touches the data. ε=0.001,
     * δ=0.01, fixed seed → deterministic output; error bound asserted
     * in SketchSpec. */
+  /** Per-type Theta sketches of the user-id set, one compact KB-sized
+    * sketch per event_type — the distributed part of i8 (shared with
+    * `SketchSpec`). Per-partition imperative build (an `UpdateSketch`
+    * per type per task: a data-dependent retention set no SQL
+    * composition expresses — the justified-mapPartitions case), then a
+    * tiny shuffle of (type × task) compact sketches and a per-type
+    * union. The returned map holds ≤ #types KB-sized sketches. */
+  private[graft] def thetaSketchesByType(
+      spark: SparkSession, dir: String): Map[String, Array[Byte]] = {
+    import spark.implicits._
+    import org.apache.datasketches.theta.{SetOperation, Sketches, UpdateSketch}
+    import org.apache.datasketches.memory.Memory
+    Engine.events(spark, dir)
+      .select(col("event_type"), col("user_id")).as[(String, Long)]
+      .mapPartitions { it =>
+        val sk = scala.collection.mutable.Map.empty[String, UpdateSketch]
+        it.foreach { case (t, u) =>
+          sk.getOrElseUpdate(t, UpdateSketch.builder().build()).update(u)
+        }
+        sk.iterator.map { case (t, s) => (t, s.compact().toByteArray) }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (t, it) =>
+        val u = SetOperation.builder().buildUnion()
+        it.foreach { case (_, b) => u.union(Sketches.wrapSketch(Memory.wrap(b))) }
+        (t, u.getResult.toByteArray)
+      }
+      .collect().toMap
+  }
+
+  /** I8: `uniqTheta` + set operations — Theta sketches estimate
+    * distinct-set INTERSECTIONS (audience overlap), the query HLL's
+    * union-only algebra cannot answer. The corpus-side work is
+    * [[thetaSketchesByType]]; the pairwise intersections run over the
+    * ≤ #types merged sketches on bounded driver-side state (same
+    * contract as the a12 listener probe). Determinism: below k=4096
+    * distinct values a theta sketch is EXACT and order-independent;
+    * in the sampling regime the retained set depends on arrival order
+    * (QuickSelect theta — measured, see `SketchSpec`), so stability
+    * here comes from the deterministic replay, and the declared
+    * output exposes only an estimate-accuracy flag (10 % band,
+    * generous vs the ~1.6 % RSE at k=4096) next to the ORACLE-CHECKED
+    * exact overlap. `SketchSpec` pins the error bound in both regimes
+    * plus exact-mode order-independence. */
+  private def i8ThetaOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.datasketches.theta.{SetOperation, Sketches}
+    import org.apache.datasketches.memory.Memory
+    val merged = thetaSketchesByType(spark, dir)
+    val ests = merged.keys.toSeq.sorted.combinations(2).map { pair =>
+      val (a, b) = (pair.head, pair(1))
+      val ix = SetOperation.builder().buildIntersection()
+      ix.intersect(Sketches.wrapSketch(Memory.wrap(merged(a))))
+      ix.intersect(Sketches.wrapSketch(Memory.wrap(merged(b))))
+      (a, b, ix.getResult.getEstimate)
+    }.toSeq.toDF("type_a", "type_b", "est")
+    val tu = Engine.events(spark, dir).select("event_type", "user_id").distinct()
+    val exact = tu.as("x").join(tu.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_exact_overlap"))
+    exact.join(broadcast(ests), Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("n_exact_overlap"),
+        (abs(col("est") - col("n_exact_overlap")) <=
+          col("n_exact_overlap") * 0.10).as("est_within_10pct"))
+      .orderBy("type_a", "type_b")
+  }
+
   private def i6CountMin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Engine.events(spark, dir)
     val bytes = ev
@@ -598,6 +667,7 @@ object Aggregates {
     "d21_sum_foreach" -> (d21SumForEach _),
     "d18_weighted_quantile" -> (d18WeightedQuantile _),
     "i6_countmin" -> (i6CountMin _),
+    "i8_theta_overlap" -> (i8ThetaOverlap _),
     "d1_groupby_agg" -> (d1GroupBy _),
     "d2_min_max_avg" -> (d2MinMax _),
     "d3_agg_if" -> (d3AggIf _),
@@ -745,6 +815,13 @@ object Aggregates {
       """SELECT string_agg(kv, ',' ORDER BY kv) AS summap FROM
         |(SELECT event_type || ':' || CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS kv
         | FROM events GROUP BY event_type)""".stripMargin,
+    "i8_theta_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS n_exact_overlap, true AS est_within_10pct
+        |FROM tu a JOIN tu b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "d32_agg_state_storage" ->
       """SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_exact,
         |  true AS state_merge_ok

@@ -9,6 +9,44 @@ import graft.ops.Sampling.SpaceSaving
 class SketchSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("theta intersection: error-bounded in the sampling regime, order- and run-deterministic") {
+    import org.apache.datasketches.theta.{SetOperation, Sketches, UpdateSketch}
+    import org.apache.datasketches.memory.Memory
+    def sketchOf(ids: Iterable[Int]): Array[Byte] = {
+      val s = UpdateSketch.builder().build()
+      ids.foreach(i => s.update(i.toLong))
+      s.compact().toByteArray
+    }
+    // |A| = |B| = 60k, true overlap 20k — far beyond k=4096, so both
+    // sketches are genuinely sampling (the regime i8's 10% flag covers)
+    val a = sketchOf(0 until 60000)
+    val b = sketchOf(40000 until 100000)
+    val ix = SetOperation.builder().buildIntersection()
+    ix.intersect(Sketches.wrapSketch(Memory.wrap(a)))
+    ix.intersect(Sketches.wrapSketch(Memory.wrap(b)))
+    val est = ix.getResult.getEstimate
+    assert(math.abs(est - 20000) <= 20000 * 0.10, s"intersection estimate $est vs true 20000")
+    // sampling-regime sketches are NOT bit-stable under insertion order
+    // (QuickSelect theta evolves with arrival order) — but the estimate
+    // stays in band for any order:
+    val aShuffled = sketchOf(new scala.util.Random(7).shuffle((0 until 60000).toVector))
+    val ix2 = SetOperation.builder().buildIntersection()
+    ix2.intersect(Sketches.wrapSketch(Memory.wrap(aShuffled)))
+    ix2.intersect(Sketches.wrapSketch(Memory.wrap(b)))
+    val est2 = ix2.getResult.getEstimate
+    assert(math.abs(est2 - 20000) <= 20000 * 0.10, s"shuffled estimate $est2 vs true 20000")
+    // BELOW k the sketch is exact and therefore order-independent bit-for-bit
+    val small = sketchOf(0 until 3000)
+    val smallShuffled = sketchOf(new scala.util.Random(11).shuffle((0 until 3000).toVector))
+    assert(java.util.Arrays.equals(small, smallShuffled),
+      "exact-mode compact sketch must be order-independent")
+    // and the engine's distributed per-type sketches reproduce across runs
+    val m1 = ops.Aggregates.thetaSketchesByType(spark, TestSpark.sf)
+    val m2 = ops.Aggregates.thetaSketchesByType(spark, TestSpark.sf)
+    assert(m1.keySet == m2.keySet && m1.keySet.nonEmpty)
+    m1.keys.foreach(k => assert(java.util.Arrays.equals(m1(k), m2(k)), s"sketch for $k not stable"))
+  }
+
   test("SpaceSaving finds true heavy hitters on skewed data") {
     import spark.implicits._
     // zipf-ish: value i appears ~ 1000/i times
