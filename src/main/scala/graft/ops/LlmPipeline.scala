@@ -234,6 +234,36 @@ object LlmPipeline {
         (col("doc_id") === col("label")).as("is_keeper"))
   }
 
+  /** L38: leakage-safe train/val split — the eval-hygiene step after
+    * dedup: a document and its near-duplicates must land in the SAME
+    * split, or the val set leaks into training. Guaranteed by
+    * construction: the split coin is `hash(keep_id)` — the dedup
+    * component's elected keeper (l37), not the doc id — so every
+    * member of a near-dup group flips the same coin. The declared
+    * output carries the invariant (`n_leaky_groups` = components
+    * spanning both splits, 0 by construction; a regression to
+    * per-doc hashing makes it nonzero immediately) next to the
+    * per-split volumes. One extra shuffle on keep_id over l37's
+    * verdicts; `LlmOpsSpec` plants a near-dup group and asserts
+    * co-assignment. */
+  def splitAssignments(spark: SparkSession, dir: String): DataFrame =
+    dedupVerdicts(spark, dir).withColumn("split",
+      when(pmod(hash(col("keep_id")), lit(100)) < 90, "train").otherwise("val"))
+
+  private def l38TrainValSplit(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = splitAssignments(spark, dir)
+    val leaky = assigned.groupBy("keep_id")
+      .agg(count_distinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+      .agg(count(lit(1)).as("n_leaky_groups"))
+    assigned.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("keep_id")).as("n_groups"))
+      .crossJoin(leaky)
+      .select("split", "n_docs", "n_groups", "n_leaky_groups")
+      .orderBy("split")
+  }
+
   private def l37DedupPipeline(spark: SparkSession, dir: String): DataFrame =
     dedupVerdicts(spark, dir)
       .groupBy("source")
@@ -541,6 +571,7 @@ object LlmPipeline {
     "l23_unigram_lm_score" -> (l23UnigramLmScore _),
     "l18_neardup_resolve" -> (l18NeardupResolve _),
     "l37_dedup_pipeline" -> (l37DedupPipeline _),
+    "l38_train_val_split" -> (l38TrainValSplit _),
     "l19_corpus_mix" -> (l19CorpusMix _),
     "l14_stratified_sample" -> (l14StratifiedSample _),
     "l15_pattern_scrub" -> (l15PatternScrub _),

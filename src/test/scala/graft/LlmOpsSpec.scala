@@ -57,6 +57,11 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(v(2L) == ((1L, false)) && v(3L) == ((1L, false)), s"verdicts: $v")
     // unrelated docs survive as their own keepers
     assert(v(4L) == ((4L, true)) && v(5L) == ((5L, true)), s"verdicts: $v")
+    // l38: every member of the near-dup group lands in the SAME split
+    val splits = LlmPipeline.splitAssignments(spark, staged).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(splits(1L) == splits(2L) && splits(2L) == splits(3L),
+      s"near-dup group must be co-assigned, got $splits")
   }
 
   test("l16 shard key is uniform across shards and independent of ingest order") {
