@@ -264,6 +264,33 @@ object LlmPipeline {
       .orderBy("split")
   }
 
+  /** L39: INTRA-document span dedup — C4's "remove repeated spans
+    * inside a document" curation rule (distinct from l22's CROSS-doc
+    * chunk dedup): the doc's token stream is cut into non-overlapping
+    * 2-token spans, only the FIRST occurrence of each distinct span
+    * survives (`array_distinct` keeps first-occurrence order), and the
+    * rollup reports the per-source removal mass. Pure per-row
+    * higher-order expressions — a narrow scan-speed map, one rollup
+    * shuffle; at 100 TB this composes into the same pass as the other
+    * per-row gates (l8/l21/l26). */
+  private def l39IntradocDedup(spark: SparkSession, dir: String): DataFrame = {
+    val nSpans = (size(toks) / 2).cast("int")
+    val spans = when(nSpans > 0, transform(sequence(lit(0), nSpans - 1),
+      i => array_join(slice(toks, i * 2 + 1, lit(2)), " ")))
+      .otherwise(array().cast("array<string>"))
+    Engine.t(spark, dir, "documents")
+      .select(col("source"), spans.as("sp"))
+      .select(col("source"), size(col("sp")).as("n"),
+        size(array_distinct(col("sp"))).as("nd"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_spans"),
+        sum(col("n") - col("nd")).as("n_dup_spans"),
+        sum((col("n") - col("nd")) * 2).as("tokens_removed"))
+      .orderBy("source")
+  }
+
   private def l37DedupPipeline(spark: SparkSession, dir: String): DataFrame =
     dedupVerdicts(spark, dir)
       .groupBy("source")
@@ -572,6 +599,7 @@ object LlmPipeline {
     "l18_neardup_resolve" -> (l18NeardupResolve _),
     "l37_dedup_pipeline" -> (l37DedupPipeline _),
     "l38_train_val_split" -> (l38TrainValSplit _),
+    "l39_intradoc_dedup" -> (l39IntradocDedup _),
     "l19_corpus_mix" -> (l19CorpusMix _),
     "l14_stratified_sample" -> (l14StratifiedSample _),
     "l15_pattern_scrub" -> (l15PatternScrub _),
@@ -613,6 +641,19 @@ object LlmPipeline {
         |  round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l39_intradoc_dedup" ->
+      """WITH d AS (SELECT source,
+        |    list_filter(string_split(text, ' '), t -> t != '') AS tk FROM documents),
+        |c AS (SELECT source,
+        |    CASE WHEN len(tk) // 2 > 0 THEN
+        |      list_transform(range(0, CAST(len(tk) // 2 AS INT)),
+        |        i -> array_to_string(list_slice(tk, i * 2 + 1, i * 2 + 2), ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END AS sp FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(sp)) AS BIGINT) AS n_spans,
+        |  CAST(sum(len(sp) - len(list_distinct(sp))) AS BIGINT) AS n_dup_spans,
+        |  CAST(sum((len(sp) - len(list_distinct(sp))) * 2) AS BIGINT) AS tokens_removed
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "l32_model_quality_score" ->
       """WITH f AS (SELECT source,
         |    CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS DOUBLE) AS nt,

@@ -103,6 +103,28 @@ class EdgeSemanticsSpec extends AnyFunSuite {
     assert(got == Map(100L -> 2L, 101L -> 3L))
   }
 
+  test("e16 sweep: back-to-back intervals never double-count (half-open boundary)") {
+    // durations are 60*(1 + event_id % 30) seconds; event_ids 0 and 30
+    // both give 60 s, so interval 1 = [10:00:00, 10:01:00) and
+    // interval 2 = [10:01:00, 10:02:00) share only the boundary instant,
+    // where the -1 applies before the +1 → max_concurrent must be 1.
+    // A third, genuinely overlapping interval elsewhere pins max = 2.
+    val dir = writeEvents(Seq(
+      (0L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (30L, ts("2024-01-01 10:01:00"), 1L, "view", 1.0, "{}"),
+      (60L, ts("2024-01-02 10:00:00"), 2L, "view", 1.0, "{}"),   // 60s
+      (90L, ts("2024-01-02 10:00:30"), 2L, "view", 1.0, "{}"))) // overlaps
+    val r = SparkEntry.queries("e16_max_concurrent")(spark, dir).collect().head
+    assert(r.getInt(0) == 2 && r.getLong(1) == 4L,
+      s"max_concurrent=${r.getInt(0)} n_intervals=${r.getLong(1)}")
+    // and with ONLY the back-to-back pair, the boundary must not count 2
+    val dir2 = writeEvents(Seq(
+      (0L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (30L, ts("2024-01-01 10:01:00"), 1L, "view", 1.0, "{}")))
+    val r2 = SparkEntry.queries("e16_max_concurrent")(spark, dir2).collect().head
+    assert(r2.getInt(0) == 1, s"back-to-back must stay 1, got ${r2.getInt(0)}")
+  }
+
   test("count/sum ignore nulls; count(*) does not") {
     val df = Seq(Some(1), None, Some(3)).toDF("v")
     val r = df.agg(count(col("v")), count(lit(1)), sum(col("v"))).collect().head
