@@ -321,7 +321,38 @@ object Storage {
         |FROM customer_analyst GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** K19: data-skipping indexes — the reference's secondary skip
+    * indexes map to Parquet-native structures, not a bolt-on: sorting
+    * within partitions by the probe key gives tight row-group min/max
+    * (the `minmax` index — the reader prunes whole row groups whose
+    * range misses the predicate), and
+    * `parquet.bloom.filter.enabled#col` writes a per-column bloom the
+    * reader consults for point predicates (`bloom_filter` index). The
+    * op writes orders sorted by custkey with a bloom on it, reads a
+    * point lookup back through both structures, and the oracle checks
+    * the answer; the predicate reaching the scan is what makes the
+    * skipping real (`PushedFilters`, same machinery q1 pins). Small
+    * row groups here so the test file has >1 pruning unit; a
+    * deployment leaves the default 128 MB. */
+  private def k19SkipIndex(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch(spark, dir, "k19_skip")
+    Engine.t(spark, dir, "orders")
+      .repartition(4, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#o_custkey", "true")
+      .option("parquet.block.size", (1 << 20).toString)
+      .parquet(out)
+    spark.read.parquet(out)
+      .filter(col("o_custkey").isin(101, 371))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(CH.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "k19_skip_index" -> (k19SkipIndex _),
     "k17_projection_route" -> (k17ProjectionRoute _),
     "k18_row_policy" -> (k18RowPolicy _),
     "k16_integrity_check" -> (k16IntegrityCheck _),
@@ -335,6 +366,11 @@ object Storage {
     "k7_obfuscator" -> (k7Obfuscator _))
 
   val oracles: Map[String, String] = Map(
+    "k19_skip_index" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_custkey IN (101, 371)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "k17_projection_route" ->
       """SELECT 'by_custkey' AS route, count(*) AS n,
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price

@@ -546,44 +546,50 @@ object Streaming {
     * Matched pairs append per micro-batch (j1's partial discipline);
     * the rollup dedups nothing — stream-stream inner join emits each
     * match exactly once. */
-  private def j12StreamStreamJoin(spark: SparkSession, dir: String): DataFrame = withStreamingPartitions(spark) {
-    val target = Engine.scratch(spark, dir, "j12_pairs")
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(target), true)
-    fs.delete(new org.apache.hadoop.fs.Path(target + "_ckpt"), true)
-    val staged = stageEvents(spark, dir)
-    // single AvailableNow batch: the multi-batch replay discipline is
-    // already exercised by j1/j6-j11; here the state-store machinery of
-    // the JOIN itself (4 stores × partitions, keyed + range lookups) is
-    // the subject, and an 8-batch replay pays that commit cycle 8× for
-    // no additional semantics (measured 14 s → ~2 s at sf0.01).
-    val clicks = eventStream(spark, staged, oneFilePerBatch = false)
-      .filter(col("event_type") === "click")
-      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
-      .withWatermark("c_ts", "365 days")
-    val purchases = eventStream(spark, staged, oneFilePerBatch = false)
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
-      .withWatermark("p_ts", "365 days")
-    val q = clicks.join(purchases,
-        col("c_user") === col("p_user") &&
-          col("p_ts") >= col("c_ts") &&
-          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
-      .select("c_id", "p_id")
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", target + "_ckpt")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(target)
-      }
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(target)
+  /** j12 core, parameterized on batching so `StreamingSessionSpec`
+    * can prove the multi-batch replay emits the identical pair set
+    * (the equivalence that justifies the declared single-batch form —
+    * an 8-batch replay pays the 4-store commit cycle 8× for no
+    * additional semantics; measured 14 s → ~2 s at sf0.01). */
+  private[graft] def streamStreamPairs(
+      spark: SparkSession, dir: String, oneFilePerBatch: Boolean): DataFrame =
+    withStreamingPartitions(spark) {
+      val suffix = if (oneFilePerBatch) "_mb" else ""
+      val target = Engine.scratch(spark, dir, s"j12_pairs$suffix")
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(target), true)
+      fs.delete(new org.apache.hadoop.fs.Path(target + "_ckpt"), true)
+      val staged = stageEvents(spark, dir)
+      val clicks = eventStream(spark, staged, oneFilePerBatch)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "365 days")
+      val purchases = eventStream(spark, staged, oneFilePerBatch)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "365 days")
+      val q = clicks.join(purchases,
+          col("c_user") === col("p_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+        .select("c_id", "p_id")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", target + "_ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(target)
+        }
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(target)
+    }
+
+  private def j12StreamStreamJoin(spark: SparkSession, dir: String): DataFrame =
+    streamStreamPairs(spark, dir, oneFilePerBatch = false)
       .agg(count(lit(1)).as("n_pairs"),
         count_distinct(col("c_id")).as("n_clicks_matched"),
         count_distinct(col("p_id")).as("n_purchases_matched"))
-  }
 
   val queries: Map[String, Q] = Map(
     "j12_stream_stream_join" -> (j12StreamStreamJoin _),

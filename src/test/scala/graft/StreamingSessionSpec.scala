@@ -23,4 +23,20 @@ class StreamingSessionSpec extends AnyFunSuite {
     assert(single.nonEmpty)
     assert(split.toSeq == single.toSeq)
   }
+
+  test("stream-stream join emits the same pair set whether or not batches split") {
+    import org.apache.spark.sql.functions.col
+    def pairs(mb: Boolean): Set[(Long, Long)] =
+      Streaming.streamStreamPairs(spark, sf, oneFilePerBatch = mb)
+        .select(col("c_id"), col("p_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(mb = false)
+    val multi = pairs(mb = true)
+    assert(single.nonEmpty)
+    // the join state (in-horizon rows of both sides) must carry across
+    // micro-batches: a stateless per-batch join would lose every match
+    // whose click and purchase arrive in different batches
+    assert(multi == single,
+      s"multi-batch lost ${(single -- multi).size} / gained ${(multi -- single).size} pairs")
+  }
 }
