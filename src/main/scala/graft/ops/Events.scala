@@ -292,29 +292,31 @@ object Events {
     *
     * Scale shape: a GLOBAL running sum would be one task sorting the
     * whole corpus, so it is computed with the same two-level prefix
-    * sum as l17: day-chunk windows cumsum locally in parallel, day
-    * totals (≤ a few thousand rows at any scale) prefix-sum on one
-    * tiny task and broadcast back as offsets. DuckDB's flat
-    * whole-table window is the oracle, pinning the decomposition. */
+    * sum as l17: HOUR-chunk windows cumsum locally in parallel (hours,
+    * not days — the chunk is the parallelism unit, and a day-grained
+    * chunking caps the stage at #days tasks), hour totals (thousands
+    * of rows for years of data) prefix-sum on one tiny task and
+    * broadcast back as offsets. DuckDB's flat whole-table window is
+    * the oracle, pinning the decomposition. */
   private def e16MaxConcurrent(spark: SparkSession, dir: String): DataFrame = {
     val durUs = (lit(60L) * (lit(1L) + pmod(col("event_id"), lit(30L)))) * lit(1000000L)
     val iv = Engine.events(spark, dir)
       .select(unix_micros(col("ts")).as("s"), (unix_micros(col("ts")) + durUs).as("e"))
     val pts = iv.select(col("s").as("t"), lit(1).as("d"))
       .unionByName(iv.select(col("e").as("t"), lit(-1).as("d")))
-      .withColumn("day", (col("t") / lit(86400000000L)).cast("long"))
+      .withColumn("chunk", (col("t") / lit(3600000000L)).cast("long"))
     val wLocal = org.apache.spark.sql.expressions.Window
-      .partitionBy("day").orderBy(col("t"), col("d"))
+      .partitionBy("chunk").orderBy(col("t"), col("d"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     val local = pts.withColumn("run_local", sum(col("d")).over(wLocal))
-    // tiny per-day table: exclusive prefix of day sums → chunk offsets
-    val wDays = org.apache.spark.sql.expressions.Window.orderBy("day")
+    // tiny per-hour table: exclusive prefix of chunk sums → offsets
+    val wChunks = org.apache.spark.sql.expressions.Window.orderBy("chunk")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val offsets = pts.groupBy("day").agg(sum(col("d")).as("day_sum"))
-      .withColumn("offset", coalesce(sum(col("day_sum")).over(wDays), lit(0L)))
-      .select("day", "offset")
-    local.join(broadcast(offsets), "day")
+    val offsets = pts.groupBy("chunk").agg(sum(col("d")).as("chunk_sum"))
+      .withColumn("offset", coalesce(sum(col("chunk_sum")).over(wChunks), lit(0L)))
+      .select("chunk", "offset")
+    local.join(broadcast(offsets), "chunk")
       .select((col("run_local") + col("offset")).as("run"))
       .agg(max(col("run")).cast("int").as("max_concurrent"),
         (count(lit(1)) / 2).cast("long").as("n_intervals"))
