@@ -39,6 +39,42 @@ class SqlParitySpec extends AnyFunSuite {
     assert(r == direct)
   }
 
+  test("q5 flagship join spine through SQL equals the DataFrame plan") {
+    Engine.registerAll(spark, sf)
+    val sql = spark.sql(
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+        |  AND o_orderdate >= DATE'1996-01-01' AND o_orderdate < DATE'1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
+    val df = SparkEntry.queries("q5_local_supplier")(spark, sf)
+    assert(rows(sql) == rows(df))
+  }
+
+  test("round-8 hash expressions compose with table data in SQL text") {
+    Engine.registerAll(spark, sf)
+    // fingerprint a real column both ways: SQL front door vs DataFrame call
+    val sql = spark.sql(
+      "SELECT doc_id, farm_fingerprint64(text) AS f, sip_hash64(text) AS s " +
+        "FROM documents WHERE doc_id < 20 ORDER BY doc_id")
+    val df = Engine.t(spark, sf, "documents")
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        call_function("farm_fingerprint64", col("text")).as("f"),
+        call_function("sip_hash64", col("text")).as("s"))
+      .orderBy("doc_id")
+    assert(rows(sql) == rows(df))
+    assert(sql.count() > 0)
+  }
+
   test("window + LIMIT BY shape through SQL equals the declared f4 result") {
     Engine.registerAll(spark, sf)
     val sql = spark.sql(
