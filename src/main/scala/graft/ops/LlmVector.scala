@@ -257,7 +257,76 @@ object LlmVector {
       .orderBy("label")
   }
 
+  /** Assignment step shared by l40's fit loop, its declared query, and
+    * the spec: nearest centroid (0-based) + squared distance per row.
+    * The centroids ride along as broadcast literals, so this is a pure
+    * narrow map — the corpus streams once, zero shuffle. */
+  def kmeansAssign(df: DataFrame, cents: Seq[Array[Double]]): DataFrame = {
+    val d = array(cents.map(c => call_function("l2sq_f", col("embedding"), typedLit(c))): _*)
+    df.withColumn("d", d)
+      .withColumn("cluster", (expr("array_position(d, array_min(d))") - 1).cast("int"))
+      .withColumn("dist_sq", expr("array_min(d)"))
+      .drop("d")
+  }
+
+  /** L40: distributed k-means (Lloyd's iterations) — the coarse-
+    * quantizer builder for IVF ANN (l12) when no natural bucketing
+    * column exists. Scale shape per iteration: ASSIGNMENT is
+    * [[kmeansAssign]] (argmin over k centroid literals via the codegen
+    * `l2sq_f` kernel — narrow, zero shuffle); UPDATE is the `VecMean`
+    * partial aggregate (k (Σvec, n) buffers cross the exchange, not
+    * rows); the k×dim centroid matrix — KB-sized — returns to the
+    * driver to become the next round's literals, the same
+    * collect-per-round shape as Spark MLlib's KMeans (bounded driver
+    * probe, documented). Init is deterministic farthest-point
+    * (maximin) over a hash-ordered sample: ONE job collects the 256
+    * smallest-xxhash64(vec_id) rows (≈ a uniform deterministic
+    * sample, 256×dim doubles — KB-sized), then the greedy maximin
+    * runs driver-side — robust to clustered data (a hash-only init
+    * can land every seed in one cluster) without paying k−1 cluster
+    * passes. Returns (final centroids, per-iteration WCSS — provably
+    * non-increasing, pinned in `LlmOpsSpec`). */
+  def kmeansFit(df: DataFrame, k: Int, iters: Int): (Seq[Array[Double]], Seq[Double]) = {
+    val sample: Array[Array[Double]] = df
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(256)
+      .select("embedding").collect()
+      .map(_.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+    def l2sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var cents: Vector[Array[Double]] = Vector(sample.head)
+    while (cents.length < k) {
+      val far = sample.maxBy(v => cents.map(c => l2sq(v, c)).min)
+      cents = cents :+ far
+    }
+    val vecMean = udaf(new VecMean)
+    val wcss = Seq.newBuilder[Double]
+    for (_ <- 0 until iters) {
+      val upd = kmeansAssign(df, cents)
+        .groupBy("cluster")
+        .agg(vecMean(col("embedding")).as("centroid"), sum(col("dist_sq")).as("w"))
+        .collect()
+      wcss += upd.map(_.getAs[Double]("w")).sum
+      val m = upd.map(r => r.getAs[Int]("cluster") ->
+        r.getAs[Seq[Double]]("centroid").toArray).toMap
+      cents = Vector.tabulate(k)(j => m.getOrElse(j, cents(j))) // empty cluster keeps its centroid
+    }
+    (cents, wcss.result())
+  }
+
+  private def l40Kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val (cents, _) = kmeansFit(e, 8, 4)
+    kmeansAssign(e, cents)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), round(avg(sqrt(col("dist_sq"))), 3).as("mean_dist"))
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, Q] = Map(
+    "l40_kmeans" -> (l40Kmeans _),
     "l30_semantic_decontaminate" -> (l30SemanticDecon _),
     "l27_embedding_quantize" -> (l27Quantize _),
     "l2_vector_similarity" -> (l2VectorSim _),

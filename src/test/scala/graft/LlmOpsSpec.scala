@@ -303,4 +303,29 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect().toSeq
     assert(hier.nonEmpty && hier == flat)
   }
+
+  test("l40 k-means recovers planted separated blobs; WCSS is non-increasing") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dim = 8
+    // 3 well-separated gaussian-ish blobs, 40 points each, axis centers 10·e_b
+    val rows = for (b <- 0 until 3; i <- 0 until 40) yield {
+      val v = Array.tabulate(dim)(d =>
+        (if (d == b) 10f else 0f) + (rnd.nextFloat() - 0.5f))
+      (b.toLong * 1000 + i, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (cents, wcss) = LlmVector.kmeansFit(df, 3, 5)
+    assert(cents.length == 3)
+    assert(wcss.zip(wcss.tail).forall { case (a, b) => b <= a * (1 + 1e-9) },
+      s"WCSS must be non-increasing: $wcss")
+    // every planted blob lands wholly in one distinct cluster
+    val purity = LlmVector.kmeansAssign(df, cents)
+      .groupBy((col("vec_id") / 1000).cast("int").as("blob"), col("cluster"))
+      .count().collect()
+    assert(purity.length == 3, s"blob→cluster map not pure: ${purity.mkString(",")}")
+    assert(purity.map(_.getInt(1)).distinct.length == 3, "clusters must be distinct")
+    // each centroid sits at its blob center (within the ±0.5 jitter)
+    assert(cents.forall(c => c.max > 9.0 && c.count(_ > 1.0) == 1))
+  }
 }
