@@ -424,7 +424,42 @@ object Storage {
     tsBand.unionByName(userBand).orderBy("probe")
   }
 
+  /** K21: CollapsingMergeTree semantics — the reference's sign-column
+    * table engine: each state change is an INSERT with `sign = +1` and
+    * cancellations re-insert the old row with `sign = −1`; background
+    * merges cancel (+1, −1) pairs per key, leaving each key's latest
+    * surviving state. The Spark-native collapse is ONE hash aggregate
+    * on the key — `sum(sign)` decides survival, `max_by(field,
+    * version IF sign=+1)` elects the latest insert's fields (the
+    * VersionedCollapsing variant; nulls from cancel rows are ignored
+    * by max_by, matching DuckDB arg_max) — with map-side partial
+    * merge, so the exchange carries one (key, net, latest) buffer per
+    * key per task. The ledger here stages every order as an insert and
+    * every 'F' order as a later cancel, so the collapsed state is the
+    * open orders — computed through the ledger algebra, which is what
+    * the oracle replays. */
+  private def k21CollapsingMerge(spark: SparkSession, dir: String): DataFrame = {
+    val o = Engine.t(spark, dir, "orders")
+    def row(sign: Int, version: Int)(df: DataFrame): DataFrame =
+      df.select(col("o_orderkey"), col("o_orderstatus"),
+        CH.dec(col("o_totalprice")).as("price"),
+        lit(sign).as("sign"), lit(version).as("version"))
+    val ledger = row(1, 1)(o)
+      .unionByName(row(-1, 2)(o.filter(col("o_orderstatus") === "F")))
+    val live = when(col("sign") === 1, col("version"))
+    ledger.groupBy("o_orderkey")
+      .agg(sum("sign").as("net"),
+        max_by(col("o_orderstatus"), live).as("status"),
+        max_by(col("price"), live).as("price"))
+      .filter(col("net") > 0)
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("sum_price"))
+      .orderBy("status")
+  }
+
   val queries: Map[String, Q] = Map(
+    "k21_collapsing_merge" -> (k21CollapsingMerge _),
     "k20_zorder_layout" -> (k20ZorderLayout _),
     "k19_skip_index" -> (k19SkipIndex _),
     "k17_projection_route" -> (k17ProjectionRoute _),
@@ -440,6 +475,23 @@ object Storage {
     "k7_obfuscator" -> (k7Obfuscator _))
 
   val oracles: Map[String, String] = Map(
+    "k21_collapsing_merge" ->
+      """WITH ledger AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+        |    1 AS sign, 1 AS version FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(12,2)), -1, 2
+        |  FROM orders WHERE o_orderstatus = 'F'),
+        |coll AS (
+        |  SELECT o_orderkey, sum(sign) AS net,
+        |    arg_max(o_orderstatus, CASE WHEN sign = 1 THEN version END) AS status,
+        |    arg_max(price, CASE WHEN sign = 1 THEN version END) AS price
+        |  FROM ledger GROUP BY 1)
+        |SELECT status, count(*) AS n,
+        |  CAST(CAST(sum(price) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM coll WHERE net > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
     "k20_zorder_layout" ->
       """SELECT * FROM (
         |  SELECT 'ts_band' AS probe, count(*) AS n,
