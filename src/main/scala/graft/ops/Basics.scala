@@ -278,7 +278,60 @@ object Basics {
       .orderBy("l_partkey")
   }
 
+  /** Q6: forecast-revenue-change — TPC-H Q6's pure scan-side
+    * aggregate: no join at all; the date band, discount band, and
+    * quantity cap all push into the parquet scan (min/max row-group
+    * pruning does the rest on a date-sorted layout), and the single
+    * global aggregate is a partial+final pair whose exchange carries
+    * ONE buffer per task. At 100 TB this is the IO-bound best case —
+    * the engine's floor for full-scan throughput. The discount band
+    * compares in exact integer cents on both engines (`l_discount` is
+    * a double; 0.05 ≤ x ≤ 0.07 on binary doubles is the classic
+    * off-by-one-ulp trap). */
+  private def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("l_discount") * 100).cast("int")
+    Engine.t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1994-01-01").cast("date") &&
+        col("l_shipdate") < lit("1995-01-01").cast("date") &&
+        col("l_quantity") < 24)
+      .filter(cents.between(5, 7))
+      .agg(
+        sum(CH.dec(col("l_extendedprice")) * CH.dec(col("l_discount"), 8, 4))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Q14: promotion effect — TPC-H Q14: one month of lineitem joined
+    * to `part` for the PROMO share of revenue. The fact side carries
+    * its date filter into the scan; `part` gets no hint — AQE
+    * broadcasts it while it fits and degrades to a shuffled hash join
+    * past the threshold (same policy as q5's customer/supplier).
+    * Decimal revenue throughout; the percentage division happens in
+    * doubles (+,×,/ are IEEE-identical cross-engine) and rounds to
+    * 6 dp on both sides. */
+  private def q14PromoEffect(spark: SparkSession, dir: String): DataFrame = {
+    val rev = CH.dec(col("l_extendedprice")) *
+      CH.dec(lit(1) - CH.dec(col("l_discount"), 8, 4), 8, 4)
+    val l = Engine.t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-09-01").cast("date") &&
+        col("l_shipdate") < lit("1995-10-01").cast("date"))
+      .select(col("l_partkey"), rev.as("rev"))
+    val p = Engine.t(spark, dir, "part").select("p_partkey", "p_type")
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type").startsWith("PROMO"), col("rev"))).as("promo"),
+        sum(col("rev")).as("total"),
+        count(lit(1)).as("n_lines"))
+      .select(
+        round(lit(100.0) * col("promo").cast("double") / col("total").cast("double"), 6)
+          .as("promo_pct"),
+        col("promo").cast("double").as("promo_revenue"),
+        col("n_lines"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q14_promo_effect" -> (q14PromoEffect _),
     "b8_cte_reuse" -> (b8CteReuse _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -296,6 +349,28 @@ object Basics {
     "h6_conversions" -> (h6Conversions _))
 
   val oracles: Map[String, String] = Map(
+    "q6_forecast_revenue" ->
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    CAST(l_discount AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+        |  AND l_shipdate < TIMESTAMP '1995-01-01'
+        |  AND l_quantity < 24
+        |  AND CAST(round(l_discount * 100) AS INT) BETWEEN 5 AND 7""".stripMargin,
+    "q14_promo_effect" ->
+      """WITH j AS (
+        |  SELECT CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4)) AS rev,
+        |    p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+        |    AND l_shipdate < TIMESTAMP '1995-10-01')
+        |SELECT round(100.0 * CAST(CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev END) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(sum(rev) AS VARCHAR) AS DOUBLE), 6) AS promo_pct,
+        |  CAST(CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev END) AS VARCHAR) AS DOUBLE) AS promo_revenue,
+        |  count(*) AS n_lines
+        |FROM j""".stripMargin,
     "b8_cte_reuse" ->
       """WITH pp AS (SELECT l_partkey,
         |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS tq

@@ -458,7 +458,45 @@ object Storage {
       .orderBy("status")
   }
 
+  /** K22: SummingMergeTree — the reference engine that replaces, at
+    * merge time, all rows sharing the sort key with ONE row holding
+    * the sums of the numeric columns. The part lifecycle is staged
+    * honestly: 4 ingest chunks each write a part whose rows are
+    * already key-summed (the part-local background merge), then the
+    * declared read is the cross-part final merge — a hash aggregate
+    * on the sort key with map-side partials, so every exchange
+    * carries per-key sum buffers, never raw rows. Because sum is
+    * associative and commutative, NO part split, arrival order, or
+    * merge schedule can change the answer — which is exactly what the
+    * flat group-by oracle checks. At 100 TB the read-side merge cost
+    * scales with distinct keys, not ingested rows. */
+  private def k22SummingMerge(spark: SparkSession, dir: String): DataFrame = {
+    val partsDir = scratch(spark, dir, "k22_parts")
+    val l = Engine.t(spark, dir, "lineitem")
+    (0 until 4).foreach { i =>
+      l.filter(pmod(col("l_orderkey"), lit(4)) === i)
+        .groupBy("l_partkey")
+        .agg(sum(CH.dec(col("l_quantity"))).as("s_qty"),
+          sum(CH.dec(col("l_extendedprice"))).as("s_price"),
+          count(lit(1)).as("s_rows"))
+        .write.mode("overwrite").parquet(s"$partsDir/part-$i")
+    }
+    val merged = spark.read
+      .parquet((0 until 4).map(i => s"$partsDir/part-$i"): _*)
+      .groupBy("l_partkey")
+      .agg(sum("s_qty").as("qty"), sum("s_price").as("price"),
+        sum("s_rows").as("nrows"))
+    merged
+      .groupBy(pmod(col("l_partkey"), lit(8)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("qty")).cast("double").as("sum_qty"),
+        sum(col("price")).cast("double").as("sum_price"),
+        sum(col("nrows")).as("n_source_rows"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "k22_summing_merge" -> (k22SummingMerge _),
     "k21_collapsing_merge" -> (k21CollapsingMerge _),
     "k20_zorder_layout" -> (k20ZorderLayout _),
     "k19_skip_index" -> (k19SkipIndex _),

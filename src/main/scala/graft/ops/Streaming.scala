@@ -591,7 +591,94 @@ object Streaming {
         count_distinct(col("c_id")).as("n_clicks_matched"),
         count_distinct(col("p_id")).as("n_purchases_matched"))
 
+  /** J13: manifest-committed transactional sink — the reference's
+    * insert atomicity (an inserted block is visible all-or-nothing,
+    * `Dockerfile:193-239`'s MV insert path) re-expressed as the
+    * snapshot-commit protocol every table format uses on object
+    * stores: data files land under `data/batch-N/` invisibly, then ONE
+    * tiny manifest file is atomically renamed into `manifest/` to
+    * publish them. Readers list manifests, never data directories, so
+    *  - a batch replayed by checkpoint recovery is a no-op (its
+    *    manifest already exists — exactly-once publication),
+    *  - a writer that dies before its manifest rename leaves an orphan
+    *    data directory that no reader ever sees.
+    * Both failure modes are INJECTED here after the stream completes —
+    * a poisoned replay of batch 0 and a manifest-less orphan part —
+    * and the oracle (batch recompute over `events`) proves neither
+    * leaked into the published result. At 100 TB the commit point is
+    * one driver-side rename per micro-batch, independent of data
+    * volume; the read path opens only manifest-listed files. */
+  private def j13TransactionalSink(spark: SparkSession, dir: String): DataFrame = withStreamingPartitions(spark) {
+    val root = Engine.scratch(spark, dir, "j13_txn")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    fs.delete(p(root), true); fs.delete(p(root + "_ckpt"), true)
+    val dataDir = root + "/data"
+    val manifestDir = root + "/manifest"
+    fs.mkdirs(p(manifestDir))
+
+    /** The commit protocol (also driven directly by the failure
+      * injection below and `StreamingSessionSpec`). */
+    def commit(batch: DataFrame, batchId: Long): Unit = {
+      val manifest = p(f"$manifestDir/batch-$batchId%05d")
+      if (fs.exists(manifest)) return // replayed batch: already published
+      val part = s"$dataDir/batch-$batchId"
+      batch.groupBy("event_type")
+        .agg(count(lit(1)).as("partial_n"),
+          sum(CH.dec(col("value"))).as("partial_sum"),
+          max(col("value")).as("partial_max"))
+        .write.mode("overwrite").parquet(part)
+      val tmp = p(s"$manifestDir/.batch-$batchId.inprogress")
+      val out = fs.create(tmp, true)
+      out.write(part.getBytes("UTF-8")); out.close()
+      require(fs.rename(tmp, manifest), s"manifest commit failed: $manifest")
+    }
+
+    val q = eventStream(spark, stageEvents(spark, dir), oneFilePerBatch = true)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", root + "_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) => commit(batch, batchId) }
+      .start()
+    q.awaitTermination()
+
+    // Failure injection 1 — checkpoint replay: re-commit batch 0 with a
+    // poisoned payload; the existing manifest must make it a no-op.
+    val poison = spark.range(1).select(
+      lit("poison").as("event_type"), lit(1e9).as("value"))
+    commit(poison, 0L)
+    // Failure injection 2 — crash before publish: a data part with no
+    // manifest. No reader may ever observe it.
+    poison.groupBy("event_type")
+      .agg(count(lit(1)).as("partial_n"), sum(CH.dec(col("value"))).as("partial_sum"),
+        max(col("value")).as("partial_max"))
+      .write.mode("overwrite").parquet(s"$dataDir/batch-orphan")
+
+    spark.read.parquet(committedParts(spark, root): _*)
+      .groupBy("event_type")
+      .agg(sum(col("partial_n")).as("n"),
+        sum(col("partial_sum")).cast("double").as("sum_value"),
+        max(col("partial_max")).as("max_value"))
+      .orderBy("event_type")
+  }
+
+  /** The j13 read path: data paths named by committed manifests — the
+    * ONLY way rows become visible. */
+  def committedParts(spark: SparkSession, root: String): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(root + "/manifest"))
+      .filter(s => s.getPath.getName.startsWith("batch-"))
+      .map { s =>
+        val in = fs.open(s.getPath)
+        val bytes = new Array[Byte](s.getLen.toInt)
+        in.readFully(bytes); in.close()
+        new String(bytes, "UTF-8")
+      }.toSeq.sorted
+  }
+
   val queries: Map[String, Q] = Map(
+    "j13_transactional_sink" -> (j13TransactionalSink _),
     "j12_stream_stream_join" -> (j12StreamStreamJoin _),
     "j11_running_user_stats" -> (j11RunningUserStats _),
     "j10_stream_static_join" -> (j10StreamStaticJoin _),
@@ -605,6 +692,11 @@ object Streaming {
     "j7_streaming_retention" -> (j7StreamingRetention _))
 
   val oracles: Map[String, String] = Map(
+    "j13_transactional_sink" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
+        |  max(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "j12_stream_stream_join" ->
       """WITH c AS (SELECT event_id AS c_id, user_id, ts AS c_ts
         |           FROM events WHERE event_type = 'click'),

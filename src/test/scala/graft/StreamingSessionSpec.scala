@@ -39,4 +39,32 @@ class StreamingSessionSpec extends AnyFunSuite {
     assert(multi == single,
       s"multi-batch lost ${(single -- multi).size} / gained ${(multi -- single).size} pairs")
   }
+
+  test("j13 manifest commit: replayed batch is a no-op, orphan part invisible") {
+    import org.apache.spark.sql.functions.col
+    // j13 itself injects both failures (poisoned replay of batch 0 and
+    // a manifest-less orphan part) before reading back; the read path
+    // must therefore (a) match the plain batch recompute and (b) list
+    // only manifest-committed paths.
+    val out = Streaming.queries("j13_transactional_sink")(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty && !rows.exists(_.getString(0) == "poison"),
+      "poisoned replay/orphan rows leaked into the published snapshot")
+    val batch = graft.Engine.events(spark, sf)
+      .groupBy("event_type").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamed = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"published counts $streamed != batch $batch")
+    // the orphan data directory exists on disk but no manifest names it
+    val root = graft.Engine.scratch(spark, sf, "j13_txn")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/data/batch-orphan")),
+      "orphan part should exist on disk (injected crash-before-commit)")
+    val listed = Streaming.committedParts(spark, root)
+    assert(listed.nonEmpty && !listed.exists(_.contains("orphan")),
+      s"reader must only see manifest-committed parts, got $listed")
+  }
 }
