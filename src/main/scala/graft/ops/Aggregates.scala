@@ -612,10 +612,13 @@ object Aggregates {
     * read. Spark-native: `hll_sketch_agg` (Datasketches HLL) emits one
     * BINARY sketch per (source × chunk) to parquet; the read side
     * `hll_union_agg`s the stored states per source. The sketch is a
-    * deterministic mergeable summary, so the merged estimate equals
-    * the direct single-pass estimate EXACTLY — declared as a per-source
-    * invariant (`state_merge_ok`) next to the oracle-checked exact
-    * count. At 100 TB this is the incremental-rollup contract: each
+    * deterministic mergeable summary, but the estimator differs by
+    * build path (Datasketches HIP for update-built, composite after
+    * unions), so the invariant is a tolerance band, not bit equality:
+    * both estimates must sit within the lgK=12 HLL error envelope of
+    * the exact count (3× rsd ≈ 4.9%; we gate at 5%) — declared as a
+    * per-source invariant (`state_merge_ok`) next to the oracle-checked
+    * exact count. At 100 TB this is the incremental-rollup contract: each
     * ingest writes KB-sized states, never re-reading history; a
     * refresh is a union of states, not a rescan. */
   private def d32AggStateStorage(spark: SparkSession, dir: String): DataFrame = {
@@ -632,9 +635,11 @@ object Aggregates {
     val direct = docs.groupBy("source")
       .agg(hll_sketch_estimate(hll_sketch_agg(col("doc_id"))).as("est_direct"),
         count_distinct(col("doc_id")).as("n_exact"))
+    val tol = greatest(lit(1.0), col("n_exact").cast("double") * lit(0.05))
     merged.join(direct, "source")
       .select(col("source"), col("n_exact"),
-        (col("est_merged") === col("est_direct")).as("state_merge_ok"))
+        (abs(col("est_merged") - col("n_exact")) <= tol &&
+          abs(col("est_direct") - col("n_exact")) <= tol).as("state_merge_ok"))
       .orderBy("source")
   }
 

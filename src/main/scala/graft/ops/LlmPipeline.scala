@@ -134,7 +134,12 @@ object LlmPipeline {
     * components via a recursive CTE — an independent algorithm
     * confirming the fixpoint. The per-round convergence check is one
     * aggregated count, not a collected dataset. */
-  private def l18NeardupResolve(spark: SparkSession, dir: String): DataFrame = {
+  /** The deterministic demo component graph shared by l18/l37b/l38:
+    * 2-gram Jaccard τ=0.08 over the ≤40-doc prefix (bounded oracle
+    * stage — DuckDB replays it with a recursive reachability CTE; the
+    * scale path is [[verifiedPairs]] + [[minLabelComponents]] over LSH
+    * candidates only). Returns (doc_id, label). */
+  private def demoComponents(spark: SparkSession, dir: String): DataFrame = {
     val sh = Engine.t(spark, dir, "documents")
       .filter(col("doc_id") < 40)
       .select(col("doc_id"), array_distinct(LlmText.ngrams2(col("text"))).as("grams"))
@@ -148,10 +153,13 @@ object LlmPipeline {
       .filter(col("j") >= 0.08)
       .select("a", "b")
     minLabelComponents(spark, sh.select("doc_id"), pairs)
+  }
+
+  private def l18NeardupResolve(spark: SparkSession, dir: String): DataFrame =
+    demoComponents(spark, dir)
       .groupBy(col("label").as("keep_id"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy("keep_id")
-  }
 
   /** Distributed connected components by min-label propagation —
     * shared by l18 (oracle demo form) and l37 (the end-to-end
@@ -191,6 +199,12 @@ object LlmPipeline {
         converged = changed == 0
         rounds += 1
       }
+      // a component with diameter > the round cap would otherwise return
+      // silently-wrong labels, corrupting every keeper election (l37) and
+      // leakage-safe split (l38) built on them — fail loudly instead
+      require(converged,
+        s"minLabelComponents did not converge in $rounds rounds " +
+          "(component diameter exceeds the cap); raise the round cap")
       labels
     } finally spark.conf.set(spKey, spPrev)
   }
@@ -234,23 +248,46 @@ object LlmPipeline {
         (col("doc_id") === col("label")).as("is_keeper"))
   }
 
+  /** The train/val split coin: md5-hex-prefix threshold on the KEEPER
+    * id (b5/l14's oracle-reproducible-hash precedent — NOT Spark
+    * Murmur3, so DuckDB replays the exact assignment). First two hex
+    * chars < 'e6' ⇒ train: 230/256 ≈ 89.8% — the ~90/10 split. */
+  private def splitCoin(keepId: Column): Column =
+    when(substring(md5(keepId.cast("string")), 1, 2) < "e6", "train").otherwise("val")
+
   /** L38: leakage-safe train/val split — the eval-hygiene step after
     * dedup: a document and its near-duplicates must land in the SAME
     * split, or the val set leaks into training. Guaranteed by
-    * construction: the split coin is `hash(keep_id)` — the dedup
+    * construction: the split coin is hashed from `keep_id` — the dedup
     * component's elected keeper (l37), not the doc id — so every
-    * member of a near-dup group flips the same coin. The declared
-    * output carries the invariant (`n_leaky_groups` = components
-    * spanning both splits, 0 by construction; a regression to
-    * per-doc hashing makes it nonzero immediately) next to the
-    * per-split volumes. One extra shuffle on keep_id over l37's
-    * verdicts; `LlmOpsSpec` plants a near-dup group and asserts
-    * co-assignment. */
+    * member of a near-dup group flips the same coin. Scale path
+    * (LSH-graph, whole corpus); `LlmOpsSpec` plants a near-dup group
+    * and asserts co-assignment. */
   def splitAssignments(spark: SparkSession, dir: String): DataFrame =
-    dedupVerdicts(spark, dir).withColumn("split",
-      when(pmod(hash(col("keep_id")), lit(100)) < 90, "train").otherwise("val"))
+    dedupVerdicts(spark, dir).withColumn("split", splitCoin(col("keep_id")))
 
+  /** Declared l38: the FULL per-doc split assignment over the demo
+    * component graph — every stage (pair graph, components, keeper,
+    * coin) is engine-independent, so DuckDB replays the exact
+    * assignment through l18's recursive-CTE components + the md5 coin
+    * (hash-matched oracle, not an invariant — co-assignment within a
+    * component is checked row-by-row by the oracle because split is a
+    * function of keep_id in both engines). */
   private def l38TrainValSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.t(spark, dir, "documents").filter(col("doc_id") < 40)
+    docs.select(col("doc_id"), col("source"))
+      .join(demoComponents(spark, dir), "doc_id")
+      .select(col("doc_id"), col("source"), col("label").as("keep_id"),
+        splitCoin(col("label")).as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** L38b: the leakage invariant + volume rollup over the SCALE path
+    * (LSH graph, whole corpus): `n_leaky_groups` = components spanning
+    * both splits — 0 by construction; a regression to per-doc hashing
+    * makes it nonzero immediately. No oracle (LSH hash family is
+    * engine-internal); the co-assignment spec is in `LlmOpsSpec`. */
+  private def l38bSplitRollup(spark: SparkSession, dir: String): DataFrame = {
     val assigned = splitAssignments(spark, dir)
     val leaky = assigned.groupBy("keep_id")
       .agg(count_distinct(col("split")).as("n_splits"))
@@ -299,6 +336,20 @@ object LlmPipeline {
         CH.countIf(col("is_keeper")).as("n_kept"),
         CH.countIf(!col("is_keeper")).as("n_dropped"))
       .orderBy("source")
+
+  /** L37b: the VERDICT TABLE itself — (doc_id, source, keep_id,
+    * is_keeper), l37's shipped artifact — over the demo component
+    * graph, so the keeper election is hash-matched row-by-row against
+    * DuckDB's recursive-CTE components (the scale path's election is
+    * the same `minLabelComponents` — l37 rolls it up; `LlmOpsSpec`
+    * plants groups against it). */
+  private def l37bVerdictTable(spark: SparkSession, dir: String): DataFrame =
+    Engine.t(spark, dir, "documents").filter(col("doc_id") < 40)
+      .select(col("doc_id"), col("source"))
+      .join(demoComponents(spark, dir), "doc_id")
+      .select(col("doc_id"), col("source"), col("label").as("keep_id"),
+        (col("doc_id") === col("label")).as("is_keeper"))
+      .orderBy("doc_id")
 
   /** L19: corpus mixing — hit a per-source quota (the "data mixture"
     * step of pretraining prep). Docs rank within their source by a
@@ -598,13 +649,40 @@ object LlmPipeline {
     "l23_unigram_lm_score" -> (l23UnigramLmScore _),
     "l18_neardup_resolve" -> (l18NeardupResolve _),
     "l37_dedup_pipeline" -> (l37DedupPipeline _),
+    "l37b_verdict_table" -> (l37bVerdictTable _),
     "l38_train_val_split" -> (l38TrainValSplit _),
+    "l38b_split_rollup" -> (l38bSplitRollup _),
     "l39_intradoc_dedup" -> (l39IntradocDedup _),
     "l19_corpus_mix" -> (l19CorpusMix _),
     "l14_stratified_sample" -> (l14StratifiedSample _),
     "l15_pattern_scrub" -> (l15PatternScrub _),
     "l16_shard_shuffle" -> (l16ShardShuffle _),
     "l17_sequence_pack" -> (l17SequencePack _))
+
+  /** The demo component graph as a DuckDB recursive-reachability CTE
+    * (BFS closure — an INDEPENDENT algorithm confirming the
+    * label-propagation fixpoint), shared by the l18/l37b/l38 oracles;
+    * ends with `comp(node, keep_id)`. Mirrors [[demoComponents]]. */
+  private val demoCompCte: String =
+    """WITH RECURSIVE
+      |g AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+      |      i -> t[i] || ' ' || t[i+1])) AS grams
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+      |        FROM documents WHERE doc_id < 40)),
+      |p AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM g a, g b WHERE a.doc_id < b.doc_id
+      |    AND CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
+      |      / CAST(len(a.grams) + len(b.grams)
+      |             - len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE) >= 0.08),
+      |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+      |reach(node, lbl) AS (
+      |  SELECT doc_id, doc_id FROM g
+      |  UNION
+      |  SELECT e.a, r.lbl FROM e JOIN reach r ON e.b = r.node),
+      |comp AS (SELECT node, min(lbl) AS keep_id FROM reach GROUP BY node)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "l36_dataset_diff" ->
@@ -753,27 +831,23 @@ object LlmPipeline {
     // components via recursive reachability — an INDEPENDENT algorithm
     // (BFS closure) confirming the label-propagation fixpoint
     "l18_neardup_resolve" ->
-      """WITH RECURSIVE
-        |g AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
-        |      i -> t[i] || ' ' || t[i+1])) AS grams
-        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
-        |        FROM documents WHERE doc_id < 40)),
-        |p AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b
-        |  FROM g a, g b WHERE a.doc_id < b.doc_id
-        |    AND CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
-        |      / CAST(len(a.grams) + len(b.grams)
-        |             - len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE) >= 0.08),
-        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
-        |reach(node, lbl) AS (
-        |  SELECT doc_id, doc_id FROM g
-        |  UNION
-        |  SELECT e.a, r.lbl FROM e JOIN reach r ON e.b = r.node),
-        |comp AS (SELECT node, min(lbl) AS keep_id FROM reach GROUP BY node)
+      s"""$demoCompCte
         |SELECT keep_id, count(*) AS n_members
         |FROM comp GROUP BY keep_id ORDER BY keep_id""".stripMargin,
+    // l37b/l38: the same recursive-CTE components, replayed to the
+    // per-doc verdict table and the full md5-coin split assignment
+    "l37b_verdict_table" ->
+      s"""$demoCompCte
+        |SELECT d.doc_id, d.source, c.keep_id, d.doc_id = c.keep_id AS is_keeper
+        |FROM documents d JOIN comp c ON d.doc_id = c.node
+        |WHERE d.doc_id < 40 ORDER BY d.doc_id""".stripMargin,
+    "l38_train_val_split" ->
+      s"""$demoCompCte
+        |SELECT d.doc_id, d.source, c.keep_id,
+        |  CASE WHEN substr(md5(CAST(c.keep_id AS VARCHAR)), 1, 2) < 'e6'
+        |       THEN 'train' ELSE 'val' END AS split
+        |FROM documents d JOIN comp c ON d.doc_id = c.node
+        |WHERE d.doc_id < 40 ORDER BY d.doc_id""".stripMargin,
     "l19_corpus_mix" ->
       """WITH r AS (
         |  SELECT source,

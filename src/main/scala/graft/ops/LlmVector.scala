@@ -296,10 +296,13 @@ object LlmVector {
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
+    require(sample.nonEmpty, "kmeansFit: empty corpus — nothing to sample for init")
     var cents: Vector[Array[Double]] = Vector(sample.head)
-    while (cents.length < k) {
+    var exhausted = false // fewer than k distinct sample points: stop rather than seed duplicates
+    while (cents.length < k && !exhausted) {
       val far = sample.maxBy(v => cents.map(c => l2sq(v, c)).min)
-      cents = cents :+ far
+      if (cents.map(c => l2sq(far, c)).min == 0.0) exhausted = true
+      else cents = cents :+ far
     }
     val vecMean = udaf(new VecMean)
     val wcss = Seq.newBuilder[Double]
@@ -311,7 +314,9 @@ object LlmVector {
       wcss += upd.map(_.getAs[Double]("w")).sum
       val m = upd.map(r => r.getAs[Int]("cluster") ->
         r.getAs[Seq[Double]]("centroid").toArray).toMap
-      cents = Vector.tabulate(k)(j => m.getOrElse(j, cents(j))) // empty cluster keeps its centroid
+      // cents.length, not k: init may have seeded fewer when the sample
+      // held < k distinct points; empty cluster keeps its centroid
+      cents = Vector.tabulate(cents.length)(j => m.getOrElse(j, cents(j)))
     }
     (cents, wcss.result())
   }

@@ -582,7 +582,15 @@ object Streaming {
         }
         .start()
       q.awaitTermination()
-      spark.read.parquet(target)
+      // foreachBatch only creates `target` when some batch matched; a
+      // zero-match input must read back as an empty frame, not a
+      // path-not-found error — pin the schema so both cases agree
+      val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("p_id", org.apache.spark.sql.types.LongType)))
+      if (fs.exists(new org.apache.hadoop.fs.Path(target)))
+        spark.read.schema(pairSchema).parquet(target)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pairSchema)
     }
 
   private def j12StreamStreamJoin(spark: SparkSession, dir: String): DataFrame =
