@@ -257,11 +257,13 @@ object Aggregates {
     * tiny shuffle of (type × task) compact sketches and a per-type
     * union. The returned map holds ≤ #types KB-sized sketches. */
   private[graft] def thetaSketchesByType(
-      spark: SparkSession, dir: String): Map[String, Array[Byte]] = {
+      spark: SparkSession, dir: String,
+      userCap: Long = Long.MaxValue): Map[String, Array[Byte]] = {
     import spark.implicits._
     import org.apache.datasketches.theta.{SetOperation, Sketches, UpdateSketch}
     import org.apache.datasketches.memory.Memory
     Engine.events(spark, dir)
+      .filter(col("user_id") < userCap)
       .select(col("event_type"), col("user_id")).as[(String, Long)]
       .mapPartitions { it =>
         val sk = scala.collection.mutable.Map.empty[String, UpdateSketch]
@@ -315,6 +317,34 @@ object Aggregates {
       .select(col("type_a"), col("type_b"), col("n_exact_overlap"),
         (abs(col("est") - col("n_exact_overlap")) <=
           col("n_exact_overlap") * 0.10).as("est_within_10pct"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** I8b: the EXACT regime of i8, declared as a fully hash-matched
+    * oracle row. Below k=4096 retained values a theta sketch stores
+    * the whole hashed id set, so intersection "estimates" are exact
+    * integers and order/partitioning-independent — the cap
+    * `user_id < 3000` pins that regime at EVERY scale factor (the id
+    * space is capped, not sampled, so 100 TB of events still sketches
+    * ≤ 3000 ids per type). The declared overlap column is the sketch
+    * result itself — DuckDB recomputes it as a plain distinct-set
+    * join, proving the sketch path end-to-end with no tolerance band
+    * (VERDICT r8 #6). */
+  private def i8bThetaExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.datasketches.theta.{SetOperation, Sketches}
+    import org.apache.datasketches.memory.Memory
+    val merged = thetaSketchesByType(spark, dir, userCap = 3000L)
+    merged.keys.toSeq.sorted.combinations(2).map { pair =>
+      val (a, b) = (pair.head, pair(1))
+      val ix = SetOperation.builder().buildIntersection()
+      ix.intersect(Sketches.wrapSketch(Memory.wrap(merged(a))))
+      ix.intersect(Sketches.wrapSketch(Memory.wrap(merged(b))))
+      (a, b, math.round(ix.getResult.getEstimate))
+    }.toSeq.toDF("type_a", "type_b", "n_overlap")
+      // the oracle's inner join emits no row for disjoint pairs — and in
+      // the exact regime a sketch zero IS a true zero, so drop them here
+      .filter(col("n_overlap") > 0)
       .orderBy("type_a", "type_b")
   }
 
@@ -673,6 +703,7 @@ object Aggregates {
     "d18_weighted_quantile" -> (d18WeightedQuantile _),
     "i6_countmin" -> (i6CountMin _),
     "i8_theta_overlap" -> (i8ThetaOverlap _),
+    "i8b_theta_exact" -> (i8bThetaExact _),
     "d1_groupby_agg" -> (d1GroupBy _),
     "d2_min_max_avg" -> (d2MinMax _),
     "d3_agg_if" -> (d3AggIf _),
@@ -820,6 +851,14 @@ object Aggregates {
       """SELECT string_agg(kv, ',' ORDER BY kv) AS summap FROM
         |(SELECT event_type || ':' || CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS kv
         | FROM events GROUP BY event_type)""".stripMargin,
+    "i8b_theta_exact" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events
+        |           WHERE user_id < 3000)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS n_overlap
+        |FROM tu a JOIN tu b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "i8_theta_overlap" ->
       """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
         |SELECT a.event_type AS type_a, b.event_type AS type_b,

@@ -375,9 +375,12 @@ object Storage {
   /** Write the events table as a z-ordered (Morton-clustered) copy on
     * (user_id, ts) and return its path. Exposed for `ZOrderSpec`,
     * which quantifies the per-file skipping. */
-  def k20Layout(spark: SparkSession, dir: String): String = {
-    val out = scratch(spark, dir, "k20_zorder")
-    val ev = Engine.t(spark, dir, "events")
+  /** Rewrite `ev` into a z-ordered 16-file layout at `out` — shared by
+    * the fresh k20 write and the compact-after-churn path: K12
+    * compaction over a clustered table re-runs THIS rewrite, restoring
+    * locality that append churn destroyed (`ZOrderSpec` proves the
+    * round trip). */
+  def zorderWrite(spark: SparkSession, ev: DataFrame, out: String): String = {
     val stats = ev.agg(
       min("user_id").as("ulo"), max("user_id").as("uhi"),
       min(col("ts").cast("long")).as("tlo"), max(col("ts").cast("long")).as("thi"))
@@ -390,6 +393,10 @@ object Storage {
       .write.mode("overwrite").parquet(out)
     out
   }
+
+  def k20Layout(spark: SparkSession, dir: String): String =
+    zorderWrite(spark, Engine.t(spark, dir, "events"),
+      scratch(spark, dir, "k20_zorder"))
 
   /** K20: multi-dimensional clustering — Morton (z-order) layout.
     *
@@ -473,16 +480,17 @@ object Storage {
   private def k22SummingMerge(spark: SparkSession, dir: String): DataFrame = {
     val partsDir = scratch(spark, dir, "k22_parts")
     val l = Engine.t(spark, dir, "lineitem")
-    (0 until 4).foreach { i =>
-      l.filter(pmod(col("l_orderkey"), lit(4)) === i)
-        .groupBy("l_partkey")
-        .agg(sum(CH.dec(col("l_quantity"))).as("s_qty"),
-          sum(CH.dec(col("l_extendedprice"))).as("s_price"),
-          count(lit(1)).as("s_rows"))
-        .write.mode("overwrite").parquet(s"$partsDir/part-$i")
-    }
-    val merged = spark.read
-      .parquet((0 until 4).map(i => s"$partsDir/part-$i"): _*)
+    // all 4 ingest chunks land in ONE partitionBy job — each part-N
+    // directory is a part-local key-summed file, identical layout to 4
+    // sequential writes at a quarter of the job-launch cost
+    l.withColumn("part", pmod(col("l_orderkey"), lit(4)))
+      .groupBy("part", "l_partkey")
+      .agg(sum(CH.dec(col("l_quantity"))).as("s_qty"),
+        sum(CH.dec(col("l_extendedprice"))).as("s_price"),
+        count(lit(1)).as("s_rows"))
+      .write.mode("overwrite").partitionBy("part").parquet(partsDir)
+    val merged = spark.read.parquet(partsDir)
+      .drop("part")
       .groupBy("l_partkey")
       .agg(sum("s_qty").as("qty"), sum("s_price").as("price"),
         sum("s_rows").as("nrows"))

@@ -44,9 +44,22 @@ object SystemTables {
   @volatile private var registered = false
 
   private class Listener extends QueryExecutionListener {
+    /** `result_rows` for the ledger: the root operator (AQE wrapper,
+      * Project, …) often carries no `numOutputRows` metric — take the
+      * root-most node that does (pre-order), -1 when none ran. */
+    private def outRows(qe: QueryExecution): Long = {
+      val plan = qe.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collectFirst {
+        case n if n.metrics.contains("numOutputRows") =>
+          n.metrics("numOutputRows").value
+      }.getOrElse(-1L)
+    }
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-      buffer.add(LogEntry(funcName, "OK", durationNs / 1000000,
-        qe.executedPlan.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)))
+      buffer.add(LogEntry(funcName, "OK", durationNs / 1000000, outRows(qe)))
     override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit =
       buffer.add(LogEntry(funcName, "FAIL", -1, -1))
   }
@@ -91,6 +104,42 @@ object SystemTables {
       .select((col("n_logged") > 0).as("has_entries"),
         (col("n_ok") > 0).as("has_ok"),
         (col("n_partitions") >= 1).as("partitioned"))
+  }
+
+  /** A12b: quota counters over the query log — the reference ships a
+    * quotas config keyed by user and interval (queries / errors /
+    * result_rows counters; `Dockerfile:264-275`), and its counter
+    * source is the same query ledger a12 materializes. Here: run a
+    * known probe workload under the listener, bill it to the session's
+    * principal, and roll the log up into the quota counter row; the
+    * declared output is the invariant form (a12's precedent — raw
+    * timings are nondeterministic, the counter *predicates* are not).
+    * `within_quota` is the enforcement predicate a gateway would
+    * check before admitting the next query. */
+  private def a12bQuotaRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ensureListener(spark)
+    buffer.clear() // bill only this probe workload to the quota window
+    Engine.t(spark, dir, "nation").groupBy("n_regionkey").count().collect()
+    Engine.t(spark, dir, "region").select("r_name").collect()
+    Engine.t(spark, dir, "nation").select("n_name").limit(3).collect()
+    val deadline = System.nanoTime() + 5000000000L
+    while (buffer.size < 3 && System.nanoTime() < deadline) Thread.sleep(50)
+    val entries = buffer.asScala.toSeq
+    buffer.clear()
+    val logDf = if (entries.nonEmpty) entries.toDF() else spark.emptyDataset[LogEntry].toDF()
+    logDf
+      .withColumn("quota_user", lit("default"))
+      .groupBy("quota_user")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        CH.countIf(col("status") =!= "OK").as("n_errors"),
+        sum(greatest(col("out_rows"), lit(0L))).as("result_rows"))
+      .select(col("quota_user"),
+        (col("n_queries") >= 3).as("quota_counted"),
+        (col("n_errors") === 0).as("no_errors"),
+        (col("result_rows") > 0).as("has_result_rows"),
+        (col("n_queries") <= 1000).as("within_quota"))
   }
 
   /** A13: the SQL endpoint — `spark.sql(text)` is this engine's port
@@ -152,6 +201,7 @@ object SystemTables {
     "a17_columns" -> (a17Columns _),
     "a11_build_options" -> (a11BuildOptions _),
     "a12_query_log" -> (a12QueryLog _),
+    "a12b_quota_rollup" -> (a12bQuotaRollup _),
     "a13_sql_endpoint" -> (a13SqlEndpoint _),
     "i5_explain" -> (i5Explain _))
 
@@ -177,6 +227,10 @@ object SystemTables {
     // the expected constant row — a real equality check (was no_oracle).
     "a12_query_log" ->
       "SELECT true AS has_entries, true AS has_ok, true AS partitioned",
+    "a12b_quota_rollup" ->
+      """SELECT 'default' AS quota_user, true AS quota_counted,
+        |  true AS no_errors, true AS has_result_rows,
+        |  true AS within_quota""".stripMargin,
     "i5_explain" ->
       "SELECT true AS has_plan, true AS has_hash_agg",
     "a13_sql_endpoint" ->

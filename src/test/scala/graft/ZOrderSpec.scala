@@ -61,4 +61,41 @@ class ZOrderSpec extends AnyFunSuite {
     // and the z layout strictly beats it on the non-leading dimension
     assert(zUser < linUser, s"z ($zUser) should beat linear ($linUser)")
   }
+
+  test("layout survives append churn via k12-style compaction") {
+    val out = Storage.k20Layout(spark, TestSpark.sf)
+    val n0 = spark.read.parquet(out).count()
+    // update churn: a late-arriving 10% slice appended with NO
+    // clustering — each appended file spans ~the full range in BOTH
+    // dimensions, so band skipping degrades until compaction
+    val churnRows = Engine.t(spark, TestSpark.sf, "events")
+      .filter(pmod(col("event_id"), lit(10)) === 0)
+    val nChurn = churnRows.count()
+    churnRows.repartition(2).write.mode("append").parquet(out)
+
+    def userOverlap(files: Seq[(Long, Long, Long, Long)]): Int = {
+      val (ulo, uhi) = (files.map(_._1).min, files.map(_._2).max)
+      val span = uhi - ulo
+      val (b0, b1) = (ulo + (span * 0.4).toLong, ulo + (span * 0.6).toLong)
+      files.count(f => f._1 <= b1 && f._2 >= b0)
+    }
+    val churned = fileRanges(out)
+
+    // K12 compaction of the clustered table = re-run the z-order
+    // rewrite over the merged (clustered + churn) file set
+    val compactDir = Engine.scratch(spark, TestSpark.sf, "k20_compacted")
+    Storage.zorderWrite(spark, spark.read.parquet(out), compactDir)
+    val compacted = fileRanges(compactDir)
+
+    // lossless: every row (original + churn) survives compaction
+    assert(spark.read.parquet(compactDir).count() === n0 + nChurn)
+    // the fresh-write overlap bound holds again post-compaction
+    val n = compacted.length
+    assert(n >= 12, s"expected ~16 z-files after compaction, got $n")
+    assert(userOverlap(compacted) <= (0.7 * n).ceil.toInt,
+      s"post-compaction user-band overlap ${userOverlap(compacted)} of $n")
+    // and compaction strictly repaired what churn degraded
+    assert(userOverlap(compacted) < userOverlap(churned),
+      s"compacted ${userOverlap(compacted)} !< churned ${userOverlap(churned)}")
+  }
 }
