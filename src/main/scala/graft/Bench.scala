@@ -87,10 +87,13 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"failed":$failedJson,"sf":"$sfDir"}"""
     // a SPARK_GRAFT_ONLY-filtered run must NOT clobber the full-suite
     // record: it would truncate the LPT priors and the committed bench
-    // history to the filtered subset
+    // history to the filtered subset. SPARK_GRAFT_BENCH_OUT redirects
+    // the full map (e.g. BENCH_SF1.json for the sf1 scale rehearsal)
+    // so off-scale runs don't overwrite the sf0.1 record either.
     if (only.isEmpty)
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_FULL.json"),
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")),
         fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(head)},"n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()

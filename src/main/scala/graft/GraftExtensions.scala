@@ -32,6 +32,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64Expr(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("sortable_double_bits"),
+      new ExpressionInfo(
+        classOf[graft.expressions.SortableDoubleBitsExpr].getName, "sortable_double_bits"),
+      (children: Seq[Expression]) =>
+        graft.expressions.SortableDoubleBitsExpr(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("jump_hash"),
       new ExpressionInfo(classOf[graft.expressions.JumpConsistentHash].getName, "jump_hash"),
       (children: Seq[Expression]) =>

@@ -17,7 +17,7 @@ object SparkEntry {
       ops.Functions.queries ++ ops.LlmText.queries ++ ops.LlmPipeline.queries ++ ops.LlmVector.queries ++
       ops.Multimodal.queries ++ ops.Formats.queries ++ ops.Storage.queries ++
       ops.SystemTables.queries ++ ops.Streaming.queries ++ ops.Udafs.queries ++
-      ops.Sampling.queries
+      ops.Sampling.queries ++ fuzz.Differential.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +27,5 @@ object SparkEntry {
       ops.Functions.oracles ++ ops.LlmText.oracles ++ ops.LlmPipeline.oracles ++ ops.LlmVector.oracles ++
       ops.Multimodal.oracles ++ ops.Formats.oracles ++ ops.Storage.oracles ++
       ops.SystemTables.oracles ++ ops.Streaming.oracles ++ ops.Udafs.oracles ++
-      ops.Sampling.oracles
+      ops.Sampling.oracles ++ fuzz.Differential.oracles
 }

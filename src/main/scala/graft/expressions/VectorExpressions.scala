@@ -328,3 +328,40 @@ case class L2SquaredF(left: Expression, right: Expression) extends VectorFold {
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** sortable_double_bits(x) → a signed LONG whose ordering matches the
+  * double ordering of x (the IEEE-754 radix-sort key, public domain
+  * technique): non-negative doubles keep their raw bits (already
+  * ascending), negative doubles map to the negated magnitude bits, so
+  * the whole line is monotone and -0.0 ties +0.0 at zero. Lets rank/
+  * bucket operators slice a double domain DETERMINISTICALLY (e.g. top
+  * 16 bits = sign+exponent+4 mantissa bits ≈ 16 ordered slices per
+  * binade) without a min/max statistics pass over the data — see
+  * Aggregates.exactPercentileByRank. */
+case class SortableDoubleBitsExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "sortable_double_bits"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires double, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bits = java.lang.Double.doubleToLongBits(input.asInstanceOf[Double])
+    if (bits >= 0L) bits else -(bits & Long.MaxValue)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val bits = ctx.freshName("bits")
+      s"""
+         |long $bits = Double.doubleToLongBits($x);
+         |${ev.value} = $bits >= 0L ? $bits : -($bits & Long.MAX_VALUE);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,45 @@
+package graft.fuzz
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Frozen differential-fuzz queries (VERDICT r8 #2, cross-engine leg).
+  *
+  * `DifferentialSpec` sweeps 200 random seeds DataFrame-vs-`spark.sql`
+  * inside the engine; the seeds below are additionally DECLARED as
+  * `fz*` rows in `SparkEntry`, so the driver's correctness gate
+  * replays the third rendering (DuckDB SQL) cross-engine every round.
+  * Seed selection is programmatic and deterministic: the first seeds
+  * (from 1 up) that fill a fixed per-shape quota, so every generator
+  * shape family keeps at least one standing cross-engine row without
+  * hand-picking. */
+object Differential {
+
+  private val quota = Map(
+    "agg" -> 3, "window" -> 2, "setop" -> 2,
+    "sortlimit" -> 2, "semi" -> 1, "anti" -> 1)
+
+  /** First seeds ≥1 filling the per-shape quota (pure function of
+    * [[PlanGen]] — stable across runs, recorded in the query names). */
+  val frozenSeeds: Seq[Long] = {
+    val have = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var s = 1L
+    while (picked.size < quota.values.sum && s < 10000L) {
+      val shape = PlanGen.generate(s).shape
+      if (have(shape) < quota.getOrElse(shape, 0)) {
+        have(shape) += 1
+        picked += s
+      }
+      s += 1
+    }
+    picked.toSeq
+  }
+
+  private def name(s: Long): String = s"fz${s}_${PlanGen.generate(s).shape}"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    frozenSeeds.map(s => name(s) -> PlanGen.generate(s).build).toMap
+
+  def oracles: Map[String, String] =
+    frozenSeeds.map(s => name(s) -> PlanGen.generate(s).duckSql).toMap
+}

@@ -1,0 +1,352 @@
+package graft.fuzz
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Engine
+
+/** Seeded random relational-plan generator for differential testing
+  * (VERDICT r8 #2). One seeded walk emits THREE consistent renderings
+  * of the same plan: a DataFrame-API builder, Spark-SQL text, and
+  * DuckDB-SQL text. `DifferentialSpec` runs hundreds of seeds
+  * DataFrame-vs-`spark.sql` (catching API/SQL translation drift inside
+  * the engine); a frozen pick of seeds is declared as `fz*` queries
+  * whose oracle is the DuckDB rendering — true cross-engine
+  * differential rows through the driver's correctness gate.
+  *
+  * Determinism rules baked into every shape (the
+  * `duckdb-spark-oracle-pitfalls` class):
+  *  - SUMs go through DECIMAL(18,2) (exact, order-independent) and
+  *    exit to DOUBLE — via VARCHAR on the DuckDB side, whose
+  *    decimal→double cast is lossy past 2^53;
+  *  - windows/LIMITs order by a UNIQUE key suffix (total order — no
+  *    tie nondeterminism at any scale);
+  *  - LEFT-join right-side filters apply BEFORE the join (subquery) in
+  *    both SQL renderings, matching the DataFrame build;
+  *  - group keys come from the left/probe table only, so LEFT joins
+  *    never group on nullable keys (engine null-group string
+  *    representations differ);
+  *  - no floating-point addition, no AVG, no NaN sources. */
+object PlanGen {
+
+  final case class Generated(
+      seed: Long,
+      shape: String,
+      build: (SparkSession, String) => DataFrame,
+      sparkSql: String,
+      duckSql: String)
+
+  // ---- table model --------------------------------------------------
+  private final case class T(
+      name: String,
+      ints: Seq[String],
+      nums: Seq[String],                 // doubles; aggregated via decimal
+      cats: Map[String, Seq[String]],    // column -> value domain
+      date: Option[String],
+      unique: Seq[String])               // total-order key
+
+  private val lineitem = T("lineitem",
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"),
+    Seq("l_quantity", "l_extendedprice"),
+    Map("l_returnflag" -> Seq("A", "N", "R"), "l_linestatus" -> Seq("F", "O")),
+    Some("l_shipdate"), Seq("l_orderkey", "l_linenumber"))
+  private val orders = T("orders",
+    Seq("o_orderkey", "o_custkey"),
+    Seq("o_totalprice"),
+    Map("o_orderstatus" -> Seq("F", "O", "P"),
+      "o_orderpriority" -> Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+    Some("o_orderdate"), Seq("o_orderkey"))
+  private val customer = T("customer",
+    Seq("c_custkey", "c_nationkey"), Seq("c_acctbal"),
+    Map("c_mktsegment" -> Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")),
+    None, Seq("c_custkey"))
+  private val part = T("part",
+    Seq("p_partkey", "p_size"), Seq("p_retailprice"),
+    Map("p_type" -> Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")),
+    None, Seq("p_partkey"))
+  private val supplier = T("supplier",
+    Seq("s_suppkey", "s_nationkey"), Seq("s_acctbal"),
+    Map.empty, None, Seq("s_suppkey"))
+
+  private val singles = Seq(lineitem, orders, customer, part, supplier)
+
+  /** (left, right, leftKey, rightKey) equi-join edges. */
+  private val joinEdges = Seq(
+    (lineitem, orders, "l_orderkey", "o_orderkey"),
+    (lineitem, part, "l_partkey", "p_partkey"),
+    (lineitem, supplier, "l_suppkey", "s_suppkey"),
+    (orders, customer, "o_custkey", "c_custkey"))
+
+  /** Numeric threshold domains per column (plausible selectivities). */
+  private val numDomain: Map[String, (Double, Double)] = Map(
+    "l_quantity" -> (1.0, 50.0), "l_extendedprice" -> (1000.0, 90000.0),
+    "o_totalprice" -> (5000.0, 350000.0), "c_acctbal" -> (-900.0, 9000.0),
+    "p_retailprice" -> (900.0, 2000.0), "s_acctbal" -> (-900.0, 9000.0))
+
+  // ---- generator ----------------------------------------------------
+  def generate(seed: Long): Generated = new Gen(seed).run()
+
+  private final class Gen(seed: Long) {
+    private val rnd = new scala.util.Random(seed)
+    private def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
+    private def maybe(p: Double): Boolean = rnd.nextDouble() < p
+
+    /** A predicate rendered identically in both SQL dialects. */
+    private case class Pred(sql: String, cond: Column)
+
+    private def numPred(t: T): Pred = {
+      val c = pick(t.nums ++ t.ints.filter(numDomain.contains))
+      val (lo, hi) = numDomain.getOrElse(c, (1.0, 1000.0))
+      val v = math.rint((lo + rnd.nextDouble() * (hi - lo)) * 100) / 100
+      pick(Seq(
+        Pred(s"$c < $v", col(c) < v), Pred(s"$c <= $v", col(c) <= v),
+        Pred(s"$c > $v", col(c) > v), Pred(s"$c >= $v", col(c) >= v)))
+    }
+
+    private def modPred(t: T): Pred = {
+      val c = pick(t.ints)
+      val m = 2 + rnd.nextInt(12)
+      val r = rnd.nextInt(m)
+      Pred(s"$c % $m = $r", col(c) % m === r)
+    }
+
+    private def catPred(t: T): Pred = {
+      val (c, dom) = pick(t.cats.toSeq.sortBy(_._1))
+      if (maybe(0.5)) {
+        val v = pick(dom)
+        Pred(s"$c = '$v'", col(c) === v)
+      } else {
+        val vs = rnd.shuffle(dom).take(1 + rnd.nextInt(dom.size)).sorted
+        Pred(s"$c IN (${vs.map(v => s"'$v'").mkString(", ")})",
+          col(c).isin(vs: _*))
+      }
+    }
+
+    private def datePred(t: T): Pred = {
+      val c = t.date.get
+      val d = f"${1995 + rnd.nextInt(6)}%04d-${1 + rnd.nextInt(12)}%02d-${1 + rnd.nextInt(28)}%02d 00:00:00"
+      if (maybe(0.5)) Pred(s"$c <= TIMESTAMP '$d'", col(c) <= to_timestamp(lit(d)))
+      else Pred(s"$c > TIMESTAMP '$d'", col(c) > to_timestamp(lit(d)))
+    }
+
+    private def onePred(t: T): Pred = {
+      val pool = Seq(() => numPred(t), () => modPred(t)) ++
+        (if (t.cats.nonEmpty) Seq(() => catPred(t)) else Nil) ++
+        (if (t.date.nonEmpty) Seq(() => datePred(t)) else Nil)
+      pick(pool)()
+    }
+
+    /** 1–3 predicates combined with AND/OR, fully parenthesized. */
+    private def filterFor(t: T): Pred =
+      (1 + rnd.nextInt(3)) match {
+        case 1 => onePred(t)
+        case n =>
+          Seq.fill(n)(onePred(t)).reduce { (a, b) =>
+            if (maybe(0.6)) Pred(s"(${a.sql} AND ${b.sql})", a.cond && b.cond)
+            else Pred(s"(${a.sql} OR ${b.sql})", a.cond || b.cond)
+          }
+      }
+
+    /** An aggregate: identical Spark/Duck SQL except the decimal-sum
+      * exit cast. `alias` names the column in all three renderings. */
+    private case class Agg(sparkSql: String, duckSql: String, dfCol: Column)
+
+    private def aggFor(ts: Seq[T], alias: String): Agg = {
+      val nums = ts.flatMap(_.nums)
+      val ints = ts.flatMap(_.ints)
+      pick[() => Agg](Seq(
+        () => Agg(s"count(*) AS $alias", s"count(*) AS $alias",
+          count(lit(1)).as(alias)),
+        () => { val c = pick(nums)
+          Agg(s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS $alias",
+            s"CAST(CAST(sum(CAST($c AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS $alias",
+            sum(col(c).cast("decimal(18,2)")).cast("double").as(alias)) },
+        () => { val c = pick(nums)
+          Agg(s"min($c) AS $alias", s"min($c) AS $alias", min(col(c)).as(alias)) },
+        () => { val c = pick(nums)
+          Agg(s"max($c) AS $alias", s"max($c) AS $alias", max(col(c)).as(alias)) },
+        () => { val c = pick(ints)
+          Agg(s"count(DISTINCT $c) AS $alias", s"count(DISTINCT $c) AS $alias",
+            count_distinct(col(c)).as(alias)) }))()
+    }
+
+    // ---- shapes -----------------------------------------------------
+
+    /** filter → groupBy → aggs [→ HAVING] over a single table or an
+      * equi-join chain; group keys from the probe (left) side only. */
+    private def shapeAgg(): Generated = {
+      val nJoin = rnd.nextInt(3) // 0, 1 or 2 join edges
+      val (tables, fromSpark, fromDuck, dfFrom) = buildFrom(nJoin)
+      val groupT = tables.head
+      val gcols = rnd.shuffle(groupT.cats.keys.toSeq.sorted)
+        .take(1 + rnd.nextInt(math.max(1, groupT.cats.size))) match {
+        case Nil => Seq(groupT.unique.head) // supplier: no cats — key-group
+        case cs => cs
+      }
+      val aggs = (0 until 1 + rnd.nextInt(3)).map(i => aggFor(tables, s"agg$i"))
+      val needHaving = maybe(0.3)
+      val (aggsAll, having) =
+        if (needHaving) {
+          val k = 1 + rnd.nextInt(20)
+          (aggs :+ Agg(s"count(*) AS cnt", s"count(*) AS cnt", count(lit(1)).as("cnt")),
+            Some((s"HAVING count(*) > $k", (d: DataFrame) => d.filter(col("cnt") > k))))
+        } else (aggs, None)
+      val gl = gcols.mkString(", ")
+      def sql(duck: Boolean) = {
+        val al = aggsAll.map(a => if (duck) a.duckSql else a.sparkSql).mkString(", ")
+        val from = if (duck) fromDuck else fromSpark
+        s"SELECT $gl, $al FROM $from GROUP BY $gl ${having.map(_._1).getOrElse("")} ORDER BY $gl"
+      }
+      val build = (s: SparkSession, dir: String) => {
+        val base = dfFrom(s, dir)
+        val agged = base.groupBy(gcols.map(col): _*).agg(aggsAll.head.dfCol, aggsAll.tail.map(_.dfCol): _*)
+        having.fold(agged)(_._2(agged)).orderBy(gcols.map(col): _*)
+      }
+      Generated(seed, "agg", build, sql(false), sql(true))
+    }
+
+    /** FROM clause over `nJoin` edges: per-side filters go in
+      * subqueries so LEFT-join semantics match the DataFrame build. */
+    private def buildFrom(nJoin: Int)
+        : (Seq[T], String, String, (SparkSession, String) => DataFrame) = {
+      if (nJoin == 0) {
+        val t = pick(singles)
+        val p = filterFor(t)
+        val f = s"(SELECT * FROM ${t.name} WHERE ${p.sql}) ${t.name.take(2)}"
+        (Seq(t), f, f, (s, dir) => Engine.t(s, dir, t.name).filter(p.cond))
+      } else if (nJoin == 1) {
+        val (l, r, lk, rk) = pick(joinEdges)
+        val (pl, pr) = (filterFor(l), filterFor(r))
+        val jt = if (maybe(0.3)) "LEFT" else ""
+        val f = s"(SELECT * FROM ${l.name} WHERE ${pl.sql}) la $jt JOIN " +
+          s"(SELECT * FROM ${r.name} WHERE ${pr.sql}) ra ON $lk = $rk"
+        val how = if (jt == "LEFT") "left" else "inner"
+        (Seq(l, r), f, f, (s, dir) => {
+          val a = Engine.t(s, dir, l.name).filter(pl.cond)
+          val b = Engine.t(s, dir, r.name).filter(pr.cond)
+          a.join(b, a(lk) === b(rk), how)
+        })
+      } else {
+        // fixed 3-chain: lineitem ⋈ orders ⋈ customer (inner only)
+        val (pl, po, pc) = (filterFor(lineitem), filterFor(orders), filterFor(customer))
+        val f = s"(SELECT * FROM lineitem WHERE ${pl.sql}) la JOIN " +
+          s"(SELECT * FROM orders WHERE ${po.sql}) oa ON l_orderkey = o_orderkey JOIN " +
+          s"(SELECT * FROM customer WHERE ${pc.sql}) ca ON o_custkey = c_custkey"
+        (Seq(lineitem, orders, customer), f, f, (s, dir) => {
+          val a = Engine.t(s, dir, "lineitem").filter(pl.cond)
+          val b = Engine.t(s, dir, "orders").filter(po.cond)
+          val c = Engine.t(s, dir, "customer").filter(pc.cond)
+          a.join(b, a("l_orderkey") === b("o_orderkey"))
+            .join(c, b("o_custkey") === c("c_custkey"))
+        })
+      }
+    }
+
+    /** ranking window over a unique-key total order, filtered to the
+      * top-n per partition. */
+    private def shapeWindow(): Generated = {
+      val t = pick(singles.filter(_.cats.nonEmpty))
+      val p = filterFor(t)
+      val partCol = pick(t.cats.keys.toSeq.sorted)
+      val fn = pick(Seq("row_number", "rank", "dense_rank"))
+      val desc0 = maybe(0.5)
+      val n = 1 + rnd.nextInt(10)
+      val ordSql = t.unique.zipWithIndex
+        .map { case (c, i) => if (i == 0 && desc0) s"$c DESC" else c }.mkString(", ")
+      val ordCols = t.unique.zipWithIndex
+        .map { case (c, i) => if (i == 0 && desc0) col(c).desc else col(c).asc }
+      val outCols = (t.unique :+ partCol).distinct
+      val sql =
+        s"SELECT ${outCols.mkString(", ")}, rk FROM (" +
+          s"SELECT *, $fn() OVER (PARTITION BY $partCol ORDER BY $ordSql) AS rk " +
+          s"FROM ${t.name} WHERE ${p.sql}) w WHERE rk <= $n ORDER BY ${outCols.mkString(", ")}"
+      val build = (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(partCol).orderBy(ordCols: _*)
+        val f = fn match {
+          case "row_number" => row_number(); case "rank" => rank(); case _ => dense_rank()
+        }
+        Engine.t(s, dir, t.name).filter(p.cond)
+          .withColumn("rk", f.over(w)).filter(col("rk") <= n)
+          .select((outCols :+ "rk").map(col): _*)
+          .orderBy(outCols.map(col): _*)
+      }
+      Generated(seed, "window", build, sql, sql)
+    }
+
+    /** UNION/INTERSECT/EXCEPT (±ALL) of two filtered projections. */
+    private def shapeSetOp(): Generated = {
+      val t = pick(singles)
+      val cols0 = rnd.shuffle(t.ints ++ t.cats.keys.toSeq).take(2 + rnd.nextInt(2)).sorted
+      val (p1, p2) = (filterFor(t), filterFor(t))
+      val (opSql, dfOp) = pick(Seq[(String, (DataFrame, DataFrame) => DataFrame)](
+        ("UNION ALL", (a, b) => a.union(b)),
+        ("INTERSECT", (a, b) => a.intersect(b)),
+        ("EXCEPT", (a, b) => a.except(b)),
+        ("INTERSECT ALL", (a, b) => a.intersectAll(b)),
+        ("EXCEPT ALL", (a, b) => a.exceptAll(b))))
+      val cl = cols0.mkString(", ")
+      // outer ORDER BY over every output column: row order is then
+      // deterministic up to duplicate (identical) rows in the ALL forms
+      val sql = s"SELECT $cl FROM ${t.name} WHERE ${p1.sql} $opSql " +
+        s"SELECT $cl FROM ${t.name} WHERE ${p2.sql} ORDER BY $cl"
+      val build = (s: SparkSession, dir: String) => {
+        val base = Engine.t(s, dir, t.name)
+        dfOp(base.filter(p1.cond).select(cols0.map(col): _*),
+          base.filter(p2.cond).select(cols0.map(col): _*))
+          .orderBy(cols0.map(col): _*)
+      }
+      Generated(seed, "setop", build, sql, sql)
+    }
+
+    /** filter → total-order sort (unique tiebreak) → LIMIT. */
+    private def shapeSortLimit(): Generated = {
+      val t = pick(singles)
+      val p = filterFor(t)
+      val lead = pick(t.nums ++ t.cats.keys.toSeq)
+      val descLead = maybe(0.5)
+      val n = 1 + rnd.nextInt(50)
+      val outCols = (t.unique :+ lead).distinct
+      val ordSql = (s"$lead ${if (descLead) "DESC" else "ASC"}" +:
+        t.unique.filterNot(_ == lead)).mkString(", ")
+      val ordCols = (if (descLead) col(lead).desc else col(lead).asc) +:
+        t.unique.filterNot(_ == lead).map(col(_).asc)
+      val sql = s"SELECT ${outCols.mkString(", ")} FROM ${t.name} " +
+        s"WHERE ${p.sql} ORDER BY $ordSql LIMIT $n"
+      val build = (s: SparkSession, dir: String) =>
+        Engine.t(s, dir, t.name).filter(p.cond)
+          .select(outCols.map(col): _*).orderBy(ordCols: _*).limit(n)
+      Generated(seed, "sortlimit", build, sql, sql)
+    }
+
+    /** EXISTS / NOT EXISTS (semi/anti join) feeding an aggregate. */
+    private def shapeSemiAnti(): Generated = {
+      val (l, r, lk, rk) = pick(joinEdges)
+      val (pl, pr) = (filterFor(l), filterFor(r))
+      val anti = maybe(0.4)
+      val ex = if (anti) "NOT EXISTS" else "EXISTS"
+      val how = if (anti) "left_anti" else "left_semi"
+      val gcol =
+        if (l.cats.nonEmpty) pick(l.cats.keys.toSeq.sorted) else l.unique.head
+      val agg = aggFor(Seq(l), "agg0")
+      def sql(duck: Boolean) =
+        s"SELECT $gcol, ${if (duck) agg.duckSql else agg.sparkSql} FROM ${l.name} " +
+          s"WHERE ${pl.sql} AND $ex (SELECT 1 FROM ${r.name} WHERE $rk = $lk AND ${pr.sql}) " +
+          s"GROUP BY $gcol ORDER BY $gcol"
+      val build = (s: SparkSession, dir: String) => {
+        val a = Engine.t(s, dir, l.name).filter(pl.cond)
+        val b = Engine.t(s, dir, r.name).filter(pr.cond)
+        a.join(b, a(lk) === b(rk), how)
+          .groupBy(gcol).agg(agg.dfCol).orderBy(gcol)
+      }
+      Generated(seed, if (anti) "anti" else "semi", build, sql(false), sql(true))
+    }
+
+    def run(): Generated = rnd.nextInt(5) match {
+      case 0 => shapeAgg()
+      case 1 => shapeWindow()
+      case 2 => shapeSetOp()
+      case 3 => shapeSortLimit()
+      case 4 => shapeSemiAnti()
+    }
+  }
+}

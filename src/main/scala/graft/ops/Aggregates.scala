@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{CH, Engine}
@@ -69,24 +69,148 @@ object Aggregates {
         count_distinct(col("o_custkey")).as("exact_cust"))
       .orderBy("o_orderstatus")
 
+  /** Exact interpolated percentiles by distributed rank-select —
+    * semantically identical to Spark's `percentile` / DuckDB's
+    * `quantile_cont` (0-based pos = p·(n−1); linear interpolation
+    * between the values at ranks ⌊pos⌋ and ⌈pos⌉), but scale-shaped:
+    * the builtin `percentile` collects EVERY value of a group into one
+    * aggregation buffer, so a 3-group 100 TB input sorts ~33 TB per
+    * buffer on 3 tasks (the sf1 rehearsal measured this as a 26×
+    * sf1/sf0.1 cliff). Here instead rows shuffle into VALUE-ORDERED
+    * BUCKETS and rank locally:
+    *
+    *  1. bucket ids are DATA-INDEPENDENT and monotone in the value:
+    *     the top 20 bits of the `sortable_double_bits` kernel (sign +
+    *     exponent + 8 mantissa bits ≈ 256 ordered slices per binade).
+    *     No `repartitionByRange` (its sampling job re-executes the
+    *     upstream) and no min/max statistics pass — monotonicity is
+    *     all the prefix sum needs; skewed bucket sizes cost task
+    *     balance only, never correctness;
+    *  2. one cheap low-cardinality aggregate counts rows per bucket;
+    *     that TINY histogram (≤ groups×cols×non-empty-buckets rows,
+    *     KB-sized bounded driver state like the k-means centroid
+    *     probe) yields each bucket's exclusive rank offset and the
+    *     group sizes — so the bucket holding each target rank
+    *     ⌊pos⌋/⌈pos⌉ is known WITHOUT touching the rows again (the
+    *     classic histogram pre-pass of two-phase exact selection);
+    *  3. the second pass broadcast-semi-joins rows to the ≤2 candidate
+    *     buckets per requested percentile — a narrow codegen'd filter
+    *     that drops ~all rows — then sorts just those buckets
+    *     (`row_number`, fully parallel; equal values always share a
+    *     bucket so tie order can't change which VALUE sits at a rank),
+    *     adds the bucket offset for the global 0-based rank, and keeps
+    *     exactly the target ranks to interpolate.
+    *
+    * Two O(n) scans, a shuffle of only candidate-bucket rows (≈ n /
+    * buckets), and no all-values agg buffer anywhere.
+    *
+    * `specs` is (valueCol, p, outName); all columns melt into one scan.
+    * Returns long-format (g, __q, __res) — one row per spec × group. */
+  private[graft] def exactPercentileByRank(
+      df: DataFrame, g: String, specs: Seq[(String, Double, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vcols = specs.map(_._1).distinct
+    // melt the value columns to (g, __col, __v) rows, bucket monotonically
+    val melted = df.select(col(g), explode(array(vcols.map(c =>
+        struct(lit(c).as("__col"), col(c).cast("double").as("__v"))): _*)).as("__m"))
+      .select(col(g), col("__m.__col").as("__col"), col("__m.__v").as("__v"))
+      .filter(col("__v").isNotNull)   // percentile ignores nulls
+      .withColumn("__b",
+        shiftright(call_function("sortable_double_bits", col("__v")), 44).cast("int"))
+    // pass 1: rows per bucket (low-cardinality agg → tiny table). The
+    // histogram is BOUNDED driver state — O(groups × cols × non-empty
+    // buckets), KB-sized like the k-means centroid probe — and
+    // collecting it once lets every derived table (offsets, target
+    // ranks, candidate buckets) come from driver math instead of 3-4
+    // re-executions of the same aggregate under separate broadcasts.
+    val bcounts = melted.groupBy(col(g), col("__col"), col("__b"))
+      .agg(count(lit(1)).as("__bt")).collect()
+    require(bcounts.length < (1 << 22),
+      s"percentile bucket histogram unexpectedly large (${bcounts.length} rows)")
+    // per (g, col): bucket → exclusive offset, and the group size n
+    val byGroup = bcounts.groupBy(r => (r.get(0), r.getString(1)))
+    val offsets = byGroup.view.mapValues { rows =>
+      val sorted = rows.sortBy(_.getInt(2))
+      val offs = sorted.scanLeft(0L)(_ + _.getLong(3))
+      (sorted.map(_.getInt(2)).zip(offs).toMap, offs.last) // bucket→off, n
+    }.toMap
+    // target ranks per (group, col, p): pos = p*(n-1); need ⌊pos⌋/⌈pos⌉
+    val targetRows = for {
+      ((gv, c), (_, n)) <- offsets.toSeq; (vc, p, q) <- specs if vc == c
+    } yield {
+      val pos = p * (n - 1).toDouble
+      Row(gv, c, q, pos, math.floor(pos).toLong, math.ceil(pos).toLong)
+    }
+    // candidate buckets: the ≤2 buckets whose rank range covers a target
+    val neededRows = for {
+      ((gv, c), (bOffs, _)) <- offsets.toSeq
+      (b, off) <- bOffs.toSeq
+      bt = byGroup((gv, c)).find(_.getInt(2) == b).get.getLong(3)
+      if targetRows.exists(t => t.get(0) == gv && t.getString(1) == c &&
+        ((t.getLong(4) >= off && t.getLong(4) < off + bt) ||
+          (t.getLong(5) >= off && t.getLong(5) < off + bt)))
+    } yield Row(gv, c, b, off)
+    val gType = df.schema(g).dataType
+    import org.apache.spark.sql.types._
+    val needed = spark.createDataFrame(
+      spark.sparkContext.parallelize(neededRows, 1),
+      StructType(Seq(StructField(g, gType), StructField("__col", StringType),
+        StructField("__b", IntegerType), StructField("__off", LongType))))
+    val targets = spark.createDataFrame(
+      spark.sparkContext.parallelize(targetRows, 1),
+      StructType(Seq(StructField(g, gType), StructField("__col", StringType),
+        StructField("__q", StringType), StructField("__pos", DoubleType),
+        StructField("__rf", LongType), StructField("__rc", LongType))))
+    // pass 2: rank ONLY candidate-bucket rows; global rank = local + offset
+    val wLocal = Window.partitionBy(col(g), col("__col"), col("__b")).orderBy(col("__v"))
+    melted.join(broadcast(needed), Seq(g, "__col", "__b"))
+      .withColumn("__rn", row_number().over(wLocal))
+      .withColumn("__r", col("__rn") - 1 + col("__off"))
+      .join(broadcast(targets), Seq(g, "__col"))
+      .filter(col("__r") === col("__rf") || col("__r") === col("__rc"))
+      .groupBy(col(g), col("__q"), col("__pos"), col("__rf"))
+      .agg(
+        max(when(col("__r") === col("__rf"), col("__v"))).as("__vf"),
+        max(when(col("__r") === col("__rc"), col("__v"))).as("__vc"))
+      // exactly Percentile.getPercentile's form: lower + (pos-⌊pos⌋)·(higher-lower)
+      .select(col(g), col("__q"),
+        (col("__vf") + (col("__pos") - col("__rf").cast("double")) *
+          (col("__vc") - col("__vf"))).as("__res"))
+  }
+
   /** D6: exact quantiles with linear interpolation (= DuckDB
-    * quantile_cont), rounded to 6 dp on both sides. */
+    * quantile_cont), rounded to 6 dp on both sides. Computed via
+    * [[exactPercentileByRank]] (distributed rank-select) rather than
+    * the builtin `percentile`, whose collect-all-per-group buffer is
+    * the one shape that cannot survive 3 groups × 100 TB; equality
+    * with the builtin is pinned by `EdgeSemanticsSpec`. */
   private def d6Quantiles(spark: SparkSession, dir: String): DataFrame =
-    Engine.t(spark, dir, "lineitem")
+    exactPercentileByRank(Engine.t(spark, dir, "lineitem"), "l_returnflag",
+      Seq(("l_quantity", 0.5, "p50_qty"),
+        ("l_extendedprice", 0.25, "p25_price"),
+        ("l_extendedprice", 0.9, "p90_price")))
       .groupBy("l_returnflag")
       .agg(
-        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
-        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"))
+        round(max(when(col("__q") === "p50_qty", col("__res"))), 6).as("p50_qty"),
+        round(max(when(col("__q") === "p25_price", col("__res"))), 6).as("p25_price"),
+        round(max(when(col("__q") === "p90_price", col("__res"))), 6).as("p90_price"))
       .orderBy("l_returnflag")
 
-  /** D6/I2: t-digest-style approximate quantiles — no oracle. */
-  private def d6ApproxQuantiles(spark: SparkSession, dir: String): DataFrame =
-    Engine.t(spark, dir, "lineitem")
+  /** D6/I2: t-digest-style approximate quantiles — no oracle. The
+    * exact companion column uses the rank-select path (see d6). */
+  private def d6ApproxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Engine.t(spark, dir, "lineitem")
+    val exact = exactPercentileByRank(li, "l_returnflag",
+      Seq(("l_extendedprice", 0.5, "p50_exact")))
       .groupBy("l_returnflag")
-      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_exact"))
+      .agg(round(max(col("__res")), 6).as("p50_exact"))
+    li.groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"))
+      .join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("p50_approx"), col("p50_exact"))
       .orderBy("l_returnflag")
+  }
 
   /** I1: HLL++ approx-distinct as the standalone sketch op (SURVEY
     * §2.I1; D5 is the `uniq()` SQL-surface form) — tighter rsd

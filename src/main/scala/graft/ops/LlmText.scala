@@ -156,20 +156,35 @@ object LlmText {
 
   /** Document fingerprints: min-hash content fingerprint + 16-bit
     * SimHash over tokens. No oracle (xxhash64 is engine-internal);
-    * spec test asserts stability and near-dup Hamming proximity. */
-  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
-    val simBits = (0 until 16).map { j =>
-      val vote = aggregate(toks, lit(0L),
-        (acc, t) => acc + when(xxhash64(t).bitwiseAND(lit(1L << j)) =!= 0, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    * spec test asserts stability and near-dup Hamming proximity.
+    *
+    * The 16-bit simhash is the low 16 bits of the codegen'd
+    * `simhash64` kernel — bit-identical to the definitional form (16
+    * per-bit vote folds over `xxhash64(token)`, seed 42, bit set iff
+    * vote > 0; pinned by `LlmOpsSpec`'s definitional-equality case)
+    * but ONE token-array pass instead of 16 interpreted HOF
+    * aggregates. The sf1 scale rehearsal caught the old form as a
+    * 24× sf1/sf0.1 cliff; the kernel restores linear scaling. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
     fanOut(Engine.t(spark, dir, "documents"))
       // Fingerprint over 3-gram shingles, not bare tokens — a shared
       // vocabulary collapses token-minhash to a handful of values.
       .select(
         col("doc_id"),
         coalesce(array_min(transform(ngrams(toks, 3), s => xxhash64(s))), lit(0L)).as("min_fp"),
-        simBits.as("simhash16"))
+        call_function("simhash64", toks).bitwiseAND(lit(0xFFFFL)).as("simhash16"))
+      .orderBy("doc_id")
+
+  /** The definitional 16-bit simhash (16 HOF vote folds) — kept
+    * non-exported solely so the spec can pin kernel ≡ definition. */
+  private[graft] def simhash16Definitional(spark: SparkSession, dir: String): DataFrame = {
+    val simBits = (0 until 16).map { j =>
+      val vote = aggregate(toks, lit(0L),
+        (acc, t) => acc + when(xxhash64(t).bitwiseAND(lit(1L << j)) =!= 0, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    Engine.t(spark, dir, "documents")
+      .select(col("doc_id"), simBits.as("simhash16"))
       .orderBy("doc_id")
   }
 

@@ -164,6 +164,30 @@ class EdgeSemanticsSpec extends AnyFunSuite {
     assert(r.getSeq[Int](0) == Seq(0) && r.getSeq[Int](1) == Seq(7))
   }
 
+  test("rank-select exact percentile equals builtin percentile (all groups, 3 ps)") {
+    // d6 ships the distributed rank-select path (Aggregates.
+    // exactPercentileByRank); pin it to Spark's own collect-all
+    // `percentile` on real data — every group, fractional and exact
+    // rank positions, two value columns.
+    val li = Engine.t(spark, TestSpark.sf, "lineitem")
+    val builtin = li.groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"))
+      .orderBy("l_returnflag").collect().toSeq
+    val ranked = graft.SparkEntry.queries("d6_quantiles")(spark, TestSpark.sf)
+      .collect().toSeq
+    assert(ranked == builtin)
+  }
+
+  test("rank-select percentile: single-row group and n=2 interpolation") {
+    val df = Seq(("a", 7.0), ("b", 1.0), ("b", 2.0)).toDF("g", "v")
+    val got = graft.ops.Aggregates.exactPercentileByRank(df, "g", Seq(("v", 0.5, "p50")))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got == Map("a" -> 7.0, "b" -> 1.5))
+  }
+
   test("LIMIT BY returns at most n rows per group and top-K equals sort-take") {
     val df = Seq(("a", 5), ("a", 3), ("a", 9), ("b", 1), ("b", 2)).toDF("g", "v")
     val w = Window.partitionBy("g").orderBy(col("v").desc)

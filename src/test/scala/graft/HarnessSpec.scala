@@ -24,7 +24,7 @@ class HarnessSpec extends AnyFunSuite {
       ops.LlmVector.queries,
       ops.Multimodal.queries, ops.Formats.queries, ops.Storage.queries,
       ops.SystemTables.queries, ops.Streaming.queries, ops.Udafs.queries,
-      ops.Sampling.queries)
+      ops.Sampling.queries, fuzz.Differential.queries)
     val total = all.map(_.size).sum
     assert(SparkEntry.queries.size == total, "duplicate query names across modules")
   }

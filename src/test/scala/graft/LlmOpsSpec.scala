@@ -168,6 +168,17 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fp1.sameElements(fp2))
   }
 
+  test("kernel simhash16 equals the definitional 16-vote fold") {
+    // l9 ships the low 16 bits of the codegen'd simhash64 kernel;
+    // this pins it to the definitional form (16 HOF vote folds over
+    // xxhash64(token), bit set iff vote > 0) on every sf0.001 doc.
+    val kernel = LlmText.fingerprints(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash16")).toMap
+    val defn = LlmText.simhash16Definitional(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash16")).toMap
+    assert(kernel == defn)
+  }
+
   test("IVF ANN is exact within its probed buckets") {
     // The data-independent IVF invariant: restricted to the probed
     // coarse buckets, IVF results equal an independently computed
