@@ -37,9 +37,17 @@ object Differential {
 
   private def name(s: Long): String = s"fz${s}_${PlanGen.generate(s).shape}"
 
+  /** Frozen window→agg composite seeds (separate entry point — see
+    * [[PlanGen.generateComposite]]). */
+  val frozenCompositeSeeds: Seq[Long] = Seq(1L, 2L)
+
+  private def cname(s: Long): String = s"fzc${s}_windowagg"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    frozenSeeds.map(s => name(s) -> PlanGen.generate(s).build).toMap
+    frozenSeeds.map(s => name(s) -> PlanGen.generate(s).build).toMap ++
+      frozenCompositeSeeds.map(s => cname(s) -> PlanGen.generateComposite(s).build).toMap
 
   def oracles: Map[String, String] =
-    frozenSeeds.map(s => name(s) -> PlanGen.generate(s).duckSql).toMap
+    frozenSeeds.map(s => name(s) -> PlanGen.generate(s).duckSql).toMap ++
+      frozenCompositeSeeds.map(s => cname(s) -> PlanGen.generateComposite(s).duckSql).toMap
 }

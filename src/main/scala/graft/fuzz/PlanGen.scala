@@ -348,5 +348,40 @@ object PlanGen {
       case 3 => shapeSortLimit()
       case 4 => shapeSemiAnti()
     }
+
+    /** Composite: window rank → filter → aggregate. Exercises the
+      * window-feeds-agg composition the five base shapes never chain.
+      * Kept behind its own entry point so adding it does not reshuffle
+      * the seed→shape mapping of the base generator (frozen `fz*`
+      * names stay stable). */
+    def runComposite(): Generated = {
+      val t = pick(singles.filter(_.cats.nonEmpty))
+      val p = filterFor(t)
+      val partCol = pick(t.cats.keys.toSeq.sorted)
+      val desc0 = maybe(0.5)
+      val n = 1 + rnd.nextInt(8)
+      val agg = aggFor(Seq(t), "agg0")
+      val ordSql = t.unique.zipWithIndex
+        .map { case (c, i) => if (i == 0 && desc0) s"$c DESC" else c }.mkString(", ")
+      val ordCols = t.unique.zipWithIndex
+        .map { case (c, i) => if (i == 0 && desc0) col(c).desc else col(c).asc }
+      def sql(duck: Boolean) =
+        s"SELECT $partCol, count(*) AS topn_cnt, ${if (duck) agg.duckSql else agg.sparkSql} FROM (" +
+          s"SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY $partCol ORDER BY $ordSql) AS rk " +
+          s"FROM ${t.name} WHERE ${p.sql}) i WHERE rk <= $n) w " +
+          s"GROUP BY $partCol ORDER BY $partCol"
+      val build = (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(partCol).orderBy(ordCols: _*)
+        Engine.t(s, dir, t.name).filter(p.cond)
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
+          .groupBy(partCol).agg(count(lit(1)).as("topn_cnt"), agg.dfCol)
+          .orderBy(partCol)
+      }
+      Generated(seed, "windowagg", build, sql(false), sql(true))
+    }
   }
+
+  /** Composite window→agg plan for the same seed space — see
+    * [[Gen.runComposite]]. */
+  def generateComposite(seed: Long): Generated = new Gen(seed).runComposite()
 }

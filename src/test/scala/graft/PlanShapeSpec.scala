@@ -118,6 +118,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"fact side should not shuffle for dim joins here, plan:\n$plan")
   }
 
+  test("d6 exact quantiles plan is rank-select: no collect-all percentile buffer") {
+    val df = SparkEntry.queries("d6_quantiles")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the builtin `percentile` aggregate is the collect-every-value
+    // buffer that cannot survive 3 groups × 100 TB — it must not appear
+    assert(!plan.contains("percentile"),
+      s"builtin percentile buffer must not appear, plan:\n$plan")
+    // the rank-select shape: monotone bucket kernel + per-bucket
+    // row_number + broadcast of the tiny candidate/target tables
+    assert(plan.contains("sortable_double_bits"), s"bucket kernel missing, plan:\n$plan")
+    assert(plan.contains("row_number"), s"rank window missing, plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate/target tables must broadcast, plan:\n$plan")
+  }
+
   test("q1 scan shows pushed shipdate filter and pruned ReadSchema") {
     val df = ops.Basics.q1PricingSummary(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
