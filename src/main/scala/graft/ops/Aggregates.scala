@@ -105,7 +105,10 @@ object Aggregates {
     * buckets), and no all-values agg buffer anywhere.
     *
     * `specs` is (valueCol, p, outName); all columns melt into one scan.
-    * Returns long-format (g, __q, __res) — one row per spec × group. */
+    * Returns long-format (g, __q, __res) — one row per spec × group.
+    * Caveat vs the builtin: a group whose values are ALL null is
+    * omitted entirely (the builtin keeps the group with a null
+    * percentile); callers here never feed null-only groups. */
   private[graft] def exactPercentileByRank(
       df: DataFrame, g: String, specs: Seq[(String, Double, String)]): DataFrame = {
     val spark = df.sparkSession
@@ -169,14 +172,19 @@ object Aggregates {
       .withColumn("__r", col("__rn") - 1 + col("__off"))
       .join(broadcast(targets), Seq(g, "__col"))
       .filter(col("__r") === col("__rf") || col("__r") === col("__rc"))
-      .groupBy(col(g), col("__q"), col("__pos"), col("__rf"))
+      .groupBy(col(g), col("__q"), col("__pos"), col("__rf"), col("__rc"))
       .agg(
         max(when(col("__r") === col("__rf"), col("__v"))).as("__vf"),
         max(when(col("__r") === col("__rc"), col("__v"))).as("__vc"))
-      // exactly Percentile.getPercentile's form: lower + (pos-⌊pos⌋)·(higher-lower)
+      // bit-exact Percentile.getPercentile form: sorted(lower) when the
+      // position is integral, else (higher−pos)·lower + (pos−lower)·higher
+      // — the algebraically-equal lower+(pos−⌊pos⌋)·(higher−lower) differs
+      // in the last ulp (caught by the random-data property test)
       .select(col(g), col("__q"),
-        (col("__vf") + (col("__pos") - col("__rf").cast("double")) *
-          (col("__vc") - col("__vf"))).as("__res"))
+        when(col("__rf") === col("__rc"), col("__vf"))
+          .otherwise(
+            (col("__rc").cast("double") - col("__pos")) * col("__vf") +
+              (col("__pos") - col("__rf").cast("double")) * col("__vc")).as("__res"))
   }
 
   /** D6: exact quantiles with linear interpolation (= DuckDB

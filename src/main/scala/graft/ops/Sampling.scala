@@ -102,6 +102,22 @@ object Sampling {
       .orderBy(desc("approx_count"), col("brand"))
   }
 
+  /** I3b: SpaceSaving in its EXACT regime (i8b precedent — declare the
+    * deterministic sub-form of a sketch as an oracle row): with
+    * capacity k ≥ the column's distinct count the min-counter eviction
+    * never fires, so every counter is an exact count and the output
+    * equals a plain GROUP BY — which DuckDB replays. p_brand has 25
+    * distinct values; k=32. The approximate regime stays spec-bound
+    * via i3. */
+  private def i3bSpaceSavingExact(spark: SparkSession, dir: String): DataFrame = {
+    spark.udf.register("ss_topk32", udaf(new SpaceSaving(32)))
+    Engine.t(spark, dir, "part")
+      .agg(expr("ss_topk32(p_brand)").as("topk"))
+      .select(explode(col("topk")).as("e"))
+      .select(col("e._1").as("brand"), col("e._2").as("exact_count"))
+      .orderBy(desc("exact_count"), col("brand"))
+  }
+
   /** I7: KMV bottom-k sample (CH `groupArraySample`'s deterministic,
     * distributed twin): per group, the k distinct values with the
     * SMALLEST md5 — a uniform sample that is mergeable (min of mins),
@@ -131,7 +147,8 @@ object Sampling {
     "i7_kmv_sample" -> (i7KmvSample _),
     "b5_sample" -> (b5Sample _),
     "j4_refreshable_mv" -> (j4RefreshableMv _),
-    "i3_spacesaving_topk" -> (i3SpaceSaving _))
+    "i3_spacesaving_topk" -> (i3SpaceSaving _),
+    "i3b_spacesaving_exact" -> (i3bSpaceSavingExact _))
 
   val oracles: Map[String, String] = Map(
     "i7_kmv_sample" ->
@@ -155,5 +172,8 @@ object Sampling {
     "j4_refreshable_mv" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "i3b_spacesaving_exact" ->
+      """SELECT p_brand AS brand, count(*) AS exact_count
+        |FROM part GROUP BY p_brand ORDER BY exact_count DESC, brand""".stripMargin)
 }

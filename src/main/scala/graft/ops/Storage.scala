@@ -521,6 +521,24 @@ object Storage {
     "k7_obfuscator" -> (k7Obfuscator _))
 
   val oracles: Map[String, String] = Map(
+    // k22 is fully deterministic: decimal sums are exact and
+    // associative, so the staged part-local sums re-summed across
+    // parts equal a flat two-level GROUP BY — DuckDB replays it
+    // without modeling the part lifecycle at all (that invariance is
+    // the SummingMergeTree contract this row proves).
+    "k22_summing_merge" ->
+      """WITH merged AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS price,
+        |    count(*) AS nrows
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(l_partkey % 8 AS BIGINT) AS bucket,
+        |  count(*) AS n_keys,
+        |  CAST(CAST(sum(qty) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(price) AS VARCHAR) AS DOUBLE) AS sum_price,
+        |  CAST(sum(nrows) AS BIGINT) AS n_source_rows
+        |FROM merged GROUP BY 1 ORDER BY bucket""".stripMargin,
     "k21_collapsing_merge" ->
       """WITH ledger AS (
         |  SELECT o_orderkey, o_orderstatus,

@@ -72,6 +72,29 @@ class PartialAggPropertySpec extends AnyFunSuite {
     assert(run(df.coalesce(1)) == run(df.repartition(11)))
   }
 
+  test("rank-select percentile equals builtin on random data (groups, dups, negatives)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // mixed continuous + heavily-duplicated small-int values, negative
+    // and positive, 1-3 groups, ps hitting exact and fractional ranks
+    val genVals = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.choose(-1000.0, 1000.0), Gen.choose(-5, 5).map(_.toDouble)))
+    val prop = Prop.forAll(genVals, Gen.choose(1, 3)) { (xs: List[Double], ng: Int) =>
+      val df = xs.zipWithIndex.map { case (v, i) => (s"g${i % ng}", v) }.toDF("g", "v")
+      val specs = Seq(("v", 0.0, "p0"), ("v", 0.25, "p25"), ("v", 0.5, "p50"), ("v", 1.0, "p100"))
+      val got = graft.ops.Aggregates.exactPercentileByRank(df, "g", specs)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      val want = df.groupBy("g").agg(
+          expr("percentile(v, 0.0)").as("p0"), expr("percentile(v, 0.25)").as("p25"),
+          expr("percentile(v, 0.5)").as("p50"), expr("percentile(v, 1.0)").as("p100"))
+        .collect().flatMap(r => Seq("p0", "p25", "p50", "p100").map(q =>
+          (r.getString(0), q) -> r.getAs[Double](q))).toMap
+      got == want
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("udaf through SQL matches manual computation") {
     import spark.implicits._
     spark.udf.register("sum_sq_t", udaf(SumSqState))
