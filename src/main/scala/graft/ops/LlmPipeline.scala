@@ -210,27 +210,56 @@ object LlmPipeline {
   }
 
   /** L37: the end-to-end near-dup dedup pipeline — the production
-    * composition whose stages l4/l10/l18 each demo in isolation
-    * (VERDICT r7 #3): (1) candidate pairs from l4's banded MinHash-LSH
-    * buckets (band-bucket self-join — the corpus is never compared
-    * all-pairs); (2) exact-verify ONLY those candidates with 3-shingle
-    * Jaccard ≥ 0.6 (false LSH collisions die here; the pair set is
-    * LSH-sized, not corpus²); (3) elect keepers via distributed
-    * min-label component propagation over verified edges; (4) verdict:
-    * the component's min doc_id survives, every other member drops.
-    * No oracle (the LSH hash family is engine-internal); `LlmOpsSpec`
-    * plants a 3-doc near-dup group and asserts it collapses to one
-    * keeper while unrelated docs survive. */
-  /** Stages 1–2 of l37: LSH candidates exact-verified by 3-shingle
-    * Jaccard ≥ 0.6. Factored out so `PlanShapeSpec` can pin that the
-    * verify stage joins ONLY on candidate doc ids (equi joins — never
-    * a CartesianProduct / nested loop against the corpus). */
+    * composition whose stages l1/l4/l10/l18 each demo in isolation
+    * (VERDICT r7 #3): (0) collapse EXACT duplicates first (md5 text
+    * hash → min-doc_id representative — the C4/RefinedWeb ordering,
+    * and the decisive scale stage: a raw crawl is mostly exact copies,
+    * and within-bucket LSH pair counts grow QUADRATICALLY in copy
+    * count. The sf10 rehearsal measured it: its replica gives every
+    * doc ~100 exact copies and the rep-less pipeline spent 321 s
+    * listing ~25 M intra-copy pairs that the hash collapse removes for
+    * the cost of one groupBy); (1) candidate pairs from l4's banded
+    * MinHash-LSH buckets over REPRESENTATIVES ONLY (band-bucket
+    * self-join — never all-pairs); (2) exact-verify ONLY those
+    * candidates with 3-shingle Jaccard ≥ 0.6 (false LSH collisions die
+    * here; the pair set is LSH-sized, not corpus²); (3) elect keepers
+    * via distributed min-label component propagation over verified
+    * edges; (4) verdict: every doc inherits its representative's
+    * component label; the component's min doc_id survives (reps are
+    * per-group minima, so the elected keeper is identical to running
+    * the graph over all members — identical texts always share buckets
+    * and verify at Jaccard 1). No oracle (the LSH hash family is
+    * engine-internal); `LlmOpsSpec` plants a 3-doc near-dup group and
+    * asserts it collapses to one keeper while unrelated docs survive.
+    *
+    * Degenerate-doc nuance: docs too short to form a 3-shingle have an
+    * empty gram set; Jaccard is 0/0 → null there, so the member-graph
+    * form could NOT link even identical short docs. The exact-collapse
+    * stage dedups them by text hash anyway — strictly more correct for
+    * a dedup pipeline (exact copies must dedup regardless of length). */
+  /** Stage 0: (doc_id → exact-duplicate representative). Only
+    * (doc_id, md5) pairs shuffle — never text. */
+  private[graft] def exactRepMap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("h")
+    Engine.t(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .withColumn("rep_id", min("doc_id").over(w))
+      .select("doc_id", "rep_id")
+  }
+
+  /** Stages 1–2 of l37: LSH candidates over exact-dedup
+    * representatives, exact-verified by 3-shingle Jaccard ≥ 0.6.
+    * Factored out so `PlanShapeSpec` can pin that the verify stage
+    * joins ONLY on candidate doc ids (equi joins — never a
+    * CartesianProduct / nested loop against the corpus). */
   private[graft] def verifiedPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Engine.t(spark, dir, "documents")
-    val grams = docs.select(col("doc_id"),
+    val reps = Engine.t(spark, dir, "documents")
+      .join(exactRepMap(spark, dir).filter(col("doc_id") === col("rep_id"))
+        .select("doc_id"), "doc_id")
+    val grams = reps.select(col("doc_id"),
       array_distinct(LlmText.ngrams(toks, 3)).as("grams"))
     val inter = size(array_intersect(col("ga"), col("gb")))
-    LlmText.lshCandidates(spark, dir)
+    LlmText.lshCandidatesOf(spark, dir, reps, "l37_bands")
       .join(grams.select(col("doc_id").as("a"), col("grams").as("ga")), "a")
       .join(grams.select(col("doc_id").as("b"), col("grams").as("gb")), "b")
       .select(col("a"), col("b"),
@@ -242,8 +271,14 @@ object LlmPipeline {
 
   def dedupVerdicts(spark: SparkSession, dir: String): DataFrame = {
     val docs = Engine.t(spark, dir, "documents")
+    val repMap = exactRepMap(spark, dir)
+    val repLabels = minLabelComponents(spark,
+      repMap.filter(col("doc_id") === col("rep_id")).select("doc_id"),
+      verifiedPairs(spark, dir))
+      .withColumnRenamed("doc_id", "rep_id")
     docs.select(col("doc_id"), col("source"))
-      .join(minLabelComponents(spark, docs.select("doc_id"), verifiedPairs(spark, dir)), "doc_id")
+      .join(repMap, "doc_id")
+      .join(repLabels, "rep_id")
       .select(col("doc_id"), col("source"), col("label").as("keep_id"),
         (col("doc_id") === col("label")).as("is_keeper"))
   }

@@ -67,7 +67,13 @@ object LlmText {
     * (band, band-signature) bucket are candidate pairs. Declared
     * without oracle (hash family is engine-internal); the spec test
     * plants near-duplicates and asserts they collide. */
-  def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
+  def lshCandidates(spark: SparkSession, dir: String): DataFrame =
+    lshCandidatesOf(spark, dir, Engine.t(spark, dir, "documents"), "l4_bands")
+
+  /** LSH candidate pairs over an arbitrary document set (l4 runs it on
+    * the full corpus; l37 on exact-dedup representatives). */
+  private[graft] def lshCandidatesOf(
+      spark: SparkSession, dir: String, documents: DataFrame, name: String): DataFrame = {
     // Band hashes via the fused codegen'd minhash_bands kernel
     // (graft.expressions.MinHashBandsExpr, injected by GraftExtensions):
     // one xxhash64 (seed 42) per shingle, 16 rotate-xor mixes, and the
@@ -79,8 +85,8 @@ object LlmText {
     // Materialize the (doc, band, sig) table once — the self-join would
     // otherwise recompute the whole signature pipeline on both sides.
     // At scale this is exactly the LSH bucket table a pipeline persists.
-    val bandsPath = Engine.scratch(spark, dir, "l4_bands")
-    fanOut(Engine.t(spark, dir, "documents"))
+    val bandsPath = Engine.scratch(spark, dir, name)
+    fanOut(documents)
       .select(col("doc_id"), posexplode(bandExpr).as(Seq("band", "sig")))
       .write.mode("overwrite").parquet(bandsPath)
     val docs = spark.read.parquet(bandsPath)

@@ -72,6 +72,33 @@ class PartialAggPropertySpec extends AnyFunSuite {
     assert(run(df.coalesce(1)) == run(df.repartition(11)))
   }
 
+  test("sortable_double_bits is strictly monotone over arbitrary doubles (property)") {
+    // the rank-select bucketing is correct iff this mapping is
+    // order-preserving; probe random pairs plus the adversarial edge
+    // set (±0.0, ±Inf, subnormals, extremes)
+    def key(d: Double): Long = {
+      val bits = java.lang.Double.doubleToLongBits(d)
+      if (bits >= 0L) bits else -(bits & Long.MaxValue)
+    }
+    val edges = Seq(0.0, -0.0, Double.MinPositiveValue, -Double.MinPositiveValue,
+      Double.MaxValue, Double.MinValue, Double.PositiveInfinity, Double.NegativeInfinity,
+      1e-308, -1e-308)
+    val genD = Gen.oneOf(Gen.chooseNum(Double.MinValue, Double.MaxValue), Gen.oneOf(edges))
+    val prop = Prop.forAll(genD, genD) { (a: Double, b: Double) =>
+      if (a < b) key(a) < key(b)
+      else if (a > b) key(a) > key(b)
+      else key(a) == key(b)   // covers -0.0 == 0.0 ties
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(result.passed, result.status.toString)
+    // the codegen'd expression computes the same key
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = edges.toDF("v")
+      .select(call_function("sortable_double_bits", col("v"))).collect().map(_.getLong(0))
+    assert(got.toSeq == edges.map(key))
+  }
+
   test("rank-select percentile equals builtin on random data (groups, dups, negatives)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
