@@ -146,13 +146,16 @@ object Aggregates {
       Row(gv, c, q, pos, math.floor(pos).toLong, math.ceil(pos).toLong)
     }
     // candidate buckets: the ≤2 buckets whose rank range covers a target
+    val btByGroup = byGroup.view.mapValues(
+      _.map(r => r.getInt(2) -> r.getLong(3)).toMap).toMap
+    val targetsByGroup = targetRows.groupBy(t => (t.get(0), t.getString(1)))
     val neededRows = for {
       ((gv, c), (bOffs, _)) <- offsets.toSeq
       (b, off) <- bOffs.toSeq
-      bt = byGroup((gv, c)).find(_.getInt(2) == b).get.getLong(3)
-      if targetRows.exists(t => t.get(0) == gv && t.getString(1) == c &&
-        ((t.getLong(4) >= off && t.getLong(4) < off + bt) ||
-          (t.getLong(5) >= off && t.getLong(5) < off + bt)))
+      bt = btByGroup((gv, c))(b)
+      if targetsByGroup.getOrElse((gv, c), Nil).exists(t =>
+        (t.getLong(4) >= off && t.getLong(4) < off + bt) ||
+          (t.getLong(5) >= off && t.getLong(5) < off + bt))
     } yield Row(gv, c, b, off)
     val gType = df.schema(g).dataType
     import org.apache.spark.sql.types._

@@ -230,17 +230,28 @@ object Joins {
     * IS NOT DISTINCT FROM, Spark `<=>`). `<=>` is a first-class
     * equi-join key for Spark's hash joins — no fallback to a
     * theta-join nested loop — so the shape shuffles/broadcasts exactly
-    * like c1. Keys are made sparse-NULL with nullif; output is the
-    * grouped pair count so the NULL×NULL match block stays bounded. */
+    * like c1.
+    *
+    * Scale shape: null-safe semantics make NULL a single join-key
+    * VALUE, so the NULL block is the textbook hot key — here 1/7 of
+    * EACH side, and materializing the block is quadratic (the sf10
+    * rehearsal measured 81 s enumerating ~3×10⁹ null×null pairs). The
+    * declared per-key stats don't need the enumeration: the supplier
+    * side pre-aggregates to one row per key and the pair count is the
+    * product `count_c(k) × count_s(k)` — the join output is then
+    * customer-sized (linear) while `<=>` remains the join condition
+    * with NULLs live on both sides. */
   private def c13NullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = Engine.t(spark, dir, "customer")
       .select(col("c_custkey"), nullif(pmod(col("c_nationkey"), lit(7)), lit(3)).as("k"))
     val s = Engine.t(spark, dir, "supplier")
       .select(col("s_suppkey"), nullif(pmod(col("s_nationkey"), lit(7)), lit(3)).as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_s"), count_distinct(col("s_suppkey")).as("n_supp_k"))
     c.join(broadcast(s), c("k") <=> s("k"))
       .groupBy(c("k").as("key"))
-      .agg(count(lit(1)).as("n_pairs"),
-        count_distinct(col("s_suppkey")).as("n_supp"))
+      .agg(sum(col("n_s")).as("n_pairs"),
+        max(col("n_supp_k")).as("n_supp"))
       .orderBy(asc_nulls_first("key"))
   }
 

@@ -66,7 +66,15 @@ object LlmText {
     * seeded per row) over word 3-shingles, banded 8×2; docs sharing a
     * (band, band-signature) bucket are candidate pairs. Declared
     * without oracle (hash family is engine-internal); the spec test
-    * plants near-duplicates and asserts they collide. */
+    * plants near-duplicates and asserts they collide.
+    *
+    * This is the candidate-stage DEMO over the full corpus — its
+    * declared count deliberately includes pairs among exact copies.
+    * The production composition (l37) runs the same kernel over
+    * exact-dedup REPRESENTATIVES, because within-bucket pair counts
+    * grow quadratically in copy count (measured: the sf10 replica's
+    * ~100 copies/doc made the rep-less pipeline list ~25 M intra-copy
+    * pairs). */
   def lshCandidates(spark: SparkSession, dir: String): DataFrame =
     lshCandidatesOf(spark, dir, Engine.t(spark, dir, "documents"), "l4_bands")
 
@@ -218,7 +226,10 @@ object LlmText {
     * at least one exact band, so candidates come from a bucket
     * self-join on (band, chunk) — never an all-pairs product. The
     * exact Hamming check (`bit_count(xor)`) then filters candidates.
-    * Same shuffle shape as the MinHash LSH path (l4). */
+    * Same shuffle shape as the MinHash LSH path (l4) — and the same
+    * exact-copy caveat: pair counts grow quadratically in copy count,
+    * so the production composition collapses exact duplicates first
+    * (l37's stage 0) and runs this kernel over representatives. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = fanOut(Engine.t(spark, dir, "documents"))
       .select(col("doc_id"), call_function("simhash64", toks).as("sh"))
