@@ -69,12 +69,7 @@ object LlmText {
     * plants near-duplicates and asserts they collide.
     *
     * This is the candidate-stage DEMO over the full corpus — its
-    * declared count deliberately includes pairs among exact copies.
-    * The production composition (l37) runs the same kernel over
-    * exact-dedup REPRESENTATIVES, because within-bucket pair counts
-    * grow quadratically in copy count (measured: the sf10 replica's
-    * ~100 copies/doc made the rep-less pipeline list ~25 M intra-copy
-    * pairs). */
+    * declared count deliberately includes pairs among exact copies. */
   def lshCandidates(spark: SparkSession, dir: String): DataFrame =
     lshCandidatesOf(spark, dir, Engine.t(spark, dir, "documents"), "l4_bands")
 
@@ -104,10 +99,33 @@ object LlmText {
       .select("a", "b").distinct()
   }
 
+  /** l4's declared count INCLUDES pairs among exact copies, but never
+    * enumerates them: exact copies share every band, so collapse them
+    * first (l37's stage-0 ordering) and count by multiplicity —
+    * cross-group candidates contribute n_a·n_b per colliding rep pair
+    * and each copy group contributes C(n,2) in closed form. The count
+    * is identical to the rep-less enumeration (pinned by an
+    * `LlmOpsSpec` case that replicates a corpus and diffs both forms);
+    * what changes is scale: the sf10 rehearsal's ~100-copies/doc
+    * replica spent 164 s listing ~25 M intra-copy pairs that this
+    * counts without materializing — the crawl-dedup reality, where
+    * exact copies dominate fuzzy candidates. */
   private def l4MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val cands = lshCandidates(spark, dir)
-    val nDocs = Engine.t(spark, dir, "documents").select(count(lit(1)).as("n_docs"))
-    nDocs.crossJoin(cands.agg(count(lit(1)).as("n_candidate_pairs")))
+    val groups = Engine.t(spark, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("doc_id"), first("text").as("text"),
+        count(lit(1)).as("n_copies"))
+    val mult = groups.select(col("doc_id"), col("n_copies"))
+    val cross = lshCandidatesOf(spark, dir, groups.select("doc_id", "text"), "l4_bands")
+      .join(mult.select(col("doc_id").as("a"), col("n_copies").as("na")), "a")
+      .join(mult.select(col("doc_id").as("b"), col("n_copies").as("nb")), "b")
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("cross_pairs"))
+    val intraAndTotal = groups.agg(
+      sum(col("n_copies")).as("n_docs"),
+      coalesce(sum(expr("n_copies * (n_copies - 1) div 2")), lit(0L)).as("intra_pairs"))
+    intraAndTotal.crossJoin(cross)
+      .select(col("n_docs"),
+        (col("cross_pairs") + col("intra_pairs")).as("n_candidate_pairs"))
   }
 
   /** L5: text stats rollup per (lang, source). */

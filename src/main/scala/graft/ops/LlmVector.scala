@@ -63,21 +63,56 @@ object LlmVector {
   }
 
   /** Embedding-cosine near-duplicate pairs, blocked on the cluster
-    * label (the IVF coarse bucket) so the self-join is per-bucket. */
+    * label (the IVF coarse bucket) so the self-join is per-bucket.
+    *
+    * The declared output is the full doc-pair list, but the expensive
+    * work — one dot product per pair — runs only on DISTINCT
+    * embeddings: byte-identical vectors collapse to a min-vec_id
+    * representative (one window over (label, embedding); copies of a
+    * vector are always near-dups of the same partners), rep pairs pay
+    * the dot products, and membership joins on the int rep key expand
+    * back to doc pairs. Output is bit-identical to the rep-less form
+    * (each pair's cosine is the same double expression over the same
+    * two vectors; replication case diffed in `VectorExpressionSpec`) —
+    * the sf10 rehearsal's ~100-copies/vector replica spent 162 s
+    * computing 10⁴ redundant dots per distinct pair that the collapse
+    * computes once. */
   private def l11NearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = corpus(spark, dir)
-    // Norms are computed per row BEFORE the self-join — the join
-    // shuffle materializes them, so each of the O(bucket²) pairs costs
-    // one dot product, not three.
-    val a = e.select(col("label"), col("vec_id").as("a_id"),
+    // hv is a pure function of the key, so it does not change the
+    // partitioning — it makes the window's sort compare 8 bytes
+    // instead of a 64-float array in the common case. Equality is
+    // still decided by the full embedding (hash collisions can't
+    // merge distinct vectors). The rep map is persisted once and read
+    // by all three consumers (reps + both membership joins) — the
+    // window runs once, not three times.
+    val w = Window.partitionBy("label", "hv", "embedding")
+    val mPath = Engine.scratch(spark, dir, "l11_repmap")
+    corpus(spark, dir)
+      .select(col("label"), col("vec_id"), col("embedding"),
+        xxhash64(col("embedding")).as("hv"))
+      .withColumn("rep", min("vec_id").over(w))
+      .drop("hv")
+      .write.mode("overwrite").parquet(mPath)
+    val m = spark.read.parquet(mPath)
+    val reps = m.filter(col("vec_id") === col("rep"))
+    val a = reps.select(col("label"), col("rep").as("a_rep"),
       col("embedding").as("ea"), sqrt(dot(col("embedding"), col("embedding"))).as("na"))
-    val b = e.select(col("label"), col("vec_id").as("b_id"),
+    val b = reps.select(col("label"), col("rep").as("b_rep"),
       col("embedding").as("eb"), sqrt(dot(col("embedding"), col("embedding"))).as("nb"))
     val cs = dot(col("ea"), col("eb")) / (col("na") * col("nb"))
-    a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
+    // a_rep <= b_rep keeps the rep==rep diagonal: it expands to the
+    // C(n,2) pairs WITHIN a copy group (cos of a vector with itself,
+    // same expression the rep-less form evaluated for those pairs).
+    val repPairs = a.join(b, Seq("label")).filter(col("a_rep") <= col("b_rep"))
       .withColumn("cs", cs)
       .filter(col("cs") > 0.35)
-      .select(col("label"), col("a_id"), col("b_id"), round(col("cs"), 4).as("cos_sim"))
+      .select(col("label"), col("a_rep"), col("b_rep"), round(col("cs"), 4).as("cos_sim"))
+    repPairs
+      .join(m.select(col("rep").as("a_rep"), col("vec_id").as("ia")), "a_rep")
+      .join(m.select(col("rep").as("b_rep"), col("vec_id").as("ib")), "b_rep")
+      .filter(col("a_rep") < col("b_rep") || col("ia") < col("ib"))
+      .select(col("label"), least(col("ia"), col("ib")).as("a_id"),
+        greatest(col("ia"), col("ib")).as("b_id"), col("cos_sim"))
       .orderBy("label", "a_id", "b_id")
   }
 

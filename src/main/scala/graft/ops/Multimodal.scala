@@ -207,11 +207,49 @@ object Multimodal {
       .distinct()
   }
 
-  private def mm5PhashNeardup(spark: SparkSession, dir: String): DataFrame =
-    phashPairs(spark, dir)
-      .agg(count(lit(1)).as("n_candidate_pairs"),
-        CH.countIf(col("hd") <= 3).as("n_neardup_pairs"),
-        coalesce(min(col("hd")), lit(-1)).cast("int").as("min_hamming"))
+  /** The declared funnel counts include pairs among byte-identical
+    * assets (hd = 0), but never enumerate them: assets with the SAME
+    * 64-bit hash collide in every band, so collapse to one
+    * representative per distinct hash with a copy count first, then
+    * count cross-hash candidates as n_a·n_b per colliding rep pair and
+    * same-hash candidates as C(n,2) in closed form. Counts are
+    * identical to the rep-less enumeration (replication case in
+    * `LlmOpsSpec`); the sf10 rehearsal's ~100-copies/asset replica
+    * spent 167 s listing intra-copy pairs this computes without
+    * materializing. min_hamming: same-hash pairs have hd = 0; two
+    * DISTINCT hashes are never at hd 0, so it is 0 iff any copy group
+    * has ≥ 2 members, else the min over rep pairs. */
+  private def mm5PhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = mediaTable(spark, dir)
+      .as[MediaRow]
+      .mapPartitions(rows => rows.map(fakePHash))
+      .toDF()
+      .groupBy("ph")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n"))
+    val banded = g.select(col("doc_id"), col("ph"), col("n"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("ph"), b * 16).bitwiseAND(lit(0xffffL))): _*)).as(Seq("band", "sig")))
+    val a = banded.select(col("band"), col("sig"),
+      col("doc_id").as("a"), col("ph").as("pa"), col("n").as("na"))
+    val b = banded.select(col("band"), col("sig"),
+      col("doc_id").as("b"), col("ph").as("pb"), col("n").as("nb"))
+    val repPairs = a.join(b, Seq("band", "sig")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), (col("na") * col("nb")).as("m"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).as("hd"))
+      .distinct()
+    val cross = repPairs.agg(
+      coalesce(sum(col("m")), lit(0L)).as("cross_pairs"),
+      coalesce(sum(when(col("hd") <= 3, col("m")).otherwise(lit(0L))), lit(0L)).as("cross_near"),
+      min(col("hd")).as("cross_min_hd"))
+    val intra = g.agg(
+      coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("intra_pairs"))
+    intra.crossJoin(cross).select(
+      (col("cross_pairs") + col("intra_pairs")).as("n_candidate_pairs"),
+      (col("cross_near") + col("intra_pairs")).as("n_neardup_pairs"),
+      when(col("intra_pairs") > 0, lit(0))
+        .otherwise(coalesce(col("cross_min_hd"), lit(-1))).cast("int").as("min_hamming"))
+  }
 
   val queries: Map[String, Q] = Map(
     "mm5_phash_neardup" -> (mm5PhashNeardup _),

@@ -242,13 +242,36 @@ object Streaming {
       val ev = Engine.events(spark, dir)
       val withT = ev.withColumn("__t", unix_micros(col("ts")))
       val bounds = withT.stat.approxQuantile("__t", Array(0.25, 0.5, 0.75), 0.001).map(_.toLong)
-      val los = Long.MinValue +: bounds
-      val his = bounds :+ Long.MaxValue
-      los.zip(his).zipWithIndex.foreach { case ((lo, hi), i) =>
-        withT.filter(col("__t") >= lo && col("__t") < hi).drop("__t")
-          .coalesce(1).write.mode(if (i == 0) "overwrite" else "append").parquet(staged)
-        Thread.sleep(100) // strictly increasing mod-time → arrival order = time order
+      // ONE partitioned job writes all 4 time-range chunks (the
+      // previous 4 × filter + coalesce(1) sequential writes re-scanned
+      // events per chunk and serialized each write on one core — 4
+      // extra full scans at sf10). Chunk files are then moved into the
+      // flat staged dir with EXPLICIT strictly-increasing mod-times in
+      // time order (the file source orders arrivals by mod-time; the
+      // flush file below keeps its natural, newest, stamp).
+      val tmp = staged + "_chunks"
+      val chunk = bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col("__t") >= b, 1).otherwise(0)
       }
+      withT.withColumn("__chunk", chunk).drop("__t")
+        .repartition(col("__chunk"))
+        .write.mode("overwrite").partitionBy("__chunk").parquet(tmp)
+      fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(staged))
+      val now = System.currentTimeMillis()
+      (0 until 4).foreach { i =>
+        val chunkDir = new org.apache.hadoop.fs.Path(s"$tmp/__chunk=$i")
+        // tied quantile bounds leave a chunk empty → no directory
+        val files = if (!fs.exists(chunkDir)) Array.empty[org.apache.hadoop.fs.FileStatus]
+          else fs.listStatus(chunkDir)
+            .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+        files.zipWithIndex.foreach { case (f, j) =>
+          val dst = new org.apache.hadoop.fs.Path(staged, f"chunk_$i%02d_$j%03d.parquet")
+          require(fs.rename(f.getPath, dst), s"stage move failed: ${f.getPath}")
+          fs.setTimes(dst, now - 60000 + i * 1000 + j, -1)
+        }
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       val users = ev.select(col("user_id")).distinct()
       val flushDf = ev.schema.fields.foldLeft(users) { (df, f) =>
         f.name match {
@@ -287,11 +310,20 @@ object Streaming {
     * `maxFilesPerTrigger=1` and asserts the identical result, proving
     * the cross-batch incremental state path. */
   private[graft] def j3SessionizeWith(spark: SparkSession, dir: String,
-      oneFilePerBatch: Boolean): DataFrame = withStreamingPartitions(spark) {
+      oneFilePerBatch: Boolean): DataFrame = {
+    val staged = stageEventsWithFlush(spark, dir)
+    // State partitions sized to the staged input (~32 MB each, 8–32):
+    // 8 stores are right for test-scale key counts but serialize a
+    // 100×-user replay behind 8 cores; a real deployment sizes this
+    // to key cardinality.
+    val fs0 = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val stagedBytes = fs0.getContentSummary(new org.apache.hadoop.fs.Path(staged)).getLength
+    val nParts = math.min(32L, math.max(8L, stagedBytes / (32L << 20))).toInt
+    withStreamingPartitions(spark, nParts) {
     import spark.implicits._
     val gapUs = 30L * 60 * 1000000
     val sentinel = flushUs
-    val sessions = eventStream(spark, stageEventsWithFlush(spark, dir), oneFilePerBatch)
+    val sessions = eventStream(spark, staged, oneFilePerBatch)
       .select(col("user_id").cast("long").as("u"), unix_micros(col("ts")).as("t"))
       .as[(Long, Long)]
       .groupByKey(_._1)
@@ -307,17 +339,25 @@ object Streaming {
             (closed ++ open.map(Sessions.close(user, _))).iterator
           }
         })
-    val sinkName = "j3_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // Parquet sink, not memory: a memory sink accumulates every
+    // emitted session in driver heap through a single thread (the
+    // sf10 replay emits millions); the file sink writes them from the
+    // state executors and the read-back is a distributed scan.
+    val outPath = Engine.scratch(spark, dir, if (oneFilePerBatch) "j3_out_mb" else "j3_out")
+    fs0.delete(new org.apache.hadoop.fs.Path(outPath), true)
+    fs0.delete(new org.apache.hadoop.fs.Path(outPath + "_ckpt"), true)
     val q = sessions.writeStream
       .outputMode("append")
-      .format("memory")
-      .queryName(sinkName)
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", outPath + "_ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sinkName)
+    spark.read.parquet(outPath)
       .select(col("user_id"), col("session_id"), col("start_us"), col("end_us"), col("n_events"))
       .orderBy("user_id", "session_id")
+  }
   }
 
   private def j3Sessionize(spark: SparkSession, dir: String): DataFrame =

@@ -339,4 +339,41 @@ class LlmOpsSpec extends AnyFunSuite {
     // each centroid sits at its blob center (within the ±0.5 jitter)
     assert(cents.forall(c => c.max > 9.0 && c.count(_ > 1.0) == 1))
   }
+
+  test("l4/mm5 multiplicity-weighted counts equal rep-less enumeration under replication") {
+    import spark.implicits._
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog while the patient cat watches " +
+        "from the tall fence and the birds sing their morning songs in the garden until done",
+      "the quick brown fox jumps over the lazy dog while the patient cat watches " +
+        "from the tall fence and the birds sing their morning songs in the garden until finished",
+      "completely different words appear here with nothing shared at all whatsoever " +
+        "because this text talks about ships sailing across wide oceans under heavy storms")
+    // 5 exact copies of each doc with shifted ids — the sf-replica shape
+    val docs = (for (r <- 0 until 5; (t, i) <- base.zipWithIndex)
+      yield (r.toLong * 100 + i, t)).toDF("doc_id", "text")
+    val staged = "/tmp/graft_io/test_l4_weighted"
+    docs.select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("t").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$staged/documents.parquet")
+
+    // l4: closed-form count vs the still-enumerating demo kernel
+    val weighted = LlmText.queries("l4_minhash_lsh")(spark, staged).collect().head
+    val brute = LlmText.lshCandidates(spark, staged).count()
+    assert(weighted.getLong(0) == 15L, s"n_docs: $weighted")
+    assert(weighted.getLong(1) == brute,
+      s"l4 weighted=${weighted.getLong(1)} != enumerated=$brute")
+
+    // mm5: all three funnel stats vs brute-force aggregation of the
+    // enumerating phashPairs kernel
+    val mm5 = Multimodal.queries("mm5_phash_neardup")(spark, staged).collect().head
+    val pairs = Multimodal.phashPairs(spark, staged)
+      .agg(count(lit(1)), sum(when(col("hd") <= 3, 1L).otherwise(0L)),
+        coalesce(min(col("hd")), lit(-1L)))
+      .collect().head
+    assert(mm5.getLong(0) == pairs.getLong(0), s"candidates: $mm5 vs $pairs")
+    assert(mm5.getLong(1) == pairs.getLong(1), s"neardups: $mm5 vs $pairs")
+    assert(mm5.getInt(2) == pairs.getLong(2).toInt, s"min_hamming: $mm5 vs $pairs")
+    assert(mm5.getInt(2) == 0, "exact copies must pin min_hamming to 0")
+  }
 }

@@ -161,4 +161,38 @@ class VectorExpressionSpec extends AnyFunSuite {
       .collect().head
     assert(r.getDouble(0) == 6.0)
   }
+
+  test("l11 rep-collapsed near-dup output equals rep-less self-join under replication") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // base vectors + 4 exact copies each with shifted ids (sf-replica shape)
+    val rnd = new scala.util.Random(7)
+    val baseVecs = (0 until 12).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1), i % 3)
+    }
+    val rows = for (r <- 0 until 4; (id, v, lb) <- baseVecs)
+      yield (r.toLong * 100 + id, v, lb)
+    val staged = "/tmp/graft_io/test_l11_weighted"
+    rows.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding"), col("label").cast("int"))
+      .write.mode("overwrite").parquet(s"$staged/embeddings.parquet")
+    val fast = graft.ops.LlmVector.queries("l11_embedding_neardup")(spark, staged)
+      .collect().map(_.toSeq).toSeq
+    // rep-less reference: the per-label self-join over every row
+    val e = spark.read.parquet(s"$staged/embeddings.parquet")
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("dot_f", a, b)
+    val a = e.select(col("label"), col("vec_id").as("a_id"),
+      col("embedding").as("ea"), sqrt(dot(col("embedding"), col("embedding"))).as("na"))
+    val b = e.select(col("label"), col("vec_id").as("b_id"),
+      col("embedding").as("eb"), sqrt(dot(col("embedding"), col("embedding"))).as("nb"))
+    val slow = a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
+      .withColumn("cs", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cs") > 0.35)
+      .select(col("label"), col("a_id"), col("b_id"), round(col("cs"), 4).as("cos_sim"))
+      .orderBy("label", "a_id", "b_id")
+      .collect().map(_.toSeq).toSeq
+    assert(slow.nonEmpty, "replicated corpus must produce near-dup pairs (exact copies)")
+    assert(fast == slow, s"rep-collapsed != rep-less: ${fast.take(3)} vs ${slow.take(3)}")
+  }
 }
