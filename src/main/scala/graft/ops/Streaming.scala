@@ -94,10 +94,10 @@ object Streaming {
     * hundred keys is pure overhead at test scale (and the knob a real
     * deployment sizes to its key cardinality). Run the bounded replay
     * with 8, restore after. */
-  private def withStreamingPartitions[T](spark: SparkSession)(body: => T): T = {
+  private def withStreamingPartitions[T](spark: SparkSession, n: Int = 8)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    spark.conf.set(key, n.toString)
     try body finally spark.conf.set(key, prev)
   }
 
