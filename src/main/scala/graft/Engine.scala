@@ -24,6 +24,10 @@ object Engine {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Testdata timestamps are naive parquet TIMESTAMP(MICROS); read
+      // them as TimestampType (session-UTC ≡ the naive value), not
+      // TIMESTAMP_NTZ — watermarks and several time ops require LTZ.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.warehouse.dir", "/tmp/graft_io/warehouse")
       .config("spark.ui.enabled", "false")
@@ -96,9 +100,15 @@ object Engine {
     * TimestampType so downstream date/window functions work. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(call_function("div", col("ts"), lit(1000L))))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Sessions without the inferTimestampNTZ knob (e.g. the driver's
+        // smoke session): naive micros ≡ UTC instant for this data.
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Register every table as a temp view so `spark.sql` text queries

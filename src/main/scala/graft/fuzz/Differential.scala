@@ -43,11 +43,38 @@ object Differential {
 
   private def cname(s: Long): String = s"fzc${s}_windowagg"
 
+  /** Join-surface quota (ADVICE r9 #5): one standing cross-engine row
+    * per join sub-shape — inner/left/full agg-then-join, right-outer
+    * join→agg, and join→window — picked by the same first-seeds-that-
+    * fill rule as the base shapes. */
+  private val joinQuota = Map(
+    "aggjoin_inner" -> 1, "aggjoin_left" -> 1, "aggjoin_full" -> 1,
+    "rightagg" -> 1, "joinwindow" -> 1)
+
+  val frozenJoinSeeds: Seq[Long] = {
+    val have = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var s = 1L
+    while (picked.size < joinQuota.values.sum && s < 10000L) {
+      val shape = PlanGen.generateJoin(s).shape
+      if (have(shape) < joinQuota.getOrElse(shape, 0)) {
+        have(shape) += 1
+        picked += s
+      }
+      s += 1
+    }
+    picked.toSeq
+  }
+
+  private def jname(s: Long): String = s"fzj${s}_${PlanGen.generateJoin(s).shape}"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).build).toMap ++
-      frozenCompositeSeeds.map(s => cname(s) -> PlanGen.generateComposite(s).build).toMap
+      frozenCompositeSeeds.map(s => cname(s) -> PlanGen.generateComposite(s).build).toMap ++
+      frozenJoinSeeds.map(s => jname(s) -> PlanGen.generateJoin(s).build).toMap
 
   def oracles: Map[String, String] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).duckSql).toMap ++
-      frozenCompositeSeeds.map(s => cname(s) -> PlanGen.generateComposite(s).duckSql).toMap
+      frozenCompositeSeeds.map(s => cname(s) -> PlanGen.generateComposite(s).duckSql).toMap ++
+      frozenJoinSeeds.map(s => jname(s) -> PlanGen.generateJoin(s).duckSql).toMap
 }

@@ -379,9 +379,122 @@ object PlanGen {
       }
       Generated(seed, "windowagg", build, sql(false), sql(true))
     }
+
+    // ---- join surface (ADVICE r9 #5) --------------------------------
+
+    /** Agg-then-join: both sides pre-aggregated by their join key, then
+      * INNER / LEFT / FULL OUTER equi-joined. Pre-aggregation makes the
+      * keys unique and non-null on each side, so the only null source
+      * is the outer join itself — exactly the semantics under test —
+      * and COALESCE pins the output deterministically. */
+    private def shapeAggJoin(): Generated = {
+      val (l, r, lk, rk) = pick(joinEdges)
+      val (pl, pr) = (filterFor(l), filterFor(r))
+      val jt = pick(Seq("INNER", "LEFT", "FULL"))
+      val how = jt.toLowerCase match { case "inner" => "inner"; case "left" => "left"; case _ => "full" }
+      val lsum = pick(l.nums)
+      def sql(duck: Boolean) = {
+        val sumSql =
+          if (duck) s"CAST(CAST(sum(CAST($lsum AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
+          else s"CAST(sum(CAST($lsum AS DECIMAL(18,2))) AS DOUBLE)"
+        s"SELECT COALESCE($lk, $rk) AS k, COALESCE(ln, 0) AS ln, COALESCE(rn, 0) AS rn, " +
+          s"COALESCE(lsum, 0.0) AS lsum FROM " +
+          s"(SELECT $lk, count(*) AS ln, $sumSql AS lsum FROM ${l.name} WHERE ${pl.sql} GROUP BY $lk) la " +
+          s"$jt JOIN (SELECT $rk, count(*) AS rn FROM ${r.name} WHERE ${pr.sql} GROUP BY $rk) ra " +
+          s"ON $lk = $rk ORDER BY k"
+      }
+      val build = (s: SparkSession, dir: String) => {
+        val a = Engine.t(s, dir, l.name).filter(pl.cond).groupBy(lk)
+          .agg(count(lit(1)).as("ln"),
+            sum(col(lsum).cast("decimal(18,2)")).cast("double").as("lsum"))
+        val b = Engine.t(s, dir, r.name).filter(pr.cond).groupBy(rk)
+          .agg(count(lit(1)).as("rn"))
+        a.join(b, col(lk) === col(rk), how)
+          .select(coalesce(col(lk), col(rk)).as("k"),
+            coalesce(col("ln"), lit(0L)).as("ln"),
+            coalesce(col("rn"), lit(0L)).as("rn"),
+            coalesce(col("lsum"), lit(0.0)).as("lsum"))
+          .orderBy("k")
+      }
+      Generated(seed, s"aggjoin_${how}", build, sql(false), sql(true))
+    }
+
+    /** RIGHT OUTER join → aggregate by a right-side (never-null) group
+      * key. count(*) counts unmatched-right rows too; count(left key)
+      * and the null-skipping decimal SUM count only matches — the three
+      * together pin the outer-join row multiplicity exactly. */
+    private def shapeRightJoinAgg(): Generated = {
+      val (l, r0, lk, rk) = pick(joinEdges.filter(_._2.cats.nonEmpty))
+      val (pl, pr) = (filterFor(l), filterFor(r0))
+      val gcol = pick(r0.cats.keys.toSeq.sorted)
+      val lnum = pick(l.nums)
+      def sql(duck: Boolean) = {
+        val sumSql =
+          if (duck) s"CAST(CAST(sum(CAST($lnum AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
+          else s"CAST(sum(CAST($lnum AS DECIMAL(18,2))) AS DOUBLE)"
+        s"SELECT $gcol, count(*) AS n_all, count($lk) AS n_match, " +
+          s"COALESCE($sumSql, 0.0) AS lsum FROM " +
+          s"(SELECT * FROM ${l.name} WHERE ${pl.sql}) la RIGHT JOIN " +
+          s"(SELECT * FROM ${r0.name} WHERE ${pr.sql}) ra ON $lk = $rk " +
+          s"GROUP BY $gcol ORDER BY $gcol"
+      }
+      val build = (s: SparkSession, dir: String) => {
+        val a = Engine.t(s, dir, l.name).filter(pl.cond)
+        val b = Engine.t(s, dir, r0.name).filter(pr.cond)
+        a.join(b, a(lk) === b(rk), "right")
+          .groupBy(gcol)
+          .agg(count(lit(1)).as("n_all"), count(col(lk)).as("n_match"),
+            coalesce(sum(col(lnum).cast("decimal(18,2)")).cast("double"), lit(0.0)).as("lsum"))
+          .orderBy(gcol)
+      }
+      Generated(seed, "rightagg", build, sql(false), sql(true))
+    }
+
+    /** Equi-join → ranking window over the joined rows → top-n filter.
+      * Every join edge's right side is unique on its key, so the join
+      * preserves left-row multiplicity and the left unique suffix is a
+      * total order — no tie nondeterminism. */
+    private def shapeJoinWindow(): Generated = {
+      val (l, r0, lk, rk) = pick(joinEdges)
+      val (pl, pr) = (filterFor(l), filterFor(r0))
+      val partCol =
+        if (r0.cats.nonEmpty) pick(r0.cats.keys.toSeq.sorted)
+        else pick(l.cats.keys.toSeq.sorted)
+      val n = 1 + rnd.nextInt(8)
+      val outCols = (l.unique :+ partCol).distinct
+      val ordSql = l.unique.mkString(", ")
+      val sql =
+        s"SELECT ${outCols.mkString(", ")}, rk FROM (" +
+          s"SELECT ${outCols.mkString(", ")}, row_number() OVER (PARTITION BY $partCol ORDER BY $ordSql) AS rk " +
+          s"FROM (SELECT * FROM ${l.name} WHERE ${pl.sql}) la JOIN " +
+          s"(SELECT * FROM ${r0.name} WHERE ${pr.sql}) ra ON $lk = $rk) w " +
+          s"WHERE rk <= $n ORDER BY ${outCols.mkString(", ")}, rk"
+      val build = (s: SparkSession, dir: String) => {
+        val a = Engine.t(s, dir, l.name).filter(pl.cond)
+        val b = Engine.t(s, dir, r0.name).filter(pr.cond)
+        val w = Window.partitionBy(partCol).orderBy(l.unique.map(col(_).asc): _*)
+        a.join(b, a(lk) === b(rk))
+          .select(outCols.map(col): _*)
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
+          .orderBy((outCols :+ "rk").map(col): _*)
+      }
+      Generated(seed, "joinwindow", build, sql, sql)
+    }
+
+    def runJoin(): Generated = rnd.nextInt(3) match {
+      case 0 => shapeAggJoin()
+      case 1 => shapeRightJoinAgg()
+      case 2 => shapeJoinWindow()
+    }
   }
 
   /** Composite window→agg plan for the same seed space — see
     * [[Gen.runComposite]]. */
   def generateComposite(seed: Long): Generated = new Gen(seed).runComposite()
+
+  /** Join-surface plan for the same seed space — see [[Gen.runJoin]].
+    * Separate entry point (like [[generateComposite]]) so the frozen
+    * base-seed→shape mapping is untouched (ADVICE r9 #5: joins are
+    * where silent wrong-answer bugs live). */
+  def generateJoin(seed: Long): Generated = new Gen(seed).runJoin()
 }

@@ -101,11 +101,30 @@ object Streaming {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** A staged cache written by an older session may carry
+    * TIMESTAMP_NTZ in its parquet footer's Spark-schema metadata (which
+    * overrides `inferTimestampNTZ.enabled=false` at read time) —
+    * watermarks reject NTZ, so such a cache is poison. Detect and
+    * delete it so the caller re-stages from the now-LTZ-normalized
+    * [[Engine.events]]. */
+  private def dropStaleNtzCache(spark: SparkSession, staged: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(staged)
+    if (fs.exists(p)) {
+      val stale =
+        try spark.read.parquet(staged).schema.exists(
+          _.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        catch { case _: Throwable => true } // unreadable cache → rebuild
+      if (stale) fs.delete(p, true): Unit
+    }
+  }
+
   /** The streaming file source wants a directory of arriving files:
     * stage events (ts already normalized) as 4 chunk files — each chunk
     * plays the role of one inserted block. */
   private def stageEvents(spark: SparkSession, dir: String): String = {
     val staged = Engine.stagingCache(dir, "events_src")
+    dropStaleNtzCache(spark, staged)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(staged + "/_SUCCESS"))) {
       Engine.events(spark, dir).repartition(4)
@@ -236,6 +255,7 @@ object Streaming {
     * time order. */
   private def stageEventsWithFlush(spark: SparkSession, dir: String): String = {
     val staged = Engine.stagingCache(dir, "events_src_tr")
+    dropStaleNtzCache(spark, staged)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val done = new org.apache.hadoop.fs.Path(staged + "/_FLUSH_STAGED")
     if (!fs.exists(done)) {
@@ -458,6 +478,7 @@ object Streaming {
     * in (or an unclosed window leaking out) fails the hash. */
   private def j9WatermarkLateDrop(spark: SparkSession, dir: String): DataFrame = withStreamingPartitions(spark) {
     val staged = Engine.stagingCache(dir, "events_src_wm4")
+    dropStaleNtzCache(spark, staged)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val done = new org.apache.hadoop.fs.Path(staged + "/_WM_STAGED")
     if (!fs.exists(done)) {
