@@ -68,13 +68,22 @@ object Differential {
 
   private def jname(s: Long): String = s"fzj${s}_${PlanGen.generateJoin(s).shape}"
 
+  /** Frozen scalar-expression-tree seeds (three-way: Column DSL vs
+    * Spark SQL vs DuckDB — pins scalar-function semantics the plan
+    * shapes never touch). */
+  val frozenScalarSeeds: Seq[Long] = Seq(1L, 2L, 3L)
+
+  private def sname(s: Long): String = s"fzs${s}_scalar"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).build).toMap ++
       frozenCompositeSeeds.map(s => cname(s) -> PlanGen.generateComposite(s).build).toMap ++
-      frozenJoinSeeds.map(s => jname(s) -> PlanGen.generateJoin(s).build).toMap
+      frozenJoinSeeds.map(s => jname(s) -> PlanGen.generateJoin(s).build).toMap ++
+      frozenScalarSeeds.map(s => sname(s) -> PlanGen.generateScalar(s).build).toMap
 
   def oracles: Map[String, String] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).duckSql).toMap ++
       frozenCompositeSeeds.map(s => cname(s) -> PlanGen.generateComposite(s).duckSql).toMap ++
-      frozenJoinSeeds.map(s => jname(s) -> PlanGen.generateJoin(s).duckSql).toMap
+      frozenJoinSeeds.map(s => jname(s) -> PlanGen.generateJoin(s).duckSql).toMap ++
+      frozenScalarSeeds.map(s => sname(s) -> PlanGen.generateScalar(s).duckSql).toMap
 }

@@ -256,10 +256,15 @@ object PlanGen {
       val ordCols = t.unique.zipWithIndex
         .map { case (c, i) => if (i == 0 && desc0) col(c).desc else col(c).asc }
       val outCols = (t.unique :+ partCol).distinct
+      // rk joins the final sort: the synthetic data has duplicate
+      // (orderkey, linenumber) pairs, so outCols alone can tie — two
+      // dup rows in one window partition get arbitrary rk assignment
+      // order, and without rk in the sort the engines may interleave
+      // them differently.
       val sql =
         s"SELECT ${outCols.mkString(", ")}, rk FROM (" +
           s"SELECT *, $fn() OVER (PARTITION BY $partCol ORDER BY $ordSql) AS rk " +
-          s"FROM ${t.name} WHERE ${p.sql}) w WHERE rk <= $n ORDER BY ${outCols.mkString(", ")}"
+          s"FROM ${t.name} WHERE ${p.sql}) w WHERE rk <= $n ORDER BY ${outCols.mkString(", ")}, rk"
       val build = (s: SparkSession, dir: String) => {
         val w = Window.partitionBy(partCol).orderBy(ordCols: _*)
         val f = fn match {
@@ -268,7 +273,7 @@ object PlanGen {
         Engine.t(s, dir, t.name).filter(p.cond)
           .withColumn("rk", f.over(w)).filter(col("rk") <= n)
           .select((outCols :+ "rk").map(col): _*)
-          .orderBy(outCols.map(col): _*)
+          .orderBy((outCols :+ "rk").map(col): _*)
       }
       Generated(seed, "window", build, sql, sql)
     }
@@ -486,6 +491,128 @@ object PlanGen {
       case 1 => shapeRightJoinAgg()
       case 2 => shapeJoinWindow()
     }
+
+    // ---- scalar-expression surface ----------------------------------
+
+    /** A typed scalar expression rendered three ways. `sql` must parse
+      * identically in Spark SQL and DuckDB unless a dialect split is
+      * needed (then `duck` overrides). */
+    private case class SE(sql: String, dfc: Column, duck: Option[String] = None) {
+      def duckSql: String = duck.getOrElse(sql)
+    }
+
+    /** Typed, depth-bounded random expression trees over one table's
+      * columns, restricted to the function set whose semantics (and,
+      * for doubles, whose IEEE operation sequence) are identical in
+      * Spark and DuckDB: add/sub/mul on DOUBLE, abs/greatest/least,
+      * CASE, integer add and mod, upper/lower/substr/concat/replace/length,
+      * year/month/day. No division (0 denominators), no round
+      * (dialect rounding modes), no string ordering (collation). All
+      * base columns are non-null, so null semantics never enter. */
+    private def numExpr(t: T, depth: Int): SE = {
+      if (depth <= 0) {
+        if (maybe(0.7)) { val c = pick(t.nums); SE(c, col(c)) }
+        else { val v = math.rint(rnd.nextDouble() * 200 - 100) / 10
+          // bare `3.2` parses as DECIMAL in both SQL dialects while the
+          // DF lit is DOUBLE — pin all three renderings to DOUBLE
+          SE(s"CAST($v AS DOUBLE)", lit(v)) }
+      } else pick[() => SE](Seq(
+        () => { val (a, b) = (numExpr(t, depth - 1), numExpr(t, depth - 1))
+          SE(s"(${a.sql} + ${b.sql})", a.dfc + b.dfc, Some(s"(${a.duckSql} + ${b.duckSql})")) },
+        () => { val (a, b) = (numExpr(t, depth - 1), numExpr(t, depth - 1))
+          SE(s"(${a.sql} - ${b.sql})", a.dfc - b.dfc, Some(s"(${a.duckSql} - ${b.duckSql})")) },
+        () => { val a = numExpr(t, depth - 1); val k = 1 + rnd.nextInt(9)
+          SE(s"(${a.sql} * $k)", a.dfc * k, Some(s"(${a.duckSql} * $k)")) },
+        () => { val a = numExpr(t, depth - 1)
+          SE(s"abs(${a.sql})", abs(a.dfc), Some(s"abs(${a.duckSql})")) },
+        () => { val (a, b) = (numExpr(t, depth - 1), numExpr(t, depth - 1))
+          val f = pick(Seq("greatest", "least"))
+          SE(s"$f(${a.sql}, ${b.sql})",
+            if (f == "greatest") greatest(a.dfc, b.dfc) else least(a.dfc, b.dfc),
+            Some(s"$f(${a.duckSql}, ${b.duckSql})")) },
+        () => { val p = onePred(t); val (a, b) = (numExpr(t, depth - 1), numExpr(t, depth - 1))
+          SE(s"CASE WHEN ${p.sql} THEN ${a.sql} ELSE ${b.sql} END",
+            when(p.cond, a.dfc).otherwise(b.dfc),
+            Some(s"CASE WHEN ${p.sql} THEN ${a.duckSql} ELSE ${b.duckSql} END")) },
+        () => { val a = intExpr(t, depth - 1)
+          SE(s"CAST(${a.sql} AS DOUBLE)", a.dfc.cast("double"),
+            Some(s"CAST(${a.duckSql} AS DOUBLE)")) }))()
+    }
+
+    private def intExpr(t: T, depth: Int): SE = {
+      if (depth <= 0) {
+        if (maybe(0.7)) { val c = pick(t.ints); SE(c, col(c)) }
+        else { val v = rnd.nextInt(1000); SE(v.toString, lit(v.toLong)) }
+      } else pick[() => SE](Seq(
+        () => { val (a, b) = (intExpr(t, depth - 1), intExpr(t, depth - 1))
+          SE(s"(${a.sql} + ${b.sql})", a.dfc + b.dfc, Some(s"(${a.duckSql} + ${b.duckSql})")) },
+        () => { val a = intExpr(t, depth - 1); val m = 2 + rnd.nextInt(97)
+          SE(s"(${a.sql} % $m)", a.dfc % m, Some(s"(${a.duckSql} % $m)")) },
+        () => { val a = strExpr(t, depth - 1)
+          SE(s"CAST(length(${a.sql}) AS BIGINT)", length(a.dfc).cast("long"),
+            Some(s"CAST(length(${a.duckSql}) AS BIGINT)")) },
+        () => t.date match {
+          case Some(d) => val f = pick(Seq("year", "month", "day"))
+            SE(s"CAST($f($d) AS BIGINT)",
+              (f match { case "year" => year(col(d)); case "month" => month(col(d)); case _ => dayofmonth(col(d)) }).cast("long"),
+              Some(s"CAST($f($d) AS BIGINT)"))
+          case None => val c = pick(t.ints); SE(c, col(c))
+        }))()
+    }
+
+    private def strExpr(t: T, depth: Int): SE = {
+      val strCols = t.cats.keys.toSeq.sorted
+      if (depth <= 0 || strCols.isEmpty) {
+        if (strCols.nonEmpty && maybe(0.8)) { val c = pick(strCols); SE(c, col(c)) }
+        else { val v = "s" + rnd.nextInt(100); SE(s"'$v'", lit(v)) }
+      } else pick[() => SE](Seq(
+        () => { val a = strExpr(t, depth - 1); val f = pick(Seq("upper", "lower"))
+          SE(s"$f(${a.sql})", if (f == "upper") upper(a.dfc) else lower(a.dfc),
+            Some(s"$f(${a.duckSql})")) },
+        () => { val a = strExpr(t, depth - 1); val i = 1 + rnd.nextInt(4); val n = 1 + rnd.nextInt(6)
+          SE(s"substr(${a.sql}, $i, $n)", substring(a.dfc, i, n),
+            Some(s"substr(${a.duckSql}, $i, $n)")) },
+        () => { val (a, b) = (strExpr(t, depth - 1), strExpr(t, depth - 1))
+          SE(s"concat(${a.sql}, '|', ${b.sql})", concat(a.dfc, lit("|"), b.dfc),
+            Some(s"concat(${a.duckSql}, '|', ${b.duckSql})")) },
+        () => { val a = strExpr(t, depth - 1)
+          SE(s"replace(${a.sql}, 'A', '_')", regexp_replace(a.dfc, "A", "_"),
+            Some(s"replace(${a.duckSql}, 'A', '_')")) }))()
+    }
+
+    /** filter → project N scalar expression trees + unique key → total
+      * order → LIMIT. Pure row-parallel compute: the cross-engine leg
+      * pins scalar-function semantics; the API-vs-SQL leg pins the DSL
+      * translation of the same trees. */
+    def runScalar(): Generated = {
+      val t = pick(singles)
+      val p = filterFor(t)
+      val n = 100 + rnd.nextInt(200)
+      val exprs = (0 until 2 + rnd.nextInt(2)).map { i =>
+        val se = rnd.nextInt(3) match {
+          case 0 => numExpr(t, 2 + rnd.nextInt(2))
+          case 1 => intExpr(t, 2 + rnd.nextInt(2))
+          case 2 => strExpr(t, 2 + rnd.nextInt(2))
+        }
+        (s"e$i", se)
+      }
+      val keys = t.unique
+      // ORDER BY every output column, not just the key suffix: the
+      // driver's synthetic lineitem has duplicate (orderkey, linenumber)
+      // pairs, so the "unique" columns alone are NOT a total order —
+      // with all columns in the sort, any remaining ties are fully
+      // identical rows and compare equal in either order.
+      val ordAll = keys ++ exprs.map(_._1)
+      def sql(duck: Boolean) =
+        s"SELECT ${keys.mkString(", ")}, " +
+          exprs.map { case (a, se) => s"${if (duck) se.duckSql else se.sql} AS $a" }.mkString(", ") +
+          s" FROM ${t.name} WHERE ${p.sql} ORDER BY ${ordAll.mkString(", ")} LIMIT $n"
+      val build = (s: SparkSession, dir: String) =>
+        Engine.t(s, dir, t.name).filter(p.cond)
+          .select(keys.map(col) ++ exprs.map { case (a, se) => se.dfc.as(a) }: _*)
+          .orderBy(ordAll.map(col): _*).limit(n)
+      Generated(seed, "scalar", build, sql(false), sql(true))
+    }
   }
 
   /** Composite window→agg plan for the same seed space — see
@@ -497,4 +624,7 @@ object PlanGen {
     * base-seed→shape mapping is untouched (ADVICE r9 #5: joins are
     * where silent wrong-answer bugs live). */
   def generateJoin(seed: Long): Generated = new Gen(seed).runJoin()
+
+  /** Scalar-expression-tree plan — see [[Gen.runScalar]]. */
+  def generateScalar(seed: Long): Generated = new Gen(seed).runScalar()
 }
