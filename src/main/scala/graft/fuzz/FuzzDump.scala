@@ -1,0 +1,56 @@
+package graft.fuzz
+
+import java.nio.file.{Files, Paths}
+
+import graft.Engine
+
+/** Wide cross-engine fuzz sweep (dev harness). The frozen `fz*`/
+  * `fzj*`/`fzs*` rows give the driver a standing cross-engine sample;
+  * this main dumps an ARBITRARY seed range of generated plans in
+  * `Verify`'s exact output layout (result parquet per query +
+  * `oracle_sql.json` of DuckDB renderings), so
+  * `scripts/selfcheck.py <sfDir> <outDir>` replays the whole sweep
+  * against DuckDB with no extra compare code.
+  *
+  * Usage: runMain graft.fuzz.FuzzDump <sfDir> <outDir> <kind> <from> <to>
+  * where kind ∈ base|join|scalar|composite.
+  */
+object FuzzDump {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, kind, fromS, toS) = args.take(5)
+    val gen: Long => PlanGen.Generated = kind match {
+      case "base"      => PlanGen.generate
+      case "join"      => PlanGen.generateJoin
+      case "scalar"    => PlanGen.generateScalar
+      case "composite" => PlanGen.generateComposite
+      case other       => sys.error(s"unknown kind $other")
+    }
+    val spark = Engine.session()
+    new java.io.File(outDir).mkdirs()
+    val seeds = fromS.toLong to toS.toLong
+    var oracles = Map.empty[String, String]
+    var failed = 0
+    seeds.foreach { s =>
+      val g = gen(s)
+      val name = s"sweep_${kind}_$s"
+      try {
+        g.build(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        oracles += name -> g.duckSql
+      } catch { case e: Throwable =>
+        failed += 1
+        System.err.println(s"[fuzzdump] $name (shape ${g.shape}) failed: ${e.getMessage}")
+      }
+    }
+    def q(str: String): String = "\"" + str.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      oracles.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    println(s"""{"fuzzdump":"$kind","seeds":${seeds.size},"built":${oracles.size},"failed":$failed}""")
+    spark.stop()
+  }
+}

@@ -212,7 +212,8 @@ object PlanGen {
       if (nJoin == 0) {
         val t = pick(singles)
         val p = filterFor(t)
-        val f = s"(SELECT * FROM ${t.name} WHERE ${p.sql}) ${t.name.take(2)}"
+        // alias suffix: `orders.take(2)` would be the reserved word OR
+        val f = s"(SELECT * FROM ${t.name} WHERE ${p.sql}) ${t.name.take(2)}a"
         (Seq(t), f, f, (s, dir) => Engine.t(s, dir, t.name).filter(p.cond))
       } else if (nJoin == 1) {
         val (l, r, lk, rk) = pick(joinEdges)
