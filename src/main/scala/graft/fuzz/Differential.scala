@@ -75,15 +75,39 @@ object Differential {
 
   private def sname(s: Long): String = s"fzs${s}_scalar"
 
+  /** Frozen ROWS-frame window seeds: first seeds covering each of the
+    * four frame functions (rsum/rmin/lag/lead). */
+  private val frameQuota = Map(
+    "frame_rsum" -> 1, "frame_rmin" -> 1, "frame_lag" -> 1, "frame_lead" -> 1)
+
+  val frozenFrameSeeds: Seq[Long] = {
+    val have = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var s = 1L
+    while (picked.size < frameQuota.values.sum && s < 10000L) {
+      val shape = PlanGen.generateFrame(s).shape
+      if (have(shape) < frameQuota.getOrElse(shape, 0)) {
+        have(shape) += 1
+        picked += s
+      }
+      s += 1
+    }
+    picked.toSeq
+  }
+
+  private def wname(s: Long): String = s"fzw${s}_${PlanGen.generateFrame(s).shape}"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).build).toMap ++
       frozenCompositeSeeds.map(s => cname(s) -> PlanGen.generateComposite(s).build).toMap ++
       frozenJoinSeeds.map(s => jname(s) -> PlanGen.generateJoin(s).build).toMap ++
-      frozenScalarSeeds.map(s => sname(s) -> PlanGen.generateScalar(s).build).toMap
+      frozenScalarSeeds.map(s => sname(s) -> PlanGen.generateScalar(s).build).toMap ++
+      frozenFrameSeeds.map(s => wname(s) -> PlanGen.generateFrame(s).build).toMap
 
   def oracles: Map[String, String] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).duckSql).toMap ++
       frozenCompositeSeeds.map(s => cname(s) -> PlanGen.generateComposite(s).duckSql).toMap ++
       frozenJoinSeeds.map(s => jname(s) -> PlanGen.generateJoin(s).duckSql).toMap ++
-      frozenScalarSeeds.map(s => sname(s) -> PlanGen.generateScalar(s).duckSql).toMap
+      frozenScalarSeeds.map(s => sname(s) -> PlanGen.generateScalar(s).duckSql).toMap ++
+      frozenFrameSeeds.map(s => wname(s) -> PlanGen.generateFrame(s).duckSql).toMap
 }

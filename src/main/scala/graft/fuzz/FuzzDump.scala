@@ -23,6 +23,7 @@ object FuzzDump {
       case "join"      => PlanGen.generateJoin
       case "scalar"    => PlanGen.generateScalar
       case "composite" => PlanGen.generateComposite
+      case "frame"     => PlanGen.generateFrame
       case other       => sys.error(s"unknown kind $other")
     }
     val spark = Engine.session()

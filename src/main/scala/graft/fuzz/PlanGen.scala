@@ -493,6 +493,51 @@ object PlanGen {
       case 2 => shapeJoinWindow()
     }
 
+    /** Running aggregate / lag / lead over a ROWS frame. Determinism
+      * under the synthetic data's duplicate rows: the window ORDER BY
+      * covers the key suffix AND the operand column, so rows that
+      * still tie are identical in every column the frame reads —
+      * interchangeable for any ROWS-frame computation — and the final
+      * ORDER BY covers every output column. */
+    def runFrame(): Generated = {
+      val t = pick(singles.filter(_.cats.nonEmpty))
+      val p = filterFor(t)
+      val partCol = pick(t.cats.keys.toSeq.sorted)
+      val v = pick(t.nums)
+      val ordCols = (t.unique :+ v).distinct
+      val ordSql = ordCols.mkString(", ")
+      val w = Window.partitionBy(partCol)
+        .orderBy(ordCols.map(col(_).asc): _*)
+      val n = 1 + rnd.nextInt(5)
+      val over = s"OVER (PARTITION BY $partCol ORDER BY $ordSql"
+      val (fnName, sparkFn, duckFn, dfc) = rnd.nextInt(4) match {
+        case 0 =>
+          val s = s"CAST(sum(CAST($v AS DECIMAL(18,2))) $over ROWS BETWEEN $n PRECEDING AND CURRENT ROW) AS DOUBLE)"
+          val d = s"CAST(CAST(sum(CAST($v AS DECIMAL(18,2))) $over ROWS BETWEEN $n PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)"
+          ("rsum", s, d,
+            sum(col(v).cast("decimal(18,2)")).over(w.rowsBetween(-n, 0)).cast("double"))
+        case 1 =>
+          val s = s"min($v) $over ROWS BETWEEN $n PRECEDING AND CURRENT ROW)"
+          ("rmin", s, s, min(col(v)).over(w.rowsBetween(-n, 0)))
+        case 2 =>
+          val s = s"COALESCE(lag($v, $n) $over), CAST(-1 AS DOUBLE))"
+          ("lag", s, s, coalesce(lag(col(v), n).over(w), lit(-1.0)))
+        case 3 =>
+          val s = s"COALESCE(lead($v, $n) $over), CAST(-1 AS DOUBLE))"
+          ("lead", s, s, coalesce(lead(col(v), n).over(w), lit(-1.0)))
+      }
+      val outCols = (ordCols :+ partCol).distinct
+      val ordAll = outCols :+ "wv"
+      def sql(duck: Boolean) =
+        s"SELECT ${outCols.mkString(", ")}, ${if (duck) duckFn else sparkFn} AS wv " +
+          s"FROM ${t.name} WHERE ${p.sql} ORDER BY ${ordAll.mkString(", ")}"
+      val build = (s: SparkSession, dir: String) =>
+        Engine.t(s, dir, t.name).filter(p.cond)
+          .select(outCols.map(col) :+ dfc.as("wv"): _*)
+          .orderBy(ordAll.map(col): _*)
+      Generated(seed, s"frame_$fnName", build, sql(false), sql(true))
+    }
+
     // ---- scalar-expression surface ----------------------------------
 
     /** A typed scalar expression rendered three ways. `sql` must parse
@@ -628,4 +673,7 @@ object PlanGen {
 
   /** Scalar-expression-tree plan — see [[Gen.runScalar]]. */
   def generateScalar(seed: Long): Generated = new Gen(seed).runScalar()
+
+  /** ROWS-frame running-agg / lag / lead plan — see [[Gen.runFrame]]. */
+  def generateFrame(seed: Long): Generated = new Gen(seed).runFrame()
 }

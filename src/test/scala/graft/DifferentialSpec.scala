@@ -86,6 +86,23 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("100 ROWS-frame window plans: DataFrame build equals spark.sql rendering") {
+    Engine.registerAll(spark, sf)
+    var shapes = Map.empty[String, Int].withDefaultValue(0)
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateFrame(seed)
+      shapes += gen.shape -> (shapes(gen.shape) + 1)
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+    assert(Set("frame_rsum", "frame_rmin", "frame_lag", "frame_lead")
+      .subsetOf(shapes.keySet), s"frame shape coverage hole: $shapes")
+  }
+
   test("frozen fz* queries build and their SQL renderings stay stable") {
     // the driver's correctness gate replays these against DuckDB; this
     // test pins that each frozen seed still builds, returns rows, and
