@@ -97,17 +97,24 @@ object Differential {
 
   private def wname(s: Long): String = s"fzw${s}_${PlanGen.generateFrame(s).shape}"
 
+  /** Frozen extended-aggregate seeds. */
+  val frozenAggFnSeeds: Seq[Long] = Seq(1L, 2L, 3L)
+
+  private def aname(s: Long): String = s"fza${s}_aggfns"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).build).toMap ++
       frozenCompositeSeeds.map(s => cname(s) -> PlanGen.generateComposite(s).build).toMap ++
       frozenJoinSeeds.map(s => jname(s) -> PlanGen.generateJoin(s).build).toMap ++
       frozenScalarSeeds.map(s => sname(s) -> PlanGen.generateScalar(s).build).toMap ++
-      frozenFrameSeeds.map(s => wname(s) -> PlanGen.generateFrame(s).build).toMap
+      frozenFrameSeeds.map(s => wname(s) -> PlanGen.generateFrame(s).build).toMap ++
+      frozenAggFnSeeds.map(s => aname(s) -> PlanGen.generateAggFns(s).build).toMap
 
   def oracles: Map[String, String] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).duckSql).toMap ++
       frozenCompositeSeeds.map(s => cname(s) -> PlanGen.generateComposite(s).duckSql).toMap ++
       frozenJoinSeeds.map(s => jname(s) -> PlanGen.generateJoin(s).duckSql).toMap ++
       frozenScalarSeeds.map(s => sname(s) -> PlanGen.generateScalar(s).duckSql).toMap ++
-      frozenFrameSeeds.map(s => wname(s) -> PlanGen.generateFrame(s).duckSql).toMap
+      frozenFrameSeeds.map(s => wname(s) -> PlanGen.generateFrame(s).duckSql).toMap ++
+      frozenAggFnSeeds.map(s => aname(s) -> PlanGen.generateAggFns(s).duckSql).toMap
 }

@@ -24,6 +24,7 @@ object FuzzDump {
       case "scalar"    => PlanGen.generateScalar
       case "composite" => PlanGen.generateComposite
       case "frame"     => PlanGen.generateFrame
+      case "aggfns"    => PlanGen.generateAggFns
       case other       => sys.error(s"unknown kind $other")
     }
     val spark = Engine.session()

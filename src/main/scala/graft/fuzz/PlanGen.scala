@@ -626,6 +626,51 @@ object PlanGen {
             Some(s"replace(${a.duckSql}, 'A', '_')")) }))()
     }
 
+    /** Aggregate-function surface beyond the base shapes' count/sum/
+      * min/max: decimal-exact AVG (exit via one double division —
+      * identical IEEE op both engines), string min/max (ASCII data —
+      * binary collation agrees), integer SUM pinned to BIGINT (DuckDB
+      * would widen to HUGEINT, a hard type mismatch), and conditional
+      * COUNT(CASE WHEN … THEN 1 END). */
+    def runAggFns(): Generated = {
+      val t = pick(singles.filter(_.cats.nonEmpty))
+      val p = filterFor(t)
+      val gcol = pick(t.cats.keys.toSeq.sorted)
+      val aggs = (0 until 2 + rnd.nextInt(2)).map { i =>
+        val alias = s"agg$i"
+        rnd.nextInt(4) match {
+          case 0 =>
+            val c = pick(t.nums)
+            Agg(s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS $alias",
+              s"CAST(CAST(sum(CAST($c AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS $alias",
+              (sum(col(c).cast("decimal(18,2)")).cast("double") / count(lit(1))).as(alias))
+          case 1 =>
+            val c = pick((t.cats.keys.toSeq ++ t.cats.keys.toSeq).sorted)
+            val f = pick(Seq("min", "max"))
+            Agg(s"$f($c) AS $alias", s"$f($c) AS $alias",
+              (if (f == "min") min(col(c)) else max(col(c))).as(alias))
+          case 2 =>
+            val c = pick(t.ints)
+            Agg(s"CAST(sum($c) AS BIGINT) AS $alias",
+              s"CAST(sum($c) AS BIGINT) AS $alias",
+              sum(col(c)).cast("long").as(alias))
+          case 3 =>
+            val pr = onePred(t)
+            Agg(s"count(CASE WHEN ${pr.sql} THEN 1 END) AS $alias",
+              s"count(CASE WHEN ${pr.sql} THEN 1 END) AS $alias",
+              count(when(pr.cond, lit(1))).as(alias))
+        }
+      }
+      def sql(duck: Boolean) =
+        s"SELECT $gcol, ${aggs.map(a => if (duck) a.duckSql else a.sparkSql).mkString(", ")} " +
+          s"FROM ${t.name} WHERE ${p.sql} GROUP BY $gcol ORDER BY $gcol"
+      val build = (s: SparkSession, dir: String) =>
+        Engine.t(s, dir, t.name).filter(p.cond)
+          .groupBy(gcol).agg(aggs.head.dfCol, aggs.tail.map(_.dfCol): _*)
+          .orderBy(gcol)
+      Generated(seed, "aggfns", build, sql(false), sql(true))
+    }
+
     /** filter → project N scalar expression trees + unique key → total
       * order → LIMIT. Pure row-parallel compute: the cross-engine leg
       * pins scalar-function semantics; the API-vs-SQL leg pins the DSL
@@ -676,4 +721,7 @@ object PlanGen {
 
   /** ROWS-frame running-agg / lag / lead plan — see [[Gen.runFrame]]. */
   def generateFrame(seed: Long): Generated = new Gen(seed).runFrame()
+
+  /** Extended aggregate-function plan — see [[Gen.runAggFns]]. */
+  def generateAggFns(seed: Long): Generated = new Gen(seed).runAggFns()
 }
