@@ -263,12 +263,46 @@ object LlmText {
       .filter(col("hamming") <= 3)
   }
 
+  /** Declared l13: same (n_docs, n_neardup_pairs, max_hamming) output
+    * as aggregating [[simhashPairs]], computed WITHOUT enumerating
+    * doc-level pairs. On a high-duplication corpus identical texts
+    * share a simhash, so band buckets over raw docs grow quadratically
+    * in copy count (measured at the sf10 replica: 60 s vs the 0.9 s
+    * sf0.1 floor — the same pathology l37 fixed with exact-collapse).
+    * Here: group docs by signature once (one linear shuffle), run the
+    * banded self-join over DISTINCT signatures only, and recover the
+    * exact doc-pair count arithmetically — intra-signature pairs are
+    * all Hamming-0 (cnt choose 2), inter-signature pairs multiply
+    * group sizes. Equivalence to the pair-enumerating form is pinned
+    * by `LlmOpsSpec` at two scales. */
   private def l13Simhash(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = simhashPairs(spark, dir)
+    val sigs = fanOut(Engine.t(spark, dir, "documents"))
+      .select(col("doc_id"), call_function("simhash64", toks).as("sh"))
+    val groups = sigs.groupBy("sh").agg(count(lit(1)).as("cnt"))
+    val intra = groups.agg(
+      coalesce(sum(expr("(cnt * (cnt - 1)) div 2")), lit(0L)).as("intra_pairs"),
+      coalesce(max((col("cnt") > 1).cast("int")), lit(0)).as("has_intra"))
+    val banded = groups.select(col("sh"), col("cnt"),
+        explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(sh, 16*b) & 65535 AS chunk))")).as("bc"))
+      .select(col("sh"), col("cnt"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    val a = banded.select(col("band"), col("chunk"), col("sh").as("a_sh"), col("cnt").as("a_cnt"))
+    val b = banded.select(col("band"), col("chunk"), col("sh").as("b_sh"), col("cnt").as("b_cnt"))
+    val inter = a.join(b, Seq("band", "chunk")).filter(col("a_sh") < col("b_sh"))
+      .select(col("a_sh"), col("b_sh"), col("a_cnt"), col("b_cnt"),
+        expr("bit_count(a_sh ^ b_sh)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+      .agg(
+        coalesce(sum(col("a_cnt") * col("b_cnt")), lit(0L)).as("inter_pairs"),
+        coalesce(max(col("hamming")), lit(-1)).as("inter_max"))
     val nDocs = Engine.t(spark, dir, "documents").select(count(lit(1)).as("n_docs"))
-    nDocs.crossJoin(pairs.agg(
-      count(lit(1)).as("n_neardup_pairs"),
-      coalesce(max(col("hamming")), lit(-1)).as("max_hamming")))
+    nDocs.crossJoin(intra).crossJoin(inter)
+      .select(
+        col("n_docs"),
+        (col("intra_pairs") + col("inter_pairs")).as("n_neardup_pairs"),
+        when(col("inter_max") >= 0, col("inter_max"))
+          .when(col("has_intra") === 1, lit(0))
+          .otherwise(lit(-1)).as("max_hamming"))
   }
 
   /** N-gram Jaccard similarity over distinct word 2-grams for a small

@@ -134,6 +134,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("l13 collapsed-signature aggregate equals the pair-enumerating form at two scales") {
+    // the declared l13 collapses identical signatures and recovers the
+    // doc-pair count arithmetically (quadratic-copy fix, as for l37);
+    // pin it against aggregating the enumerated simhashPairs — on the
+    // real corpus AND on the planted dir, where doc 1/2 collide
+    for (dir <- Seq(sf, "/tmp/graft_io/test_simhash")) {
+      val fromPairs = LlmText.simhashPairs(spark, dir)
+        .agg(count(lit(1)).as("n_neardup_pairs"),
+          coalesce(max(col("hamming")), lit(-1)).as("max_hamming"))
+        .collect().head
+      val collapsed = LlmText.queries("l13_simhash_neardup")(spark, dir)
+        .collect().head
+      assert(collapsed.getAs[Long]("n_neardup_pairs") == fromPairs.getAs[Long]("n_neardup_pairs"),
+        s"$dir: pair count diverged: collapsed=$collapsed enumerated=$fromPairs")
+      assert(collapsed.getAs[Int]("max_hamming") == fromPairs.getAs[Int]("max_hamming"),
+        s"$dir: max hamming diverged: collapsed=$collapsed enumerated=$fromPairs")
+    }
+  }
+
   test("simhash64 kernel: interpreted eval equals codegen'd eval and is order-insensitive") {
     import spark.implicits._
     def run(): Map[Long, Long] =
