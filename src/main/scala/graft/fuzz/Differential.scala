@@ -102,13 +102,24 @@ object Differential {
 
   private def aname(s: Long): String = s"fza${s}_aggfns"
 
+  /** Frozen ROLLUP/CUBE seeds: first seed of each kind. */
+  val frozenRollupSeeds: Seq[Long] = {
+    def shape(s: Long) = PlanGen.generateRollup(s).shape
+    val r = (1L to 100L).find(shape(_) == "rollup").get
+    val c = (1L to 100L).find(shape(_) == "cube").get
+    Seq(r, c)
+  }
+
+  private def gname(s: Long): String = s"fzg${s}_${PlanGen.generateRollup(s).shape}"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).build).toMap ++
       frozenCompositeSeeds.map(s => cname(s) -> PlanGen.generateComposite(s).build).toMap ++
       frozenJoinSeeds.map(s => jname(s) -> PlanGen.generateJoin(s).build).toMap ++
       frozenScalarSeeds.map(s => sname(s) -> PlanGen.generateScalar(s).build).toMap ++
       frozenFrameSeeds.map(s => wname(s) -> PlanGen.generateFrame(s).build).toMap ++
-      frozenAggFnSeeds.map(s => aname(s) -> PlanGen.generateAggFns(s).build).toMap
+      frozenAggFnSeeds.map(s => aname(s) -> PlanGen.generateAggFns(s).build).toMap ++
+      frozenRollupSeeds.map(s => gname(s) -> PlanGen.generateRollup(s).build).toMap
 
   def oracles: Map[String, String] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).duckSql).toMap ++
@@ -116,5 +127,6 @@ object Differential {
       frozenJoinSeeds.map(s => jname(s) -> PlanGen.generateJoin(s).duckSql).toMap ++
       frozenScalarSeeds.map(s => sname(s) -> PlanGen.generateScalar(s).duckSql).toMap ++
       frozenFrameSeeds.map(s => wname(s) -> PlanGen.generateFrame(s).duckSql).toMap ++
-      frozenAggFnSeeds.map(s => aname(s) -> PlanGen.generateAggFns(s).duckSql).toMap
+      frozenAggFnSeeds.map(s => aname(s) -> PlanGen.generateAggFns(s).duckSql).toMap ++
+      frozenRollupSeeds.map(s => gname(s) -> PlanGen.generateRollup(s).duckSql).toMap
 }

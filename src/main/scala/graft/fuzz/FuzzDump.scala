@@ -25,6 +25,7 @@ object FuzzDump {
       case "composite" => PlanGen.generateComposite
       case "frame"     => PlanGen.generateFrame
       case "aggfns"    => PlanGen.generateAggFns
+      case "rollup"    => PlanGen.generateRollup
       case other       => sys.error(s"unknown kind $other")
     }
     val spark = Engine.session()

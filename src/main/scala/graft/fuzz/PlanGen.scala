@@ -626,6 +626,47 @@ object PlanGen {
             Some(s"replace(${a.duckSql}, 'A', '_')")) }))()
     }
 
+    /** ROLLUP / CUBE subtotal semantics. The grouping columns are
+      * non-null, so every NULL in the output is a subtotal marker —
+      * COALESCE to a sentinel that sorts deterministically in both
+      * engines (ASCII `~` — byte order agrees), sidestepping their
+      * opposite NULLS FIRST/LAST defaults entirely.
+      *
+      * Cross-engine divergence found by the r11 sweep (seeds 56, 100):
+      * on EMPTY input DuckDB emits the standard's grand-total grouping
+      * set (one row, count 0), Spark emits no rows. The engine is
+      * Spark, so pin the Spark behavior: `HAVING count(*) > 0` — an
+      * identity on every non-empty group, and it erases the empty
+      * grand-total row on the DuckDB side. */
+    def runRollup(): Generated = {
+      val t = pick(singles.filter(_.cats.size >= 2))
+      val cs = rnd.shuffle(t.cats.keys.toSeq.sorted).take(2)
+      val (c1, c2) = (cs.head, cs(1))
+      val p = filterFor(t)
+      val v = pick(t.nums)
+      val cube = maybe(0.5)
+      val kw = if (cube) "CUBE" else "ROLLUP"
+      def sql(duck: Boolean) = {
+        val sumSql =
+          if (duck) s"CAST(CAST(sum(CAST($v AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
+          else s"CAST(sum(CAST($v AS DECIMAL(18,2))) AS DOUBLE)"
+        s"SELECT COALESCE($c1, '~~') AS g1, COALESCE($c2, '~~') AS g2, " +
+          s"count(*) AS n, $sumSql AS s FROM ${t.name} WHERE ${p.sql} " +
+          s"GROUP BY $kw($c1, $c2) HAVING count(*) > 0 ORDER BY g1, g2"
+      }
+      val build = (s: SparkSession, dir: String) => {
+        val base = Engine.t(s, dir, t.name).filter(p.cond)
+        val grouped = if (cube) base.cube(c1, c2) else base.rollup(c1, c2)
+        grouped.agg(count(lit(1)).as("n"),
+            sum(col(v).cast("decimal(18,2)")).cast("double").as("s"))
+          .filter(col("n") > 0)
+          .select(coalesce(col(c1), lit("~~")).as("g1"),
+            coalesce(col(c2), lit("~~")).as("g2"), col("n"), col("s"))
+          .orderBy("g1", "g2")
+      }
+      Generated(seed, if (cube) "cube" else "rollup", build, sql(false), sql(true))
+    }
+
     /** Aggregate-function surface beyond the base shapes' count/sum/
       * min/max: decimal-exact AVG (exit via one double division —
       * identical IEEE op both engines), string min/max (ASCII data —
@@ -724,4 +765,7 @@ object PlanGen {
 
   /** Extended aggregate-function plan — see [[Gen.runAggFns]]. */
   def generateAggFns(seed: Long): Generated = new Gen(seed).runAggFns()
+
+  /** ROLLUP/CUBE subtotal plan — see [[Gen.runRollup]]. */
+  def generateRollup(seed: Long): Generated = new Gen(seed).runRollup()
 }

@@ -116,6 +116,19 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("100 rollup/cube plans: DataFrame build equals spark.sql rendering") {
+    Engine.registerAll(spark, sf)
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateRollup(seed)
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+  }
+
   test("frozen fz* queries build and their SQL renderings stay stable") {
     // the driver's correctness gate replays these against DuckDB; this
     // test pins that each frozen seed still builds, returns rows, and
