@@ -47,7 +47,27 @@ object ScaleCheck {
     val ok = sm1 == 0 && sm2 == 0 && bm1 == 0 && bm2 == 0
     println(s"""{"check":"j3_scale_equivalence","sf":"$sfDir","sessions":$nSessions,""" +
       s""""multi_vs_single_diff":[$sm1,$sm2],"stream_vs_batch_diff":[$bm1,$bm2],"ok":$ok}""")
+
+    // j12 stream-stream join: the in-horizon state join must emit the
+    // exact batch interval-join pair set, however the input is
+    // micro-batched. Batch leg = plain self-join on the same predicate.
+    val streamPairs = ops.Streaming.streamStreamPairs(spark, sfDir, oneFilePerBatch = true)
+    val ev = Engine.events(spark, sfDir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val batchPairs = c.join(p,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select("c_id", "p_id")
+    val nPairs = batchPairs.count()
+    val (jm1, jm2) = diffCount(streamPairs, batchPairs)
+    val jok = jm1 == 0 && jm2 == 0
+    println(s"""{"check":"j12_scale_equivalence","sf":"$sfDir","pairs":$nPairs,""" +
+      s""""stream_vs_batch_diff":[$jm1,$jm2],"ok":$jok}""")
     spark.stop()
-    if (!ok) sys.exit(1)
+    if (!(ok && jok)) sys.exit(1)
   }
 }
