@@ -278,7 +278,16 @@ object LlmText {
   private def l13Simhash(spark: SparkSession, dir: String): DataFrame = {
     val sigs = fanOut(Engine.t(spark, dir, "documents"))
       .select(col("doc_id"), call_function("simhash64", toks).as("sh"))
-    val groups = sigs.groupBy("sh").agg(count(lit(1)).as("cnt"))
+    // Materialize the signature groups ONCE: the plan consumes them
+    // three times (doc count, intra-group pairs, banded self-join),
+    // and Spark does not dedupe common subplans — without staging the
+    // corpus is scanned and simhash'd 3× (visible in the physical
+    // plan as three parquet scans). One corpus pass + a signature-
+    // sized artifact instead.
+    val stagedPath = Engine.scratch(spark, dir, "l13_sig_groups")
+    sigs.groupBy("sh").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(stagedPath)
+    val groups = spark.read.parquet(stagedPath)
     val intra = groups.agg(
       coalesce(sum(expr("(cnt * (cnt - 1)) div 2")), lit(0L)).as("intra_pairs"),
       coalesce(max((col("cnt") > 1).cast("int")), lit(0)).as("has_intra"))
@@ -295,7 +304,7 @@ object LlmText {
       .agg(
         coalesce(sum(col("a_cnt") * col("b_cnt")), lit(0L)).as("inter_pairs"),
         coalesce(max(col("hamming")), lit(-1)).as("inter_max"))
-    val nDocs = Engine.t(spark, dir, "documents").select(count(lit(1)).as("n_docs"))
+    val nDocs = groups.agg(coalesce(sum(col("cnt")), lit(0L)).as("n_docs"))
     nDocs.crossJoin(intra).crossJoin(inter)
       .select(
         col("n_docs"),
