@@ -481,10 +481,19 @@ object LlmPipeline {
     val chunks = Engine.t(spark, dir, "documents")
       .select(col("doc_id"),
         explode(transform(idx, i => array_join(slice(t, i * 8 + 1, lit(8)), " "))).as("chunk"))
-    val byChunk = chunks.groupBy("chunk")
-      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+    // One explode pass: the plan consumes the chunk stream twice (the
+    // per-chunk stats and the dup-doc membership join), and Spark
+    // re-runs the corpus explode per consumer. Pre-aggregate to
+    // (chunk, doc_id, occ) — the minimal artifact both consumers need
+    // — and stage it once.
+    val stagedPath = Engine.scratch(spark, dir, "l22_chunk_doc")
+    chunks.groupBy("chunk", "doc_id").agg(count(lit(1)).as("occ"))
+      .write.mode("overwrite").parquet(stagedPath)
+    val occPerDoc = spark.read.parquet(stagedPath)
+    val byChunk = occPerDoc.groupBy("chunk")
+      .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occ"))
     val dupChunks = byChunk.filter(col("n_docs") > 1)
-    val docsWithDup = chunks.join(dupChunks.select("chunk"), Seq("chunk"))
+    val docsWithDup = occPerDoc.join(dupChunks.select("chunk"), Seq("chunk"))
       .select("doc_id").distinct()
     dupChunks
       .agg(
