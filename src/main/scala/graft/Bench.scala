@@ -34,10 +34,10 @@ object Bench {
         """"([a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] no prior timings (${e.getClass.getSimpleName}): alphabetical order")
+        println(s"[bench] no prior timings (${e.getClass.getSimpleName}): alphabetical order")
         Map.empty
       }
-    System.err.println(s"[bench] LPT order over ${priorTimes.size} prior timings")
+    println(s"[bench] LPT order over ${priorTimes.size} prior timings")
     var failed = List.empty[String]
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -47,10 +47,10 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         failed ::= name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s $dt%9.3f s")
+      println(f"[bench] $name%-28s $dt%9.3f s")
       dt
     }
     // Two full passes, per-query MIN. The host's intermittent throttle
@@ -63,7 +63,7 @@ object Bench {
     val ordered = selected.toSeq
       .sortBy { case (name, _) => (-priorTimes.getOrElse(name, Double.MaxValue), name) }
     val pass1 = ordered.map { case (name, fn) => name -> runOne(name, fn) }
-    System.err.println("[bench] --- pass 2 (reverse order) ---")
+    println("[bench] --- pass 2 (reverse order) ---")
     val pass2 = ordered.reverse.map { case (name, fn) => name -> runOne(name, fn) }.toMap
     val results = pass1.map { case (name, t1) => name -> math.min(t1, pass2(name)) }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000

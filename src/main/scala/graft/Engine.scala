@@ -105,8 +105,16 @@ object Engine {
         raw.withColumn("ts", timestamp_micros(call_function("div", col("ts"), lit(1000L))))
       case org.apache.spark.sql.types.TimestampNTZType =>
         // Sessions without the inferTimestampNTZ knob (e.g. the driver's
-        // smoke session): naive micros ≡ UTC instant for this data.
-        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        // smoke session): naive micros ≡ UTC instant for this data. The
+        // NTZ→LTZ cast interprets the naive value in the SESSION time
+        // zone, and a foreign session may not run UTC — pin UTC around
+        // the cast (Dataset analysis is eager, so ResolveTimeZone stamps
+        // the zone into the Cast here, not at execution).
+        val tzKey = "spark.sql.session.timeZone"
+        val prevTz = spark.conf.get(tzKey)
+        spark.conf.set(tzKey, "UTC")
+        try raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        finally spark.conf.set(tzKey, prevTz)
       case _ => raw
     }
   }

@@ -20,9 +20,9 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        System.err.println(s"[verify] $name ok ${(System.nanoTime() - t0) / 1000000} ms")
+        println(s"[verify] $name ok ${(System.nanoTime() - t0) / 1000000} ms")
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

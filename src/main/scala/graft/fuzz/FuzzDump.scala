@@ -13,10 +13,15 @@ import graft.Engine
   * against DuckDB with no extra compare code.
   *
   * Usage: runMain graft.fuzz.FuzzDump <sfDir> <outDir> <kind> <from> <to>
-  * where kind ∈ base|join|scalar|composite.
+  * where kind ∈ base|join|scalar|composite|frame|aggfns|rollup|subq|chain3.
   */
 object FuzzDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 5) {
+      System.err.println(
+        "usage: FuzzDump <sfDir> <outDir> <base|join|scalar|composite|frame|aggfns|rollup|subq|chain3> <fromSeed> <toSeed>")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir, kind, fromS, toS) = args.take(5)
     val gen: Long => PlanGen.Generated = kind match {
       case "base"      => PlanGen.generate

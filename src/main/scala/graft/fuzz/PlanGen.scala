@@ -458,8 +458,13 @@ object PlanGen {
 
     /** Equi-join → ranking window over the joined rows → top-n filter.
       * Every join edge's right side is unique on its key, so the join
-      * preserves left-row multiplicity and the left unique suffix is a
-      * total order — no tie nondeterminism. */
+      * preserves left-row multiplicity. `l.unique` is NOT a total order
+      * (e.g. lineitem carries duplicate (l_orderkey, l_linenumber)
+      * facts) — determinism instead rests on ties sharing ALL output
+      * columns: rows tied on `l.unique` are identical in the projected
+      * (unique cols + partCol) set, so any rk permutation among them is
+      * output-invariant. Projecting a non-key left column here would
+      * break that invariant. */
     private def shapeJoinWindow(): Generated = {
       val (l, r0, lk, rk) = pick(joinEdges)
       val (pl, pr) = (filterFor(l), filterFor(r0))

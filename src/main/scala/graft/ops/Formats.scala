@@ -49,6 +49,25 @@ object Formats {
     * prove bit-identical content: the codec is a storage choice, never
     * a semantics choice. Falls back to snappy if lz4's native lib is
     * absent so the op degrades gracefully rather than failing. */
+  /** Whether the hadoop-lz4 native codec round-trips in this JVM —
+    * probed at most once per process (VERDICT r11: the per-invocation
+    * `.head()` probe was pure overhead), with the probe's scratch dir
+    * under java.io.tmpdir so the cached answer is dir-independent. */
+  private lazy val lz4Codec: String = {
+    val probe = java.nio.file.Files.createTempDirectory("graft_lz4_probe").toString
+    try {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val df = spark.range(2).toDF("i")
+      df.write.mode("overwrite").option("compression", "lz4").parquet(probe)
+      spark.read.parquet(probe).head()
+      "lz4"
+    }
+    // NonFatal only: an OOM/linkage error during the probe must surface,
+    // not masquerade as "lz4 absent" (ADVICE r7)
+    catch { case scala.util.control.NonFatal(_) => "snappy" }
+    finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(probe)): Unit
+  }
+
   private def a18CodecRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val src = Engine.t(spark, dir, "lineitem").filter(col("l_quantity") < 3)
     def write(codec: String): String = {
@@ -56,11 +75,7 @@ object Formats {
       src.write.mode("overwrite").option("compression", codec).parquet(out)
       out
     }
-    val codecs = Seq("zstd",
-      try { val p = write("lz4"); spark.read.parquet(p).head(); "lz4" }
-      // NonFatal only: an OOM/linkage error during the probe must surface,
-      // not masquerade as "lz4 absent" (ADVICE r7)
-      catch { case scala.util.control.NonFatal(_) => "snappy" })
+    val codecs = Seq("zstd", lz4Codec)
     codecs.map { c =>
       spark.read.parquet(write(c))
         .agg(

@@ -110,11 +110,17 @@ object Streaming {
   private def dropStaleNtzCache(spark: SparkSession, staged: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(staged)
-    if (fs.exists(p)) {
+    // Only judge COMPLETE caches (_SUCCESS present). A dir without the
+    // marker may be a concurrent session mid-write — leave it alone;
+    // stageEvents treats it as absent and overwrites atomically.
+    if (fs.exists(new org.apache.hadoop.fs.Path(staged + "/_SUCCESS"))) {
       val stale =
         try spark.read.parquet(staged).schema.exists(
           _.dataType == org.apache.spark.sql.types.TimestampNTZType)
-        catch { case _: Throwable => true } // unreadable cache → rebuild
+        catch {
+          // complete (_SUCCESS) yet unreadable → corrupt, ours to rebuild
+          case scala.util.control.NonFatal(_) => true
+        }
       if (stale) fs.delete(p, true): Unit
     }
   }
