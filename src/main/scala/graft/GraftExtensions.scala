@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64Expr(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("simhash64_md5"),
+      new ExpressionInfo(classOf[graft.expressions.SimHash64Md5Expr].getName, "simhash64_md5"),
+      (children: Seq[Expression]) => graft.expressions.SimHash64Md5Expr(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("sortable_double_bits"),
       new ExpressionInfo(
         classOf[graft.expressions.SortableDoubleBitsExpr].getName, "sortable_double_bits"),

@@ -365,3 +365,69 @@ case class SortableDoubleBitsExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Kernel for [[SimHash64Md5Expr]]: per-token hash = the first 8 MD5
+  * digest bytes read LITTLE-ENDIAN, bit-identical to DuckDB 1.0's
+  * `md5_number_upper(token)` — empirically pinned in `SketchSpec`.
+  * Static so codegen can call it like Spark's own hash helpers. */
+object SimHash64Md5 {
+  def hashToken(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+    var h = 0L
+    var i = 7
+    while (i >= 0) { h = (h << 8) | (d(i) & 0xffL); i -= 1 }
+    h
+  }
+
+  def simhash(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val h = hashToken(arr.getUTF8String(i))
+      var j = 0
+      while (j < 64) {
+        votes(j) += (if (((h >>> j) & 1L) != 0L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+}
+
+/** simhash64_md5(tokens) — the same Charikar vote loop as
+  * [[SimHash64Expr]] with the per-token hash swapped to MD5 (see
+  * [[SimHash64Md5]]): the cross-engine-REPLAYABLE variant. DuckDB has
+  * no xxhash64, so the production l13 signature can't be recomputed by
+  * the oracle; this variant can, which lets the l13 banded-signature
+  * pair arithmetic be certified end-to-end against a DuckDB
+  * brute-force over the same parquet (VERDICT r11 #2). MD5-per-token
+  * is ~5× the cost of XXH64 — used only by the bounded `l13b` verdict
+  * query, never the production path. */
+case class SimHash64Md5Expr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "simhash64_md5"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64Md5.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.SimHash64Md5.simhash($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -275,16 +275,40 @@ object LlmText {
     * all Hamming-0 (cnt choose 2), inter-signature pairs multiply
     * group sizes. Equivalence to the pair-enumerating form is pinned
     * by `LlmOpsSpec` at two scales. */
-  private def l13Simhash(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = fanOut(Engine.t(spark, dir, "documents"))
-      .select(col("doc_id"), call_function("simhash64", toks).as("sh"))
+  private def l13Simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPairVerdict(spark, dir,
+      fanOut(Engine.t(spark, dir, "documents"))
+        .select(col("doc_id"), call_function("simhash64", toks).as("sh")),
+      "l13_sig_groups")
+
+  /** Declared l13b: the SAME banded-signature pair arithmetic as l13,
+    * run over a bounded doc prefix with the MD5-based signature
+    * (`simhash64_md5`) that DuckDB can recompute — so the oracle
+    * brute-forces ALL prefix pairs at Hamming ≤ 3 and cross-engine
+    * certifies both the hash kernel (vs `md5_number_upper`) and the
+    * band/intra/inter counting arithmetic that production l13 rides on
+    * (VERDICT r11 #2: this family previously had only spec backing).
+    * The 16-bit × 4 banding finds EVERY Hamming ≤ 3 pair by pigeonhole
+    * — the oracle independently proves that completeness claim. */
+  private def l13bSimhashVerdict(spark: SparkSession, dir: String): DataFrame =
+    simhashPairVerdict(spark, dir,
+      fanOut(Engine.t(spark, dir, "documents").filter(col("doc_id") < 300))
+        .select(col("doc_id"), call_function("simhash64_md5", toks).as("sh")),
+      "l13b_sig_groups")
+
+  /** Shared by l13 (production xxhash signature) and l13b (oracle-
+    * replayable MD5 signature): (doc_id, sh) → one-row
+    * (n_docs, n_neardup_pairs, max_hamming) without enumerating
+    * doc-level pairs. */
+  private def simhashPairVerdict(
+      spark: SparkSession, dir: String, sigs: DataFrame, stage: String): DataFrame = {
     // Materialize the signature groups ONCE: the plan consumes them
     // three times (doc count, intra-group pairs, banded self-join),
     // and Spark does not dedupe common subplans — without staging the
     // corpus is scanned and simhash'd 3× (visible in the physical
     // plan as three parquet scans). One corpus pass + a signature-
     // sized artifact instead.
-    val stagedPath = Engine.scratch(spark, dir, "l13_sig_groups")
+    val stagedPath = Engine.scratch(spark, dir, stage)
     sigs.groupBy("sh").agg(count(lit(1)).as("cnt"))
       .write.mode("overwrite").parquet(stagedPath)
     val groups = spark.read.parquet(stagedPath)
@@ -413,9 +437,35 @@ object LlmText {
     "l9_fingerprint" -> (l9Fingerprint _),
     "l9b_rolling_hash" -> (l9bRollingHash _),
     "l10_ngram_jaccard" -> (l10NgramJaccard _),
-    "l13_simhash_neardup" -> (l13Simhash _))
+    "l13_simhash_neardup" -> (l13Simhash _),
+    "l13b_simhash_verdict" -> (l13bSimhashVerdict _))
 
   val oracles: Map[String, String] = Map(
+    // Brute-force replay of l13b: per-token MD5 hash (md5_number_upper
+    // ≡ first 8 digest bytes little-endian ≡ simhash64_md5's kernel),
+    // the Charikar vote loop in SQL, then ALL prefix pairs at
+    // Hamming ≤ 3 — independently certifying the banded-signature
+    // arithmetic's completeness claim.
+    "l13b_simhash_verdict" ->
+      """WITH docs AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM documents WHERE doc_id < 300),
+        |tok AS (SELECT doc_id, unnest(toks) AS t FROM docs),
+        |votes AS (SELECT doc_id, r.range AS j,
+        |    SUM(CASE WHEN (md5_number_upper(t) >> r.range) & 1 = 1
+        |             THEN 1 ELSE -1 END) AS v
+        |  FROM tok, range(64) r GROUP BY 1, 2),
+        |sig0 AS (SELECT doc_id,
+        |    bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << j) ELSE 0::UBIGINT END) AS sh
+        |  FROM votes GROUP BY doc_id),
+        |sig AS (SELECT d.doc_id, coalesce(s.sh, 0::UBIGINT) AS sh
+        |  FROM docs d LEFT JOIN sig0 s USING (doc_id)),
+        |pairs AS (SELECT CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hd
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+        |SELECT (SELECT count(*) FROM docs) AS n_docs,
+        |  count(CASE WHEN hd <= 3 THEN 1 END) AS n_neardup_pairs,
+        |  coalesce(max(CASE WHEN hd <= 3 THEN hd END), -1) AS max_hamming
+        |FROM pairs""".stripMargin,
     "l34_bigram_stats" ->
       """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x != '') AS tk
         |  FROM documents),

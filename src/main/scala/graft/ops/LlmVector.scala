@@ -321,16 +321,20 @@ object LlmVector {
     * can land every seed in one cluster) without paying k−1 cluster
     * passes. Returns (final centroids, per-iteration WCSS — provably
     * non-increasing, pinned in `LlmOpsSpec`). */
+  /** Driver-side squared L2 over the KB-bounded centroid/sample state
+    * (shared by kmeansFit's init and l40b's deterministic init). */
+  private def l2sqArr(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
   def kmeansFit(df: DataFrame, k: Int, iters: Int): (Seq[Array[Double]], Seq[Double]) = {
     val sample: Array[Array[Double]] = df
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(256)
       .select("embedding").collect()
       .map(_.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
-    def l2sq(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
+    def l2sq(a: Array[Double], b: Array[Double]): Double = l2sqArr(a, b)
     require(sample.nonEmpty, "kmeansFit: empty corpus — nothing to sample for init")
     var cents: Vector[Array[Double]] = Vector(sample.head)
     var exhausted = false // fewer than k distinct sample points: stop rather than seed duplicates
@@ -356,6 +360,47 @@ object LlmVector {
     (cents, wcss.result())
   }
 
+  /** Declared l40b: bounded, fully deterministic k-means VERDICT table
+    * (VERDICT r11 #2, the l37b pattern): k=4 maximin init seeded at the
+    * min vec_id over the vec_id<200 subset, exactly 3 Lloyd rounds,
+    * centroids snapped to 6 dp after every update in BOTH engines (so
+    * cross-engine summation-order noise — ~1e-13 — cannot drift the
+    * fixpoint), output (cluster, n_vecs, wcss). The DuckDB oracle
+    * replays the identical algorithm in SQL (unrolled maximin chain +
+    * Lloyd rounds, see [[kmeansVerdictOracleSql]]), independently
+    * certifying the assignment/update/WCSS arithmetic that production
+    * l40's kmeansFit rides on — the same [[kmeansAssign]] codegen
+    * kernel and [[VecMean]] partial aggregate. Driver-side state is
+    * the k×dim centroid matrix (KB-sized), the same bounded probe
+    * shape as kmeansFit; ties (argmax in init, argmin in assignment)
+    * break toward the lower vec_id / cluster index in both engines. */
+  private def l40bKmeansVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir).filter(col("vec_id") < 200)
+    val pts: Array[Array[Double]] = e.orderBy("vec_id").select("embedding").collect()
+      .map(_.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+    require(pts.nonEmpty, "l40b: empty embedding subset")
+    var cents: Vector[Array[Double]] = Vector(pts.head)
+    while (cents.length < 4)
+      // maxBy keeps the FIRST max and pts is vec_id-ordered, so ties
+      // resolve to the min vec_id — same as the oracle's ORDER BY
+      cents = cents :+ pts.maxBy(v => cents.map(c => l2sqArr(v, c)).min)
+    def snap(x: Double): Double =
+      new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val vecMean = udaf(new VecMean)
+    for (_ <- 0 until 3) {
+      val upd = kmeansAssign(e, cents)
+        .groupBy("cluster").agg(vecMean(col("embedding")).as("centroid")).collect()
+      val m = upd.map(r => r.getAs[Int]("cluster") ->
+        r.getAs[Seq[Double]]("centroid").map(snap).toArray).toMap
+      // empty cluster keeps its centroid, same as the oracle's carryover
+      cents = Vector.tabulate(cents.length)(j => m.getOrElse(j, cents(j)))
+    }
+    kmeansAssign(e, cents)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"), round(sum(col("dist_sq")), 6).as("wcss"))
+      .orderBy("cluster")
+  }
+
   private def l40Kmeans(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir)
     val (cents, _) = kmeansFit(e, 8, 4)
@@ -367,6 +412,7 @@ object LlmVector {
 
   val queries: Map[String, Q] = Map(
     "l40_kmeans" -> (l40Kmeans _),
+    "l40b_kmeans_verdict" -> (l40bKmeansVerdict _),
     "l30_semantic_decontaminate" -> (l30SemanticDecon _),
     "l27_embedding_quantize" -> (l27Quantize _),
     "l2_vector_similarity" -> (l2VectorSim _),
@@ -384,8 +430,52 @@ object LlmVector {
     s"sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))))"
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+  private def l2sqSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+
+  /** DuckDB replay of [[l40bKmeansVerdict]]: the maximin init chain and
+    * the 3 Lloyd rounds unrolled as CTEs (recursive CTEs can't carry
+    * the per-round aggregate), per-index centroid means via zipped
+    * unnest, centroids snapped to 6 dp per round like the Spark side. */
+  private def kmeansVerdictOracleSql(k: Int, iters: Int, n: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings WHERE vec_id < $n),
+         |cents_i0 AS (SELECT 0 AS c, e FROM v ORDER BY vec_id LIMIT 1)""".stripMargin)
+    for (kk <- 1 until k) {
+      val prev = s"cents_i${kk - 1}"
+      sb.append(
+        s""",
+           |pick_$kk AS (SELECT $kk AS c, v.e FROM v CROSS JOIN $prev k
+           |  GROUP BY v.vec_id, v.e ORDER BY min(${l2sqSql("v.e", "k.e")}) DESC, v.vec_id LIMIT 1),
+           |cents_i$kk AS (SELECT * FROM $prev UNION ALL SELECT * FROM pick_$kk)""".stripMargin)
+    }
+    var prev = s"cents_i${k - 1}"
+    for (r <- 1 to iters) {
+      sb.append(
+        s""",
+           |asg_$r AS (SELECT vec_id, e, c FROM (
+           |    SELECT v.vec_id, v.e, k.c,
+           |      row_number() OVER (PARTITION BY v.vec_id ORDER BY ${l2sqSql("v.e", "k.e")}, k.c) AS rk
+           |    FROM v CROSS JOIN $prev k) WHERE rk = 1),
+           |flat_$r AS (SELECT c, unnest(e) AS val, unnest(range(1, len(e) + 1)) AS i FROM asg_$r),
+           |upd_$r AS (SELECT c, i, round(avg(val), 6) AS val FROM flat_$r GROUP BY c, i),
+           |cents_r$r AS (SELECT c, list(val ORDER BY i) AS e FROM upd_$r GROUP BY c
+           |  UNION ALL SELECT k.c, k.e FROM $prev k WHERE k.c NOT IN (SELECT c FROM asg_$r))""".stripMargin)
+      prev = s"cents_r$r"
+    }
+    sb.append(
+      s"""
+         |SELECT c AS cluster, count(*) AS n_vecs, round(sum(d), 6) AS wcss FROM (
+         |  SELECT v.vec_id, k.c, ${l2sqSql("v.e", "k.e")} AS d,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${l2sqSql("v.e", "k.e")}, k.c) AS rk
+         |  FROM v CROSS JOIN $prev k) WHERE rk = 1
+         |GROUP BY c ORDER BY c""".stripMargin)
+    sb.toString
+  }
 
   val oracles: Map[String, String] = Map(
+    "l40b_kmeans_verdict" -> kmeansVerdictOracleSql(4, 3, 200),
     "l30_semantic_decontaminate" ->
       s"""WITH cs AS (SELECT c.vec_id, c.label,
          |    ${cosSql("c.embedding", "e.embedding")} AS cs

@@ -169,4 +169,21 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(n / total - 26.0 / 256) < 0.03, s"rate ${n / total}")
     assert(sampled() == n) // same rows every evaluation — no RNG
   }
+
+  test("simhash64_md5 per-token hash is bit-identical to DuckDB's md5_number_upper") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // md5_number_upper = first 8 MD5 digest bytes read little-endian;
+    // pinned value cross-checked against DuckDB 1.0:
+    //   SELECT md5_number_upper('hello') → 8514701317032132957
+    assert(graft.expressions.SimHash64Md5.hashToken(UTF8String.fromString("hello")) ==
+      8514701317032132957L)
+    // independent reference: java MessageDigest + explicit LE assembly
+    val d = java.security.MessageDigest.getInstance("MD5").digest("graft".getBytes("UTF-8"))
+    val expected = (0 to 7).map(i => (d(i) & 0xffL) << (8 * i)).reduce(_ | _)
+    assert(graft.expressions.SimHash64Md5.hashToken(UTF8String.fromString("graft")) == expected)
+    // empty token array → zero votes → signature 0 (the coalesce(sh, 0)
+    // convention the l13b oracle relies on for token-less docs)
+    val sig = spark.sql("SELECT simhash64_md5(CAST(array() AS ARRAY<STRING>)) AS s").head().getLong(0)
+    assert(sig == 0L)
+  }
 }
