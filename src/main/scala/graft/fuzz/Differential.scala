@@ -112,6 +112,52 @@ object Differential {
 
   private def gname(s: Long): String = s"fzg${s}_${PlanGen.generateRollup(s).shape}"
 
+  /** Correlated-subquery quota (VERDICT r11 #3): one standing row per
+    * risky sub-shape — NOT IN (the null-poisoning rule), theta-EXISTS
+    * (non-equi correlation), scalar subquery (de-correlation). */
+  private val subqQuota = Map(
+    "subq_notin" -> 1, "subq_theta" -> 1, "subq_scalar" -> 1)
+
+  val frozenSubqSeeds: Seq[Long] = {
+    val have = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var s = 1L
+    while (picked.size < subqQuota.values.sum && s < 10000L) {
+      val shape = PlanGen.generateSubq(s).shape
+      if (have(shape) < subqQuota.getOrElse(shape, 0)) {
+        have(shape) += 1
+        picked += s
+      }
+      s += 1
+    }
+    picked.toSeq
+  }
+
+  private def qname(s: Long): String = s"fzq${s}_${PlanGen.generateSubq(s).shape}"
+
+  /** 3-table mixed-join quota (VERDICT r11 #3): a LEFT-LEFT path, a
+    * mixed path, and a mixed star — outer-produced nulls flowing into
+    * the aggregates in each. */
+  private val chain3Quota = Map(
+    "chain3_path_ll" -> 1, "chain3_path_li" -> 1, "chain3_star_il" -> 1)
+
+  val frozenChain3Seeds: Seq[Long] = {
+    val have = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var s = 1L
+    while (picked.size < chain3Quota.values.sum && s < 10000L) {
+      val shape = PlanGen.generateChain3(s).shape
+      if (have(shape) < chain3Quota.getOrElse(shape, 0)) {
+        have(shape) += 1
+        picked += s
+      }
+      s += 1
+    }
+    picked.toSeq
+  }
+
+  private def xname(s: Long): String = s"fzx${s}_${PlanGen.generateChain3(s).shape}"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).build).toMap ++
       frozenCompositeSeeds.map(s => cname(s) -> PlanGen.generateComposite(s).build).toMap ++
@@ -119,7 +165,9 @@ object Differential {
       frozenScalarSeeds.map(s => sname(s) -> PlanGen.generateScalar(s).build).toMap ++
       frozenFrameSeeds.map(s => wname(s) -> PlanGen.generateFrame(s).build).toMap ++
       frozenAggFnSeeds.map(s => aname(s) -> PlanGen.generateAggFns(s).build).toMap ++
-      frozenRollupSeeds.map(s => gname(s) -> PlanGen.generateRollup(s).build).toMap
+      frozenRollupSeeds.map(s => gname(s) -> PlanGen.generateRollup(s).build).toMap ++
+      frozenSubqSeeds.map(s => qname(s) -> PlanGen.generateSubq(s).build).toMap ++
+      frozenChain3Seeds.map(s => xname(s) -> PlanGen.generateChain3(s).build).toMap
 
   def oracles: Map[String, String] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).duckSql).toMap ++
@@ -128,5 +176,7 @@ object Differential {
       frozenScalarSeeds.map(s => sname(s) -> PlanGen.generateScalar(s).duckSql).toMap ++
       frozenFrameSeeds.map(s => wname(s) -> PlanGen.generateFrame(s).duckSql).toMap ++
       frozenAggFnSeeds.map(s => aname(s) -> PlanGen.generateAggFns(s).duckSql).toMap ++
-      frozenRollupSeeds.map(s => gname(s) -> PlanGen.generateRollup(s).duckSql).toMap
+      frozenRollupSeeds.map(s => gname(s) -> PlanGen.generateRollup(s).duckSql).toMap ++
+      frozenSubqSeeds.map(s => qname(s) -> PlanGen.generateSubq(s).duckSql).toMap ++
+      frozenChain3Seeds.map(s => xname(s) -> PlanGen.generateChain3(s).duckSql).toMap
 }

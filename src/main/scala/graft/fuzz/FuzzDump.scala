@@ -31,6 +31,8 @@ object FuzzDump {
       case "frame"     => PlanGen.generateFrame
       case "aggfns"    => PlanGen.generateAggFns
       case "rollup"    => PlanGen.generateRollup
+      case "subq"      => PlanGen.generateSubq
+      case "chain3"    => PlanGen.generateChain3
       case other       => sys.error(s"unknown kind $other")
     }
     val spark = Engine.session()

@@ -750,6 +750,193 @@ object PlanGen {
           .orderBy(ordAll.map(col): _*).limit(n)
       Generated(seed, "scalar", build, sql(false), sql(true))
     }
+
+    // ---- correlated-subquery surface (VERDICT r11 #3) ---------------
+
+    /** IN / NOT IN subquery feeding a grouped aggregate. Join keys are
+      * TPC-H-style NON-NULL, so NOT IN's null-poisoning rule cannot
+      * make the ANSI renderings diverge from the DataFrame anti-join
+      * build — the divergence only exists when the subquery column can
+      * be null, which these keys never are. */
+    private def shapeInSub(): Generated = {
+      val (l, r, lk, rk) = pick(joinEdges)
+      val (pl, pr) = (filterFor(l), filterFor(r))
+      val neg = maybe(0.4)
+      val gcol = if (l.cats.nonEmpty) pick(l.cats.keys.toSeq.sorted) else l.unique.head
+      val agg = aggFor(Seq(l), "agg0")
+      val in = if (neg) "NOT IN" else "IN"
+      def sql(duck: Boolean) =
+        s"SELECT $gcol, ${if (duck) agg.duckSql else agg.sparkSql} FROM ${l.name} " +
+          s"WHERE ${pl.sql} AND $lk $in (SELECT $rk FROM ${r.name} WHERE ${pr.sql}) " +
+          s"GROUP BY $gcol ORDER BY $gcol"
+      val build = (s: SparkSession, dir: String) => {
+        val a = Engine.t(s, dir, l.name).filter(pl.cond)
+        val b = Engine.t(s, dir, r.name).filter(pr.cond)
+        a.join(b, a(lk) === b(rk), if (neg) "left_anti" else "left_semi")
+          .groupBy(gcol).agg(agg.dfCol).orderBy(gcol)
+      }
+      Generated(seed, if (neg) "subq_notin" else "subq_in", build, sql(false), sql(true))
+    }
+
+    /** Correlated (NOT) EXISTS with a THETA (inequality) conjunct tying
+      * an inner numeric to an outer numeric — the
+      * RewritePredicateSubquery path with a non-equi correlation, which
+      * plain equi-semi shapes (fz3/fz8) never exercise. */
+    private def shapeExistsTheta(): Generated = {
+      val (l, r, lk, rk) = pick(joinEdges)
+      val (pl, pr) = (filterFor(l), filterFor(r))
+      val lnum = pick(l.nums)
+      val rnum = pick(r.nums)
+      val anti = maybe(0.4)
+      val ex = if (anti) "NOT EXISTS" else "EXISTS"
+      val gcol = if (l.cats.nonEmpty) pick(l.cats.keys.toSeq.sorted) else l.unique.head
+      val agg = aggFor(Seq(l), "agg0")
+      def sql(duck: Boolean) =
+        s"SELECT $gcol, ${if (duck) agg.duckSql else agg.sparkSql} FROM ${l.name} " +
+          s"WHERE ${pl.sql} AND $ex (SELECT 1 FROM ${r.name} " +
+          s"WHERE $rk = $lk AND $rnum > $lnum AND ${pr.sql}) " +
+          s"GROUP BY $gcol ORDER BY $gcol"
+      val build = (s: SparkSession, dir: String) => {
+        val a = Engine.t(s, dir, l.name).filter(pl.cond)
+        val b = Engine.t(s, dir, r.name).filter(pr.cond)
+        a.join(b, a(lk) === b(rk) && b(rnum) > a(lnum),
+          if (anti) "left_anti" else "left_semi")
+          .groupBy(gcol).agg(agg.dfCol).orderBy(gcol)
+      }
+      Generated(seed, if (anti) "subq_ntheta" else "subq_theta", build, sql(false), sql(true))
+    }
+
+    /** Correlated SCALAR subquery in the projection: per outer row the
+      * max of a filtered inner column at the correlation key, −1 when
+      * no inner row matches. DataFrame build = the left-join-aggregate
+      * de-correlation Spark's own optimizer performs. The final sort
+      * covers every output column (lineitem's unique suffix has
+      * documented duplicates; with `sub` in the sort, remaining ties
+      * are identical rows). */
+    private def shapeScalarSub(): Generated = {
+      val (l, r, lk, rk) = pick(joinEdges)
+      val (pl, pr) = (filterFor(l), filterFor(r))
+      val rnum = pick(r.nums)
+      val n = 20 + rnd.nextInt(60)
+      val outCols = l.unique
+      val ordAll = outCols :+ "sub"
+      def sql(duck: Boolean) =
+        s"SELECT ${outCols.mkString(", ")}, COALESCE((SELECT max($rnum) FROM ${r.name} " +
+          s"WHERE $rk = $lk AND ${pr.sql}), CAST(-1 AS DOUBLE)) AS sub FROM ${l.name} " +
+          s"WHERE ${pl.sql} ORDER BY ${ordAll.mkString(", ")} LIMIT $n"
+      val build = (s: SparkSession, dir: String) => {
+        val a = Engine.t(s, dir, l.name).filter(pl.cond)
+        val b = Engine.t(s, dir, r.name).filter(pr.cond)
+          .groupBy(col(rk)).agg(max(col(rnum)).as("sub0"))
+        a.join(b, a(lk) === b(rk), "left")
+          .select(outCols.map(a(_)) :+ coalesce(col("sub0"), lit(-1.0)).as("sub"): _*)
+          .orderBy(ordAll.map(col): _*).limit(n)
+      }
+      Generated(seed, "subq_scalar", build, sql(false), sql(true))
+    }
+
+    def runSubq(): Generated = rnd.nextInt(3) match {
+      case 0 => shapeInSub()
+      case 1 => shapeExistsTheta()
+      case 2 => shapeScalarSub()
+    }
+
+    // ---- 3-table mixed-join chains (VERDICT r11 #3) -----------------
+
+    /** Null-safe aggregate over a column that outer joins can null out:
+      * every variant either skips nulls by SQL definition (count) or
+      * exits through COALESCE, so engines can't differ on null display. */
+    private def nullAggFor(c: String, alias: String): Agg =
+      pick[() => Agg](Seq(
+        () => Agg(s"count($c) AS $alias", s"count($c) AS $alias",
+          count(col(c)).as(alias)),
+        () => Agg(
+          s"CAST(COALESCE(sum(CAST($c AS DECIMAL(18,2))), 0) AS DOUBLE) AS $alias",
+          s"CAST(CAST(COALESCE(sum(CAST($c AS DECIMAL(18,2))), 0) AS VARCHAR) AS DOUBLE) AS $alias",
+          coalesce(sum(col(c).cast("decimal(18,2)")), lit(0).cast("decimal(18,2)"))
+            .cast("double").as(alias)),
+        () => Agg(s"COALESCE(min($c), -1) AS $alias", s"COALESCE(min($c), -1) AS $alias",
+          coalesce(min(col(c)), lit(-1.0)).as(alias)),
+        () => Agg(s"COALESCE(max($c), -1) AS $alias", s"COALESCE(max($c), -1) AS $alias",
+          coalesce(max(col(c)), lit(-1.0)).as(alias))))()
+
+    /** At least one LEFT in every combo: the whole point is nulls
+      * flowing out of the outer side into the aggregates. */
+    private def jtCombo(): (String, String, String) = {
+      val (a, b) = pick(Seq(("LEFT", ""), ("", "LEFT"), ("LEFT", "LEFT")))
+      def tag(j: String) = if (j.isEmpty) "i" else "l"
+      (a, b, tag(a) + tag(b))
+    }
+    private def how(jt: String): String = if (jt.isEmpty) "inner" else "left"
+
+    /** lineitem ⋈ orders ⋈ customer PATH with mixed join types, grouped
+      * on a non-null probe-side key; count(c_custkey) counts survivors
+      * of BOTH hops. Per-side filters stay in subqueries so LEFT
+      * semantics match the DataFrame build (the established rule). */
+    private def shapeChainPath(): Generated = {
+      val (jt1, jt2, tag) = jtCombo()
+      val (pl, po, pc) = (filterFor(lineitem), filterFor(orders), filterFor(customer))
+      val gcol = pick(lineitem.cats.keys.toSeq.sorted)
+      val aggs = Seq(
+        Agg("count(*) AS cnt", "count(*) AS cnt", count(lit(1)).as("cnt")),
+        nullAggFor("o_totalprice", "agg1"),
+        nullAggFor("c_acctbal", "agg2"),
+        Agg("count(c_custkey) AS cnt_c", "count(c_custkey) AS cnt_c",
+          count(col("c_custkey")).as("cnt_c")))
+      def sql(duck: Boolean) =
+        s"SELECT $gcol, ${aggs.map(a => if (duck) a.duckSql else a.sparkSql).mkString(", ")} " +
+          s"FROM (SELECT * FROM lineitem WHERE ${pl.sql}) la $jt1 JOIN " +
+          s"(SELECT * FROM orders WHERE ${po.sql}) oa ON l_orderkey = o_orderkey $jt2 JOIN " +
+          s"(SELECT * FROM customer WHERE ${pc.sql}) ca ON o_custkey = c_custkey " +
+          s"GROUP BY $gcol ORDER BY $gcol"
+      val build = (s: SparkSession, dir: String) => {
+        val a = Engine.t(s, dir, "lineitem").filter(pl.cond)
+        val b = Engine.t(s, dir, "orders").filter(po.cond)
+        val c = Engine.t(s, dir, "customer").filter(pc.cond)
+        a.join(b, a("l_orderkey") === b("o_orderkey"), how(jt1))
+          .join(c, b("o_custkey") === c("c_custkey"), how(jt2))
+          .groupBy(gcol).agg(aggs.head.dfCol, aggs.tail.map(_.dfCol): _*)
+          .orderBy(gcol)
+      }
+      Generated(seed, s"chain3_path_$tag", build, sql(false), sql(true))
+    }
+
+    /** lineitem ⋈ part + lineitem ⋈ supplier STAR with mixed join
+      * types — both ON clauses bind to the fact table, so the nulls
+      * from hop 1 and hop 2 are independent (unlike the path shape). */
+    private def shapeChainStar(): Generated = {
+      val (jt1, jt2, tag) = jtCombo()
+      val (pl, pp, ps) = (filterFor(lineitem), filterFor(part), filterFor(supplier))
+      val gcol = pick(lineitem.cats.keys.toSeq.sorted)
+      val aggs = Seq(
+        Agg("count(*) AS cnt", "count(*) AS cnt", count(lit(1)).as("cnt")),
+        nullAggFor("p_retailprice", "agg1"),
+        nullAggFor("s_acctbal", "agg2"),
+        Agg("count(p_partkey) AS cnt_p", "count(p_partkey) AS cnt_p",
+          count(col("p_partkey")).as("cnt_p")))
+      def sql(duck: Boolean) =
+        s"SELECT $gcol, ${aggs.map(a => if (duck) a.duckSql else a.sparkSql).mkString(", ")} " +
+          s"FROM (SELECT * FROM lineitem WHERE ${pl.sql}) la $jt1 JOIN " +
+          s"(SELECT * FROM part WHERE ${pp.sql}) pa ON l_partkey = p_partkey $jt2 JOIN " +
+          s"(SELECT * FROM supplier WHERE ${ps.sql}) sa ON l_suppkey = s_suppkey " +
+          s"GROUP BY $gcol ORDER BY $gcol"
+      val build = (s: SparkSession, dir: String) => {
+        val a = Engine.t(s, dir, "lineitem").filter(pl.cond)
+        val b = Engine.t(s, dir, "part").filter(pp.cond)
+        val c = Engine.t(s, dir, "supplier").filter(ps.cond)
+        a.join(b, a("l_partkey") === b("p_partkey"), how(jt1))
+          .join(c, a("l_suppkey") === c("s_suppkey"), how(jt2))
+          .groupBy(gcol).agg(aggs.head.dfCol, aggs.tail.map(_.dfCol): _*)
+          .orderBy(gcol)
+      }
+      Generated(seed, s"chain3_star_$tag", build, sql(false), sql(true))
+    }
+
+    // nextInt(2) on a fresh java.util.Random is nearly CONSTANT across
+    // sequential seeds (the scrambler's first power-of-2 draw) — 100
+    // seeds all landed on one branch; a non-power-of-2 bound mixes.
+    def runChain3(): Generated =
+      if (rnd.nextInt(6) < 3) shapeChainPath() else shapeChainStar()
   }
 
   /** Composite window→agg plan for the same seed space — see
@@ -773,4 +960,11 @@ object PlanGen {
 
   /** ROLLUP/CUBE subtotal plan — see [[Gen.runRollup]]. */
   def generateRollup(seed: Long): Generated = new Gen(seed).runRollup()
+
+  /** Correlated-subquery plan (IN / NOT IN, theta-EXISTS, scalar) —
+    * see [[Gen.runSubq]]. */
+  def generateSubq(seed: Long): Generated = new Gen(seed).runSubq()
+
+  /** 3-table mixed-join chain/star plan — see [[Gen.runChain3]]. */
+  def generateChain3(seed: Long): Generated = new Gen(seed).runChain3()
 }

@@ -129,6 +129,41 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("100 correlated-subquery plans: DataFrame build equals spark.sql rendering") {
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateSubq(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+    // the SQL leg must exercise every subquery kind incl. both polarities
+    assert(Set("subq_in", "subq_notin", "subq_theta", "subq_ntheta", "subq_scalar")
+      .subsetOf(shapes.keySet), s"subq shape coverage hole: $shapes")
+  }
+
+  test("100 mixed-join 3-table chains: DataFrame build equals spark.sql rendering") {
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateChain3(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+    assert(shapes.keySet.exists(_.startsWith("chain3_path")) &&
+      shapes.keySet.exists(_.startsWith("chain3_star")), s"chain3 coverage hole: $shapes")
+  }
+
   test("frozen fz* queries build and their SQL renderings stay stable") {
     // the driver's correctness gate replays these against DuckDB; this
     // test pins that each frozen seed still builds, returns rows, and
