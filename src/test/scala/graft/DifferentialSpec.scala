@@ -176,4 +176,21 @@ class DifferentialSpec extends AnyFunSuite {
     assert(graft.fuzz.Differential.queries.keySet ==
       graft.fuzz.Differential.oracles.keySet)
   }
+
+  test("frozen fz* rows: SQL-text entry equals DataFrame-API build") {
+    // VERDICT r11 #7: Differential.queries now routes every frozen row
+    // through spark.sql(sparkSql) (parser+analyzer front door). This
+    // pins the other entry — the seeded DataFrame builder — to the
+    // exact same rows for each FROZEN seed specifically, so the
+    // cross-engine oracle result certifies both entry points at once.
+    val builders: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      graft.fuzz.Differential.frozenBuilders
+    for ((name, viaText) <- graft.fuzz.Differential.queries) {
+      val sqlRows = rows(viaText(spark, sf))
+      val apiRows = rows(builders(name)(spark, sf))
+      assert(sqlRows == apiRows,
+        s"$name: SQL-text entry diverged from DataFrame build " +
+          s"(sql=${sqlRows.size} rows, api=${apiRows.size} rows)")
+    }
+  }
 }
