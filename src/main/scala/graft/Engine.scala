@@ -124,8 +124,18 @@ object Engine {
     }
   }
 
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   /** Register every table as a temp view so `spark.sql` text queries
-    * resolve against the same data the DataFrame API reads. */
+    * resolve against the same data the DataFrame API reads.
+    *
+    * Idempotent per (session, dir): each `spark.read.parquet` costs a
+    * driver-side footer/schema read, so re-registering all 10 tables on
+    * every SQL-text query (the frozen `fz*` rows call this) would add
+    * ~1 s of pure catalog overhead per query. Re-registers only when
+    * the session switches to a different sf dir. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    tableNames.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    if (registeredDir.put(spark, dir) != dir)
+      tableNames.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
 }
