@@ -130,7 +130,14 @@ object Differential {
       }
       s += 1
     }
-    picked.toSeq
+    // The quota-picked NOT IN seed (10) draws a tautological inner
+    // predicate (x >= a OR x <= b with a < b), so every probe key is
+    // excluded and the row pins only the empty-result path — itself a
+    // real edge (NOT IN null/all-excluded semantics), so it stays. Seed
+    // 16 is the FIRST notin seed with survivors (3 groups at sf0.01 by
+    // DuckDB probe), added so NOT IN value semantics get hash-checked
+    // cross-engine too, not just cardinality-zero agreement.
+    picked.toSeq :+ 16L
   }
 
   private def qname(s: Long): String = s"fzq${s}_${PlanGen.generateSubq(s).shape}"
