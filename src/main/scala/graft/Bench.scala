@@ -89,11 +89,17 @@ object Bench {
     // record: it would truncate the LPT priors and the committed bench
     // history to the filtered subset. SPARK_GRAFT_BENCH_OUT redirects
     // the full map (e.g. BENCH_SF1.json for the sf1 scale rehearsal)
-    // so off-scale runs don't overwrite the sf0.1 record either.
-    if (only.isEmpty)
+    // so off-scale runs don't overwrite the sf0.1 record either — and
+    // an off-scale run WITHOUT the redirect must not silently clobber
+    // it (a dev sf0.001 run once overwrote the sf0.1 record in place,
+    // poisoning every per-query comparison made against the file).
+    val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    if (benchOut.isEmpty && !sfDir.endsWith("sf0.1"))
+      println(s"[bench] off-scale sfDir $sfDir without SPARK_GRAFT_BENCH_OUT — not writing BENCH_FULL.json")
+    else if (only.isEmpty)
       java.nio.file.Files.write(
         java.nio.file.Paths.get(
-          sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")),
+          benchOut.getOrElse("BENCH_FULL.json")),
         fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(head)},"n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()

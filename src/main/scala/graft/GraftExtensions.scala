@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.expressions.SimHash64Md5Expr].getName, "simhash64_md5"),
       (children: Seq[Expression]) => graft.expressions.SimHash64Md5Expr(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("md5_u64"),
+      new ExpressionInfo(classOf[graft.expressions.Md5U64Expr].getName, "md5_u64"),
+      (children: Seq[Expression]) => graft.expressions.Md5U64Expr(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("sortable_double_bits"),
       new ExpressionInfo(
         classOf[graft.expressions.SortableDoubleBitsExpr].getName, "sortable_double_bits"),

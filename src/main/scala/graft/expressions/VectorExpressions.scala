@@ -431,3 +431,31 @@ case class SimHash64Md5Expr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** md5_u64(str) — [[SimHash64Md5.hashToken]] exposed as a scalar: the
+  * first 8 MD5 digest bytes little-endian, bit-identical to DuckDB's
+  * `md5_number_upper(str)` (pinned in `SketchSpec`). The cross-engine-
+  * replayable hash primitive for bounded verdict tables that need a
+  * per-string hash the oracle can recompute (the production paths keep
+  * xxhash64); the Long carries the UBIGINT's bit pattern — unsigned
+  * ORDER (minhash selection) needs a sign-bit flip before comparison. */
+case class Md5U64Expr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "md5_u64"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64Md5.hashToken(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.SimHash64Md5.hashToken($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -323,7 +323,16 @@ object LlmPipeline {
     * makes it nonzero immediately. No oracle (LSH hash family is
     * engine-internal); the co-assignment spec is in `LlmOpsSpec`. */
   private def l38bSplitRollup(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = splitAssignments(spark, dir)
+    // Stage the assignment table ONCE: the verdict consumes it twice
+    // (leak check + volume rollup) and Spark recomputes the whole
+    // dedup pipeline (exact-rep window, LSH bands, Jaccard verify,
+    // min-label rounds) per consumer — the l13/l22 staging lesson. At
+    // scale a pipeline persists the split assignment anyway; the
+    // rollup reads the (doc_id, split, keep_id)-sized artifact, not
+    // the corpus twice.
+    val stagedPath = Engine.scratch(spark, dir, "l38b_assigned")
+    splitAssignments(spark, dir).write.mode("overwrite").parquet(stagedPath)
+    val assigned = spark.read.parquet(stagedPath)
     val leaky = assigned.groupBy("keep_id")
       .agg(count_distinct(col("split")).as("n_splits"))
       .filter(col("n_splits") > 1)

@@ -128,6 +128,50 @@ object LlmText {
         (col("cross_pairs") + col("intra_pairs")).as("n_candidate_pairs"))
   }
 
+  /** Declared l4b: the full MinHash+LSH mechanism — 16 minhashes over
+    * word 3-shingles, 8 bands × 2 rows, bucket-collision candidates —
+    * replayed over a bounded doc prefix with the MD5 hash kernel
+    * (`md5_u64` ≡ DuckDB `md5_number_upper`, pinned in `SketchSpec`) so
+    * the oracle recomputes the identical signatures in SQL and the
+    * candidate PAIRS hash-match cross-engine, each verified with its
+    * exact 3-shingle Jaccard (production l4 keeps xxhash64; this is
+    * the l13b/l37b bounded-verdict-table pattern for the minhash leg).
+    *
+    * Minhash selection is in UNSIGNED hash order on both engines:
+    * DuckDB mins a UBIGINT; here the sign bit is flipped before
+    * `array_min` and flipped back, and signatures render through
+    * `conv(hex(x),16,10)` — the unsigned decimal string DuckDB's
+    * VARCHAR cast produces — so band keys agree bit-for-bit. */
+  private def l4bMinhashVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val flip = lit(Long.MinValue)
+    val docs = Engine.t(spark, dir, "documents")
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), ngrams(toks, 3).as("sg"))
+      .filter(size(col("sg")) > 0)
+    val mhCols = (0 until 16).map { i =>
+      conv(hex(
+        array_min(transform(col("sg"), s =>
+          call_function("md5_u64", concat(lit(s"$i:"), s)).bitwiseXOR(flip)))
+          .bitwiseXOR(flip)), 16, 10).as(s"mh$i")
+    }
+    val sigs = docs.select(col("doc_id") +: col("sg") +: mhCols: _*)
+    val bands = sigs.select(col("doc_id"), col("sg"),
+      posexplode(array((0 until 8).map(b =>
+        concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
+        .as(Seq("band", "sig")))
+    val a = bands.select(col("band"), col("sig"), col("doc_id").as("a"), col("sg").as("sga"))
+    val b = bands.select(col("band"), col("sig"), col("doc_id").as("b"), col("sg").as("sgb"))
+    a.join(b, Seq("band", "sig")).filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(countDistinct(col("band")).as("n_bands"),
+        first(col("sga")).as("sga"), first(col("sgb")).as("sgb"))
+      .select(col("a"), col("b"), col("n_bands"),
+        round(
+          size(array_intersect(col("sga"), col("sgb"))).cast("double") /
+            size(array_union(col("sga"), col("sgb"))).cast("double"), 6).as("jac6"))
+      .orderBy("a", "b")
+  }
+
   /** L5: text stats rollup per (lang, source). */
   private def l5TextStats(spark: SparkSession, dir: String): DataFrame =
     Engine.t(spark, dir, "documents")
@@ -430,6 +474,7 @@ object LlmText {
     "l28_length_histogram" -> (l28LengthHistogram _),
     "l1_exact_dedup" -> (l1ExactDedup _),
     "l4_minhash_lsh" -> (l4MinhashLsh _),
+    "l4b_minhash_verdict" -> (l4bMinhashVerdict _),
     "l5_text_stats" -> (l5TextStats _),
     "l6_token_count" -> (l6TokenCount _),
     "l7_lang_id" -> (l7LangId _),
@@ -446,6 +491,38 @@ object LlmText {
     // the Charikar vote loop in SQL, then ALL prefix pairs at
     // Hamming ≤ 3 — independently certifying the banded-signature
     // arithmetic's completeness claim.
+    // Brute-force replay of l4b: identical 16-minhash / 8×2-band
+    // construction in SQL (md5_number_upper per "<i>:<shingle>" key,
+    // UBIGINT min per index, band sig = the two unsigned decimal
+    // strings joined), then candidate pairs from band-bucket equality
+    // and exact 3-shingle Jaccard per pair.
+    "l4b_minhash_verdict" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS tk
+        |  FROM documents WHERE doc_id < 300),
+        |sh AS (
+        |  SELECT doc_id, list_transform(range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS sg
+        |  FROM docs WHERE len(tk) >= 3),
+        |u AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+        |mh AS (
+        |  SELECT doc_id, r.range AS i,
+        |    min(md5_number_upper(CAST(r.range AS VARCHAR) || ':' || s)) AS m
+        |  FROM u, range(16) r GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, CAST(i // 2 AS INT) AS band,
+        |    string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS sig
+        |  FROM mh GROUP BY 1, 2),
+        |hits AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(DISTINCT x.band) AS n_bands
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT h.a, h.b, h.n_bands,
+        |  round(CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(sa.sg, sb.sg))) AS DOUBLE), 6) AS jac6
+        |FROM hits h JOIN sh sa ON sa.doc_id = h.a JOIN sh sb ON sb.doc_id = h.b
+        |ORDER BY a, b""".stripMargin,
     "l13b_simhash_verdict" ->
       """WITH docs AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), t -> t != '') AS toks

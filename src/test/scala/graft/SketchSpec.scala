@@ -186,4 +186,16 @@ class SketchSpec extends AnyFunSuite {
     val sig = spark.sql("SELECT simhash64_md5(CAST(array() AS ARRAY<STRING>)) AS s").head().getLong(0)
     assert(sig == 0L)
   }
+
+  test("md5_u64 scalar matches the kernel and renders DuckDB's unsigned decimal via conv(hex)") {
+    // the l4b verdict's band keys are conv(hex(md5_u64(x)),16,10) on
+    // the Spark side vs CAST(md5_number_upper(x) AS VARCHAR) in DuckDB
+    // — pin both the scalar and the unsigned rendering. 'abc' →
+    // md5_number_upper = 12704604231530709392 (> 2^63, so the Long
+    // carries a negative bit pattern and the rendering must not).
+    val row = spark.sql(
+      "SELECT md5_u64('abc') AS h, conv(hex(md5_u64('abc')), 16, 10) AS u").head()
+    assert(row.getLong(0) == java.lang.Long.parseUnsignedLong("12704604231530709392"))
+    assert(row.getString(1) == "12704604231530709392")
+  }
 }
