@@ -345,6 +345,53 @@ object LlmPipeline {
       .orderBy("split")
   }
 
+  /** Declared l38c: the l37→l38 COMPOSITION end-to-end over a bounded
+    * doc prefix with the MD5 hash family — exact-collapse (md5 text
+    * hash → min-doc rep), MinHash-LSH candidates over reps
+    * ([[LlmText.md5LshBands]], the l4b construction DuckDB replays via
+    * `md5_number_upper`), 3-shingle Jaccard ≥ 0.6 verify on candidates
+    * only, min-label component election, keeper + md5 split coin. The
+    * oracle replays EVERY stage independently (window rep-collapse,
+    * SQL minhash signatures, brute candidate join, recursive-CTE
+    * reachability for components — a different CC algorithm than the
+    * label-propagation fixpoint) and the 300-row per-doc assignment
+    * hash-matches row-by-row. This closes the gap l37b/l38 left: those
+    * certify the demo component graph; this certifies the PRODUCTION
+    * pipeline shape itself (LSH funnel feeding the election feeding
+    * the coin), with only the hash kernel swapped (xxhash64 → MD5) —
+    * the same single-substitution pattern as l13b/l4b. */
+  private def l38cSplitVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.t(spark, dir, "documents").filter(col("doc_id") < 300)
+    val w = Window.partitionBy("h")
+    val repMap = docs
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .withColumn("rep_id", min("doc_id").over(w))
+      .select("doc_id", "rep_id")
+    val reps = docs.join(
+      repMap.filter(col("doc_id") === col("rep_id")).select("doc_id"), "doc_id")
+    val withSg = reps.select(col("doc_id"), LlmText.ngrams(toks, 3).as("sg"))
+      .filter(size(col("sg")) > 0)
+    val bands = LlmText.md5LshBands(withSg)
+    val cand = bands.select(col("band"), col("sig"), col("doc_id").as("a"))
+      .join(bands.select(col("band"), col("sig"), col("doc_id").as("b")), Seq("band", "sig"))
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+    val grams = withSg.select(col("doc_id"), array_distinct(col("sg")).as("g"))
+    val inter = size(array_intersect(col("ga"), col("gb")))
+    val verified = cand
+      .join(grams.select(col("doc_id").as("a"), col("g").as("ga")), "a")
+      .join(grams.select(col("doc_id").as("b"), col("g").as("gb")), "b")
+      .filter((inter.cast("double") /
+        (size(col("ga")) + size(col("gb")) - inter).cast("double")) >= 0.6)
+      .select("a", "b")
+    val repLabels = minLabelComponents(spark, reps.select("doc_id"), verified)
+      .select(col("doc_id").as("rep_id"), col("label"))
+    docs.select("doc_id").join(repMap, "doc_id").join(repLabels, "rep_id")
+      .select(col("doc_id"), col("label").as("keep_id"),
+        (col("doc_id") === col("label")).as("is_keeper"),
+        splitCoin(col("label")).as("split"))
+      .orderBy("doc_id")
+  }
+
   /** L39: INTRA-document span dedup — C4's "remove repeated spans
     * inside a document" curation rule (distinct from l22's CROSS-doc
     * chunk dedup): the doc's token stream is cut into non-overlapping
@@ -705,6 +752,7 @@ object LlmPipeline {
     "l37b_verdict_table" -> (l37bVerdictTable _),
     "l38_train_val_split" -> (l38TrainValSplit _),
     "l38b_split_rollup" -> (l38bSplitRollup _),
+    "l38c_split_verdict" -> (l38cSplitVerdict _),
     "l39_intradoc_dedup" -> (l39IntradocDedup _),
     "l19_corpus_mix" -> (l19CorpusMix _),
     "l14_stratified_sample" -> (l14StratifiedSample _),
@@ -738,6 +786,51 @@ object LlmPipeline {
       |comp AS (SELECT node, min(lbl) AS keep_id FROM reach GROUP BY node)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // End-to-end replay of l38c: window rep-collapse, the l4b minhash
+    // signature SQL, brute-force band-collision candidates, distinct
+    // 3-shingle Jaccard ≥ 0.6 verify, recursive-reachability
+    // components (independent of the label-propagation fixpoint), then
+    // keeper + md5 coin per doc — 300 rows hash-matched.
+    "l38c_split_verdict" ->
+      """WITH RECURSIVE
+        |base AS (SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), t -> t != '') AS tk
+        |  FROM documents WHERE doc_id < 300),
+        |rep AS (SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+        |  FROM base),
+        |reps AS (SELECT doc_id FROM rep WHERE doc_id = rep_id),
+        |sh AS (SELECT b.doc_id, list_transform(range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS sg
+        |  FROM base b JOIN reps USING (doc_id) WHERE len(tk) >= 3),
+        |u AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+        |mh AS (SELECT doc_id, r.range AS i,
+        |    min(md5_number_upper(CAST(r.range AS VARCHAR) || ':' || s)) AS m
+        |  FROM u, range(16) r GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, CAST(i // 2 AS INT) AS band,
+        |    string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS sig
+        |  FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        |dg AS (SELECT doc_id, list_distinct(sg) AS g FROM sh),
+        |p AS (SELECT c.a, c.b
+        |  FROM cand c JOIN dg ga ON ga.doc_id = c.a JOIN dg gb ON gb.doc_id = c.b
+        |  WHERE CAST(len(list_filter(ga.g, x -> list_contains(gb.g, x))) AS DOUBLE)
+        |      / CAST(len(ga.g) + len(gb.g)
+        |             - len(list_filter(ga.g, x -> list_contains(gb.g, x))) AS DOUBLE) >= 0.6),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM reps
+        |  UNION
+        |  SELECT e.a, r.lbl FROM e JOIN reach r ON e.b = r.node),
+        |comp AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node)
+        |SELECT r.doc_id AS doc_id, c.lbl AS keep_id,
+        |  r.doc_id = c.lbl AS is_keeper,
+        |  CASE WHEN substring(md5(CAST(c.lbl AS VARCHAR)), 1, 2) < 'e6'
+        |       THEN 'train' ELSE 'val' END AS split
+        |FROM rep r JOIN comp c ON c.node = r.rep_id
+        |ORDER BY doc_id""".stripMargin,
     "l36_dataset_diff" ->
       """WITH v1 AS (SELECT doc_id, source, md5(text) AS h1
         |  FROM documents WHERE doc_id % 10 != 0),

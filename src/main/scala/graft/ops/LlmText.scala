@@ -142,12 +142,13 @@ object LlmText {
     * `array_min` and flipped back, and signatures render through
     * `conv(hex(x),16,10)` — the unsigned decimal string DuckDB's
     * VARCHAR cast produces — so band keys agree bit-for-bit. */
-  private def l4bMinhashVerdict(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, sg) → (doc_id, sg, band, sig): the MD5-kernel
+    * 16-minhash / 8-band × 2-row signature construction shared by l4b
+    * and l38c (both oracle-replayable — DuckDB recomputes the same
+    * signatures via `md5_number_upper`). See [[l4bMinhashVerdict]] for
+    * the unsigned-order sign-flip rationale. */
+  private[ops] def md5LshBands(docs: DataFrame): DataFrame = {
     val flip = lit(Long.MinValue)
-    val docs = Engine.t(spark, dir, "documents")
-      .filter(col("doc_id") < 300)
-      .select(col("doc_id"), ngrams(toks, 3).as("sg"))
-      .filter(size(col("sg")) > 0)
     val mhCols = (0 until 16).map { i =>
       conv(hex(
         array_min(transform(col("sg"), s =>
@@ -155,10 +156,18 @@ object LlmText {
           .bitwiseXOR(flip)), 16, 10).as(s"mh$i")
     }
     val sigs = docs.select(col("doc_id") +: col("sg") +: mhCols: _*)
-    val bands = sigs.select(col("doc_id"), col("sg"),
+    sigs.select(col("doc_id"), col("sg"),
       posexplode(array((0 until 8).map(b =>
         concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*))
         .as(Seq("band", "sig")))
+  }
+
+  private def l4bMinhashVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val bands = md5LshBands(
+      Engine.t(spark, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), ngrams(toks, 3).as("sg"))
+        .filter(size(col("sg")) > 0))
     val a = bands.select(col("band"), col("sig"), col("doc_id").as("a"), col("sg").as("sga"))
     val b = bands.select(col("band"), col("sig"), col("doc_id").as("b"), col("sg").as("sgb"))
     a.join(b, Seq("band", "sig")).filter(col("a") < col("b"))

@@ -251,8 +251,42 @@ object Multimodal {
         .otherwise(coalesce(col("cross_min_hd"), lit(-1))).cast("int").as("min_hamming"))
   }
 
+  /** Declared mm5b: the SAME rep-collapse + 4×16-bit band funnel as
+    * mm5, over a bounded asset prefix, emitting the PAIR-LEVEL verdict
+    * (rep a, rep b, copy product m, exact Hamming hd) instead of the
+    * rollup. The stub aHash is pure byte arithmetic over the UTF-8
+    * payload, so DuckDB recomputes it independently (ord(substr) ≡
+    * byte for this ASCII corpus; v > mean ⟺ 64·v > Σv exactly in
+    * integers) and brute-forces ALL rep pairs with band-collision as a
+    * WHERE clause — cross-engine certifying the decode plumbing, the
+    * hash kernel, and the LSH candidate funnel that production mm5
+    * rides on (VERDICT r11 #2 pattern, sibling of l13b/l4b). */
+  private def mm5bPhashVerdict(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = mediaTable(spark, dir)
+      .filter(col("doc_id") < 300)
+      .as[MediaRow]
+      .mapPartitions(rows => rows.map(fakePHash))
+      .toDF()
+      .groupBy("ph")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("n"))
+    val banded = g.select(col("rep"), col("ph"), col("n"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("ph"), b * 16).bitwiseAND(lit(0xffffL))): _*)).as(Seq("band", "sig")))
+    val a = banded.select(col("band"), col("sig"),
+      col("rep").as("a"), col("ph").as("pa"), col("n").as("na"))
+    val b = banded.select(col("band"), col("sig"),
+      col("rep").as("b"), col("ph").as("pb"), col("n").as("nb"))
+    a.join(b, Seq("band", "sig")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), (col("na") * col("nb")).as("m"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int").as("hd"))
+      .distinct()
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, Q] = Map(
     "mm5_phash_neardup" -> (mm5PhashNeardup _),
+    "mm5b_phash_verdict" -> (mm5bPhashVerdict _),
     "mm4_modality_route" -> (mm4ModalityRoute _),
     "mm1_media_features" -> (mm1Features _),
     "mm2_resize" -> (mm2Resize _),
@@ -263,6 +297,35 @@ object Multimodal {
     * pipeline (payload → partition decode → features) against an
     * independent computation. */
   val oracles: Map[String, String] = Map(
+    // Brute-force replay of mm5b: recompute the 64-sample aHash from
+    // the text bytes (ASCII ⇒ ord(substr) ≡ payload byte; strict
+    // v > mean done exactly as 64·v > Σv), group identical hashes to
+    // reps, then ALL rep pairs with ≥1 equal 16-bit band — no LSH
+    // shortcut, independently proving the funnel's candidate set.
+    "mm5b_phash_verdict" ->
+      """WITH m AS (SELECT doc_id, text, strlen(text) AS n
+        |  FROM documents WHERE doc_id < 300),
+        |samp AS (
+        |  SELECT doc_id, r.range AS i,
+        |    CASE WHEN n = 0 THEN 0
+        |         ELSE ord(substr(text, CAST((r.range * n) // 64 AS INT) + 1, 1)) END AS v
+        |  FROM m, range(64) r),
+        |sums AS (SELECT doc_id, sum(v) AS sv FROM samp GROUP BY doc_id),
+        |ph AS (
+        |  SELECT samp.doc_id,
+        |    bit_or(CASE WHEN samp.v * 64 > sums.sv
+        |           THEN (1::UBIGINT << CAST(samp.i AS INT)) ELSE 0::UBIGINT END) AS h
+        |  FROM samp JOIN sums USING (doc_id) GROUP BY 1),
+        |grp AS (SELECT h, min(doc_id) AS rep, count(*) AS n FROM ph GROUP BY h),
+        |pairs AS (
+        |  SELECT x.rep AS a, y.rep AS b, CAST(x.n * y.n AS BIGINT) AS m,
+        |    CAST(bit_count(xor(x.h, y.h)) AS INT) AS hd
+        |  FROM grp x JOIN grp y ON x.rep < y.rep
+        |  WHERE ((x.h >> 0)  & 65535::UBIGINT) = ((y.h >> 0)  & 65535::UBIGINT)
+        |     OR ((x.h >> 16) & 65535::UBIGINT) = ((y.h >> 16) & 65535::UBIGINT)
+        |     OR ((x.h >> 32) & 65535::UBIGINT) = ((y.h >> 32) & 65535::UBIGINT)
+        |     OR ((x.h >> 48) & 65535::UBIGINT) = ((y.h >> 48) & 65535::UBIGINT))
+        |SELECT a, b, m, hd FROM pairs ORDER BY a, b""".stripMargin,
     "mm4_modality_route" ->
       """SELECT CASE CAST(doc_id % 3 AS INT)
         |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
