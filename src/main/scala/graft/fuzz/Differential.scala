@@ -97,6 +97,34 @@ object Differential {
 
   private def wname(s: Long): String = s"fzw${s}_${PlanGen.generateFrame(s).shape}"
 
+  /** Frozen RANGE-frame seeds: first seeds covering each of the four
+    * value-based frame functions (rsum/rmin/rmax/rcnt) — the
+    * peer-inclusion semantics ROWS frames never touch. */
+  private val rframeQuota = Map(
+    "rframe_rsum" -> 1, "rframe_rmin" -> 1, "rframe_rmax" -> 1, "rframe_rcnt" -> 1)
+
+  val frozenRangeFrameSeeds: Seq[Long] = {
+    val have = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var s = 1L
+    while (picked.size < rframeQuota.values.sum && s < 10000L) {
+      val shape = PlanGen.generateRangeFrame(s).shape
+      if (have(shape) < rframeQuota.getOrElse(shape, 0)) {
+        have(shape) += 1
+        picked += s
+      }
+      s += 1
+    }
+    // The quota-picked rcnt seed (5) draws a contradictory filter
+    // (segment = 'MACHINERY' AND = 'HOUSEHOLD') — the empty-result
+    // path, kept per the fzq precedent. Seed 6 is the first rcnt seed
+    // with survivors, so peer-counting semantics get value-checked
+    // cross-engine too.
+    picked.toSeq :+ 6L
+  }
+
+  private def rfname(s: Long): String = s"fzv${s}_${PlanGen.generateRangeFrame(s).shape}"
+
   /** Frozen extended-aggregate seeds. */
   val frozenAggFnSeeds: Seq[Long] = Seq(1L, 2L, 3L)
 
@@ -184,6 +212,7 @@ object Differential {
       frozenJoinSeeds.map(s => jname(s) -> viaSql(PlanGen.generateJoin(s))).toMap ++
       frozenScalarSeeds.map(s => sname(s) -> viaSql(PlanGen.generateScalar(s))).toMap ++
       frozenFrameSeeds.map(s => wname(s) -> viaSql(PlanGen.generateFrame(s))).toMap ++
+      frozenRangeFrameSeeds.map(s => rfname(s) -> viaSql(PlanGen.generateRangeFrame(s))).toMap ++
       frozenAggFnSeeds.map(s => aname(s) -> viaSql(PlanGen.generateAggFns(s))).toMap ++
       frozenRollupSeeds.map(s => gname(s) -> viaSql(PlanGen.generateRollup(s))).toMap ++
       frozenSubqSeeds.map(s => qname(s) -> viaSql(PlanGen.generateSubq(s))).toMap ++
@@ -198,6 +227,7 @@ object Differential {
       frozenJoinSeeds.map(s => jname(s) -> PlanGen.generateJoin(s).build).toMap ++
       frozenScalarSeeds.map(s => sname(s) -> PlanGen.generateScalar(s).build).toMap ++
       frozenFrameSeeds.map(s => wname(s) -> PlanGen.generateFrame(s).build).toMap ++
+      frozenRangeFrameSeeds.map(s => rfname(s) -> PlanGen.generateRangeFrame(s).build).toMap ++
       frozenAggFnSeeds.map(s => aname(s) -> PlanGen.generateAggFns(s).build).toMap ++
       frozenRollupSeeds.map(s => gname(s) -> PlanGen.generateRollup(s).build).toMap ++
       frozenSubqSeeds.map(s => qname(s) -> PlanGen.generateSubq(s).build).toMap ++
@@ -209,6 +239,7 @@ object Differential {
       frozenJoinSeeds.map(s => jname(s) -> PlanGen.generateJoin(s).duckSql).toMap ++
       frozenScalarSeeds.map(s => sname(s) -> PlanGen.generateScalar(s).duckSql).toMap ++
       frozenFrameSeeds.map(s => wname(s) -> PlanGen.generateFrame(s).duckSql).toMap ++
+      frozenRangeFrameSeeds.map(s => rfname(s) -> PlanGen.generateRangeFrame(s).duckSql).toMap ++
       frozenAggFnSeeds.map(s => aname(s) -> PlanGen.generateAggFns(s).duckSql).toMap ++
       frozenRollupSeeds.map(s => gname(s) -> PlanGen.generateRollup(s).duckSql).toMap ++
       frozenSubqSeeds.map(s => qname(s) -> PlanGen.generateSubq(s).duckSql).toMap ++

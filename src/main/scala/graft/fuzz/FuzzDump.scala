@@ -13,13 +13,13 @@ import graft.Engine
   * against DuckDB with no extra compare code.
   *
   * Usage: runMain graft.fuzz.FuzzDump <sfDir> <outDir> <kind> <from> <to>
-  * where kind ∈ base|join|scalar|composite|frame|aggfns|rollup|subq|chain3.
+  * where kind ∈ base|join|scalar|composite|frame|rframe|aggfns|rollup|subq|chain3.
   */
 object FuzzDump {
   def main(args: Array[String]): Unit = {
     if (args.length < 5) {
       System.err.println(
-        "usage: FuzzDump <sfDir> <outDir> <base|join|scalar|composite|frame|aggfns|rollup|subq|chain3> <fromSeed> <toSeed>")
+        "usage: FuzzDump <sfDir> <outDir> <base|join|scalar|composite|frame|rframe|aggfns|rollup|subq|chain3> <fromSeed> <toSeed>")
       sys.exit(2)
     }
     val Array(sfDir, outDir, kind, fromS, toS) = args.take(5)
@@ -29,6 +29,7 @@ object FuzzDump {
       case "scalar"    => PlanGen.generateScalar
       case "composite" => PlanGen.generateComposite
       case "frame"     => PlanGen.generateFrame
+      case "rframe"    => PlanGen.generateRangeFrame
       case "aggfns"    => PlanGen.generateAggFns
       case "rollup"    => PlanGen.generateRollup
       case "subq"      => PlanGen.generateSubq

@@ -543,6 +543,56 @@ object PlanGen {
       Generated(seed, s"frame_$fnName", build, sql(false), sql(true))
     }
 
+    /** RANGE-frame windows — VALUE-based frames over an integer ORDER
+      * BY key: peers (order-key ties) enter the frame together, so the
+      * window value is a pure function of (partition, order value) and
+      * the plan is deterministic even where the key repeats — the
+      * semantic branch ROWS frames never exercise (offset resolution
+      * against the order expression's type + peer-row inclusion, a
+      * classic cross-engine divergence spot). sum stays in DECIMAL:
+      * value-based frames fix the SET of summed rows, not float
+      * summation order. */
+    def runRangeFrame(): Generated = {
+      val t = pick(singles.filter(_.cats.nonEmpty))
+      val p = filterFor(t)
+      val partCol = pick(t.cats.keys.toSeq.sorted)
+      val o = pick(t.ints)
+      val v = pick(t.nums)
+      val k = pick(Seq(1, 2, 5, 10, 100, 1000, 10000))
+      val follow = maybe(0.3)
+      val w0 = Window.partitionBy(partCol).orderBy(col(o).asc)
+      val w = if (follow) w0.rangeBetween(0, k) else w0.rangeBetween(-k, 0)
+      val frameSql =
+        if (follow) s"RANGE BETWEEN CURRENT ROW AND $k FOLLOWING"
+        else s"RANGE BETWEEN $k PRECEDING AND CURRENT ROW"
+      val over = s"OVER (PARTITION BY $partCol ORDER BY $o $frameSql)"
+      val (fnName, sparkFn, duckFn, dfc) = rnd.nextInt(4) match {
+        case 0 =>
+          val s = s"CAST(sum(CAST($v AS DECIMAL(18,2))) $over AS DOUBLE)"
+          val d = s"CAST(CAST(sum(CAST($v AS DECIMAL(18,2))) $over AS VARCHAR) AS DOUBLE)"
+          ("rsum", s, d, sum(col(v).cast("decimal(18,2)")).over(w).cast("double"))
+        case 1 =>
+          val s = s"min($v) $over"
+          ("rmin", s, s, min(col(v)).over(w))
+        case 2 =>
+          val s = s"max($v) $over"
+          ("rmax", s, s, max(col(v)).over(w))
+        case 3 =>
+          val s = s"count(*) $over"
+          ("rcnt", s, s, count(lit(1)).over(w))
+      }
+      val outCols = (t.unique ++ Seq(partCol, o, v)).distinct
+      val ordAll = outCols :+ "wv"
+      def sql(duck: Boolean) =
+        s"SELECT ${outCols.mkString(", ")}, ${if (duck) duckFn else sparkFn} AS wv " +
+          s"FROM ${t.name} WHERE ${p.sql} ORDER BY ${ordAll.mkString(", ")}"
+      val build = (s: SparkSession, dir: String) =>
+        Engine.t(s, dir, t.name).filter(p.cond)
+          .select(outCols.map(col) :+ dfc.as("wv"): _*)
+          .orderBy(ordAll.map(col): _*)
+      Generated(seed, s"rframe_$fnName", build, sql(false), sql(true))
+    }
+
     // ---- scalar-expression surface ----------------------------------
 
     /** A typed scalar expression rendered three ways. `sql` must parse
@@ -954,6 +1004,9 @@ object PlanGen {
 
   /** ROWS-frame running-agg / lag / lead plan — see [[Gen.runFrame]]. */
   def generateFrame(seed: Long): Generated = new Gen(seed).runFrame()
+
+  /** RANGE-frame (value-based) window plan — see [[Gen.runRangeFrame]]. */
+  def generateRangeFrame(seed: Long): Generated = new Gen(seed).runRangeFrame()
 
   /** Extended aggregate-function plan — see [[Gen.runAggFns]]. */
   def generateAggFns(seed: Long): Generated = new Gen(seed).runAggFns()

@@ -103,6 +103,24 @@ class DifferentialSpec extends AnyFunSuite {
       .subsetOf(shapes.keySet), s"frame shape coverage hole: $shapes")
   }
 
+  test("100 RANGE-frame window plans: DataFrame build equals spark.sql rendering") {
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateRangeFrame(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+    // all four value-based frame functions must occur in the sweep
+    assert(Set("rframe_rsum", "rframe_rmin", "rframe_rmax", "rframe_rcnt")
+      .subsetOf(shapes.keySet), s"rframe shape coverage hole: $shapes")
+  }
+
   test("100 extended-aggregate plans: DataFrame build equals spark.sql rendering") {
     Engine.registerAll(spark, sf)
     for (seed <- 1L to 100L) {
