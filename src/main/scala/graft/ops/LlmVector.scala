@@ -279,6 +279,136 @@ object LlmVector {
       .orderBy("q_id", "rank")
   }
 
+  /** Integer-quantized embedding (round(x·1000) as long): every
+    * downstream sum/dot over these is EXACT integer (or a sequential
+    * double fold over exact integer inputs), killing the FP-order
+    * nondeterminism that kept l12/l24 no-oracle — the production ops
+    * reduce float means across partitions in nondeterministic merge
+    * order, which no cross-engine oracle can hash-match. Shared by the
+    * l12b/l24b bounded verdict tables (l37b pattern). */
+  private def quant(v: Column): Column =
+    transform(v, x => round(x.cast("double") * 1000).cast("long"))
+
+  /** Sequential double fold over exact-integer inputs — bit-identical
+    * to DuckDB's indexed `list_sum(list_transform(...))` (same oracle
+    * idiom the l2/l3 cosine rows already hash-match through). */
+  private def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, p) => acc + p)
+  private def cosQ(a: Column, b: Column): Column =
+    dotQ(a, b) / (sqrt(dotQ(a, a)) * sqrt(dotQ(b, b)))
+
+  /** Element-wise long-vector SUM aggregate (VecMean's exact-integer
+    * sibling): addition of longs is associative, so the result is
+    * independent of partition merge order — the property the verdict
+    * tables rest on. */
+  case class VecSumLBuf(sum: Array[Long])
+
+  class VecSumLong extends Aggregator[Array[Long], VecSumLBuf, Array[Long]] {
+    override def zero: VecSumLBuf = VecSumLBuf(Array.emptyLongArray)
+    private def add(acc: Array[Long], v: Array[Long]): Array[Long] =
+      if (v == null) acc
+      else if (acc.isEmpty) v.clone()
+      else { var i = 0; while (i < acc.length) { acc(i) += v(i); i += 1 }; acc }
+    override def reduce(b: VecSumLBuf, a: Array[Long]): VecSumLBuf = VecSumLBuf(add(b.sum, a))
+    override def merge(x: VecSumLBuf, y: VecSumLBuf): VecSumLBuf =
+      if (x.sum.isEmpty) y else VecSumLBuf(add(x.sum, y.sum))
+    override def finish(b: VecSumLBuf): Array[Long] = b.sum
+    override def bufferEncoder: Encoder[VecSumLBuf] = Encoders.product[VecSumLBuf]
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Declared l12b: the full IVF mechanism — per-cluster centroid
+    * build, 2-probe coarse quantization, exact top-3 within probed
+    * buckets — replayed over integer-quantized vectors so DuckDB
+    * recomputes identical centroids and rankings in SQL. Cosine is
+    * scale-invariant, so the probe ranks against the exact per-label
+    * SUM vector (associative long addition) instead of the mean —
+    * that one substitution is what makes the whole chain
+    * cross-engine-deterministic. Production l12 keeps float means. */
+  private def l12bIvfVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val v = corpus(spark, dir)
+      .select(col("vec_id"), col("label"), quant(col("embedding")).as("qv"))
+    val vecSumL = udaf(new VecSumLong)
+    val cents = v.groupBy(col("label"))
+      .agg(vecSumL(col("qv")).as("csum"))
+      .select(col("label").as("c_label"), col("csum"))
+    val q = v.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("qv").as("qq"))
+    val probeW = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_label").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("c_cos", cosQ(col("qq"), col("csum")))
+      .withColumn("c_rank", row_number().over(probeW))
+      .filter(col("c_rank") <= 2)
+      .select(col("q_id"), col("qq"), col("c_label"))
+    val w = Window.partitionBy("q_id").orderBy(col("cs").desc, col("vec_id").asc)
+    v.join(broadcast(probes), v("label") === probes("c_label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_label").as("bucket"), col("vec_id"),
+        cosQ(col("qv"), col("qq")).as("cs"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("bucket"), col("vec_id"),
+        round(col("cs"), 6).as("cos6"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** MD5-parity hyperplane sign matrix (6 planes × 64 dims): sign(j,d)
+    * is +1 iff the first hex char of md5("hp:j:d") is even. Derived
+    * driver-side once (KB-bounded constant, broadcast as a literal);
+    * the DuckDB oracle re-derives it independently with its own md5,
+    * so a disagreement anywhere in the derivation fails the hash. */
+  private lazy val md5Signs: Seq[Seq[Long]] =
+    (0 until LSH_BITS).map { j =>
+      (0 until LSH_DIM).map { d =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"hp:$j:$d".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xF) % 2 == 0) 1L else -1L
+      }
+    }
+
+  /** Bucket of an integer-quantized vector under the MD5-parity
+    * hyperplanes: projections are exact long sums, so the sign bits —
+    * and hence the bucket — are cross-engine-deterministic. */
+  private def md5Bucket(qv: Column): Column = {
+    val signs = typedLit(md5Signs)
+    val bits = transform(sequence(lit(0), lit(LSH_BITS - 1)), j => {
+      val proj = aggregate(sequence(lit(0), lit(LSH_DIM - 1)), lit(0L),
+        (acc, d) => acc + element_at(qv, d + 1) * element_at(element_at(signs, j + 1), d + 1))
+      when(proj >= 0, pow(lit(2.0), j.cast("double")).cast("int")).otherwise(lit(0))
+    })
+    aggregate(bits, lit(0), (acc, b) => acc + b)
+  }
+
+  /** Declared l24b: the full hyperplane-LSH mechanism — sign-bit
+    * bucketing, Hamming-1 multiprobe, exact top-3 within probed
+    * buckets — with the MD5-parity sign matrix standing in for
+    * production l24's xxhash64 signs (the l4b/l13b kernel-swap
+    * pattern) over integer-quantized vectors, so DuckDB replays
+    * bucket assignment, the 7-bucket probe set, and the final ranking
+    * bit-for-bit. */
+  private def l24bHyperVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val v = corpus(spark, dir)
+      .select(col("vec_id"), quant(col("embedding")).as("qv"))
+      .withColumn("bucket", md5Bucket(col("qv")))
+    val q = v.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("qv").as("qq"), col("bucket").as("q_bucket"))
+    val masks = array((0 until LSH_BITS).map(b => lit(1 << b)): _*)
+    val probes = q.withColumn("p_bucket",
+      explode(concat(array(col("q_bucket")),
+        transform(masks, m => col("q_bucket").bitwiseXOR(m)))))
+    val w = Window.partitionBy("q_id").orderBy(col("cs").desc, col("vec_id").asc)
+    v.join(broadcast(probes), col("bucket") === col("p_bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_bucket"), col("vec_id"),
+        cosQ(col("qv"), col("qq")).as("cs"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("q_bucket"), col("rank"), col("vec_id"),
+        round(col("cs"), 6).as("cos6"))
+      .orderBy("q_id", "rank")
+  }
+
   /** L25: retrieval — the full RAG-fetch shape: top-k neighbor search
     * (L3's exact kNN) joined back to the document store for payloads.
     * The hit set is k×queries rows (tiny), so it is the BROADCAST side
@@ -467,7 +597,9 @@ object LlmVector {
     "l11_embedding_neardup" -> (l11NearDup _),
     "l11b_neardup_rollup" -> (l11bNeardupRollup _),
     "l12_ann_ivf" -> (l12AnnIvf _),
+    "l12b_ivf_verdict" -> (l12bIvfVerdict _),
     "l24_ann_hyperplane" -> (l24AnnHyperplane _),
+    "l24b_hyper_verdict" -> (l24bHyperVerdict _),
     "l25_retrieval" -> (l25Retrieval _))
 
   /** Manual double-accumulation distance SQL shared by the oracles
@@ -522,8 +654,65 @@ object LlmVector {
     sb.toString
   }
 
+  /** Integer quantization + bigint-list dot, the DuckDB side of
+    * [[quant]]/[[dotQ]]: exact integer entries feed the same
+    * sequential double fold as [[dotSql]]. */
+  private val quantSql =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+  private def cosQSql(a: String, b: String): String = cosSql(a, b)
+
   val oracles: Map[String, String] = Map(
     "l40b_kmeans_verdict" -> kmeansVerdictOracleSql(4, 3, 200),
+    // Brute-force replay of l12b: exact per-label SUM centroids
+    // (associative bigint addition — the whole reason the verdict
+    // quantizes), 2-probe coarse ranking, exact top-3 in the probed
+    // buckets. Cosine vs the sum vector == cosine vs the mean
+    // (scale invariance).
+    "l12b_ivf_verdict" ->
+      s"""WITH v AS (SELECT vec_id, label, $quantSql AS qv FROM embeddings),
+         |flat AS (SELECT label, unnest(qv) AS val, unnest(range(1, len(qv) + 1)) AS i FROM v),
+         |cent AS (SELECT label, list(s ORDER BY i) AS csum FROM
+         |    (SELECT label, i, sum(val) AS s FROM flat GROUP BY label, i) GROUP BY label),
+         |q AS (SELECT vec_id AS q_id, qv AS qq FROM v WHERE vec_id < 3),
+         |probe AS (SELECT q_id, label, qq FROM (
+         |    SELECT q.q_id, c.label, q.qq,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${cosQSql("q.qq", "c.csum")} DESC, c.label ASC) AS rk
+         |    FROM q CROSS JOIN cent c) WHERE rk <= 2)
+         |SELECT q_id, CAST(rank AS INT) AS rank, bucket, vec_id, cos6 FROM (
+         |  SELECT p.q_id, v.label AS bucket, v.vec_id,
+         |    round(${cosQSql("v.qv", "p.qq")}, 6) + 0.0 AS cos6,
+         |    row_number() OVER (PARTITION BY p.q_id
+         |      ORDER BY ${cosQSql("v.qv", "p.qq")} DESC, v.vec_id ASC) AS rank
+         |  FROM v JOIN probe p ON v.label = p.label WHERE v.vec_id != p.q_id)
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    // Brute-force replay of l24b: DuckDB independently derives the
+    // MD5-parity sign matrix, the exact-integer projections/buckets,
+    // the Hamming-1 multiprobe set, and the final ranking.
+    "l24b_hyper_verdict" ->
+      s"""WITH v AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
+         |flat AS (SELECT vec_id, unnest(qv) AS val, unnest(range(0, len(qv))) AS d FROM v),
+         |signs AS (SELECT j, d,
+         |    CASE WHEN substr(md5('hp:' || CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)
+         |      IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS s
+         |  FROM range(6) t(j) CROSS JOIN range(64) u(d)),
+         |proj AS (SELECT f.vec_id, s.j, sum(f.val * s.s) AS p
+         |  FROM flat f JOIN signs s ON f.d = s.d GROUP BY 1, 2),
+         |bkt AS (SELECT vec_id,
+         |    CAST(sum(CASE WHEN p >= 0 THEN 1 << j ELSE 0 END) AS INT) AS bucket
+         |  FROM proj GROUP BY 1),
+         |vb AS (SELECT v.vec_id, v.qv, b.bucket FROM v JOIN bkt b USING (vec_id)),
+         |q AS (SELECT vec_id AS q_id, qv AS qq, bucket AS q_bucket FROM vb WHERE vec_id < 3),
+         |probes AS (SELECT q_id, qq, q_bucket, unnest(list_concat([q_bucket],
+         |    list_transform(range(0, 6), b -> CAST(xor(q_bucket, 1 << b) AS INT)))) AS p_bucket
+         |  FROM q)
+         |SELECT q_id, q_bucket, CAST(rank AS INT) AS rank, vec_id, cos6 FROM (
+         |  SELECT p.q_id, p.q_bucket, v.vec_id,
+         |    round(${cosQSql("v.qv", "p.qq")}, 6) + 0.0 AS cos6,
+         |    row_number() OVER (PARTITION BY p.q_id
+         |      ORDER BY ${cosQSql("v.qv", "p.qq")} DESC, v.vec_id ASC) AS rank
+         |  FROM vb v JOIN probes p ON v.bucket = p.p_bucket WHERE v.vec_id != p.q_id)
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "l30_semantic_decontaminate" ->
       s"""WITH cs AS (SELECT c.vec_id, c.label,
          |    ${cosSql("c.embedding", "e.embedding")} AS cs
