@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{CH, Engine}
@@ -497,6 +497,85 @@ object Aggregates {
       .toDF("event_type", "est_count", "exact_count")
   }
 
+  /** Declared i6b: the CountMin mechanism itself — d=4 hash rows ×
+    * w=256 buckets, cell counts, min-over-rows estimates — expressed
+    * relationally with the MD5 hash kernel (`md5_u64` ≡ DuckDB
+    * `md5_number_upper`) so the oracle recomputes the identical grid
+    * and estimates in SQL (production i6 keeps Spark's built-in
+    * `count_min_sketch`; this is the l4b kernel-swap pattern for the
+    * frequency-sketch leg). w is a power of two so signed-long pmod
+    * and unsigned-UBIGINT mod agree on the low bits. Every quantity
+    * is integer — no FP anywhere. Scale shape: the explode is a 4×
+    * narrow map, the grid aggregate carries ≤ d·w = 1024 cells. The
+    * CMS overcount invariant (est ≥ exact, never under) is emitted as
+    * a column the oracle checks implicitly via the hash match. */
+  private def i6bCountMinVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Engine.events(spark, dir)
+    def bucket(j: Column, t: Column): Column =
+      pmod(call_function("md5_u64",
+        concat(lit("cm"), j.cast("string"), lit(":"), t)), lit(256L))
+    val cells = ev.select(col("event_type"), explode(sequence(lit(0), lit(3))).as("j"))
+      .withColumn("b", bucket(col("j"), col("event_type")))
+      .groupBy("j", "b").agg(count(lit(1)).as("c"))
+    val keys = ev.groupBy("event_type").agg(count(lit(1)).as("exact_count"))
+    keys.select(col("event_type"), col("exact_count"),
+        explode(sequence(lit(0), lit(3))).as("j"))
+      .withColumn("b", bucket(col("j"), col("event_type")))
+      .join(cells, Seq("j", "b"))
+      .groupBy("event_type", "exact_count").agg(min(col("c")).as("est_count"))
+      .select(col("event_type"), col("est_count"), col("exact_count"),
+        (col("est_count") - col("exact_count")).as("overcount"))
+      .orderBy("event_type")
+  }
+
+  /** Declared i1b: the HLL mechanism itself — m=256 registers indexed
+    * by the low 8 hash bits, register = max(57 − bitlen(upper 56
+    * bits)), harmonic estimator with the standard small-range
+    * linear-counting correction — with the MD5 kernel standing in for
+    * the production HLL++'s internal hash, so DuckDB re-derives every
+    * register and both estimator branches. Determinism: register
+    * values are exact-integer (bitlen via 2^p threshold comparisons,
+    * never log/shift-by-column); Z folds exact powers of two in
+    * register-index order on both engines (the proven list_sum
+    * idiom), so the only libm call is the ln in the linear-counting
+    * branch, rounded to 2 dp. At sf0.01 (150 users) the correction
+    * branch fires; at sf0.1 (1500) the raw harmonic branch does —
+    * the oracle certifies both regimes. */
+  private def i1bHllVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Engine.events(spark, dir).filter(col("user_id").isNotNull)
+    val h = ev.select(call_function("md5_u64",
+      concat(lit("hll:"), col("user_id").cast("string"))).as("hv"))
+    val parts = h.select(
+      pmod(col("hv"), lit(256L)).as("idx"),
+      shiftrightunsigned(col("hv"), 8).as("w"))
+    val bitlen = aggregate(sequence(lit(0), lit(55)), lit(0),
+      (acc, p) => acc +
+        when(col("w") >= pow(lit(2.0), p.cast("double")).cast("long"), 1).otherwise(0))
+    val regs = parts.withColumn("rho", lit(57) - bitlen)
+      .groupBy("idx").agg(max(col("rho")).as("r"))
+    val all = spark.range(256).select(col("id").as("idx"))
+      .join(regs, Seq("idx"), "left").na.fill(0L, Seq("r"))
+    val zRow = all.agg(
+      sort_array(collect_list(struct(col("idx"), col("r")))).as("a"),
+      CH.countIf(col("r") === 0).as("v_zeros"))
+      .select(
+        aggregate(transform(col("a"), s => pow(lit(2.0), -s.getField("r").cast("double"))),
+          lit(0.0), (acc, x) => acc + x).as("z"),
+        col("v_zeros"))
+    val exact = ev.agg(count_distinct(col("user_id")).as("exact_users"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+    val estRaw = alpha * lit(65536.0) / col("z")
+    zRow.crossJoin(exact)
+      .select(
+        col("v_zeros"), round(col("z"), 6).as("z6"),
+        round(estRaw, 4).as("est_raw"),
+        round(
+          when(estRaw <= 640.0 && col("v_zeros") > 0,
+            lit(256.0) * log(lit(256.0) / col("v_zeros").cast("double")))
+            .otherwise(estRaw), 2).as("est"),
+        col("exact_users"))
+  }
+
   /** D18: `quantileExactWeighted` — weighted quantiles (median, p90)
     * of l_quantity weighted by l_linenumber. Values pre-aggregate to
     * (group, value, Σweight) — the cumulative-rank window then runs
@@ -873,6 +952,8 @@ object Aggregates {
     "d21_sum_foreach" -> (d21SumForEach _),
     "d18_weighted_quantile" -> (d18WeightedQuantile _),
     "i6_countmin" -> (i6CountMin _),
+    "i6b_countmin_verdict" -> (i6bCountMinVerdict _),
+    "i1b_hll_verdict" -> (i1bHllVerdict _),
     "i8_theta_overlap" -> (i8ThetaOverlap _),
     "i8b_theta_exact" -> (i8bThetaExact _),
     "d1_groupby_agg" -> (d1GroupBy _),
@@ -899,6 +980,52 @@ object Aggregates {
     "i4_histogram" -> (i4Histogram _))
 
   val oracles: Map[String, String] = Map(
+    // Brute-force replay of i6b: identical md5 grid (d=4 × w=256,
+    // power-of-two width so UBIGINT mod == signed pmod on low bits),
+    // cell counts, min-over-rows estimates.
+    "i6b_countmin_verdict" ->
+      """WITH ev AS (SELECT event_type FROM events),
+        |cells AS (SELECT j,
+        |    md5_number_upper('cm' || CAST(j AS VARCHAR) || ':' || event_type) % 256 AS b,
+        |    count(*) AS c
+        |  FROM ev CROSS JOIN range(4) t(j) GROUP BY 1, 2),
+        |keys AS (SELECT event_type, count(*) AS exact_count FROM ev GROUP BY 1),
+        |probes AS (SELECT k.event_type, k.exact_count, t.j,
+        |    md5_number_upper('cm' || CAST(t.j AS VARCHAR) || ':' || k.event_type) % 256 AS b
+        |  FROM keys k CROSS JOIN range(4) t(j))
+        |SELECT p.event_type, min(c.c) AS est_count, p.exact_count,
+        |  min(c.c) - p.exact_count AS overcount
+        |FROM probes p JOIN cells c ON p.j = c.j AND p.b = c.b
+        |GROUP BY p.event_type, p.exact_count ORDER BY p.event_type""".stripMargin,
+    // Brute-force replay of i1b: md5-derived registers (idx = low 8
+    // bits, rho = 57 - bitlen of the upper 56 bits via exact 2^p
+    // threshold joins), Z folded in register-index order, both
+    // estimator branches.
+    "i1b_hll_verdict" ->
+      """WITH h AS (SELECT md5_number_upper('hll:' || CAST(user_id AS VARCHAR)) AS hv
+        |  FROM events WHERE user_id IS NOT NULL),
+        |parts AS (SELECT CAST(hv % 256 AS BIGINT) AS idx, hv >> 8 AS w FROM h),
+        |bl AS (SELECT idx, w,
+        |    (SELECT count(*) FROM range(56) t(p)
+        |     WHERE w >= (CAST(1 AS UBIGINT) << p)) AS bitlen FROM parts),
+        |rho AS (SELECT idx, max(57 - bitlen) AS r FROM bl GROUP BY idx),
+        |regs AS (SELECT ri.i AS idx, coalesce(rh.r, 0) AS r
+        |  FROM range(256) ri(i) LEFT JOIN rho rh ON rh.idx = ri.i),
+        |zl AS (SELECT list(r ORDER BY idx) AS rs FROM regs),
+        |fin AS (SELECT
+        |    CAST(len(list_filter(rs, x -> x = 0)) AS BIGINT) AS v_zeros,
+        |    list_sum(list_transform(rs, x -> pow(2.0, -CAST(x AS DOUBLE)))) AS z
+        |  FROM zl),
+        |ex AS (SELECT count(DISTINCT user_id) AS exact_users FROM events
+        |  WHERE user_id IS NOT NULL)
+        |SELECT f.v_zeros, round(f.z, 6) AS z6,
+        |  round((0.7213 / (1 + 1.079 / 256.0)) * 65536.0 / f.z, 4) AS est_raw,
+        |  round(CASE WHEN (0.7213 / (1 + 1.079 / 256.0)) * 65536.0 / f.z <= 640.0
+        |        AND f.v_zeros > 0
+        |      THEN 256.0 * ln(256.0 / CAST(f.v_zeros AS DOUBLE))
+        |      ELSE (0.7213 / (1 + 1.079 / 256.0)) * 65536.0 / f.z END, 2) AS est,
+        |  e.exact_users
+        |FROM fin f CROSS JOIN ex e""".stripMargin,
     "d24_resample" ->
       """WITH b AS (SELECT l_returnflag, CAST(floor(l_quantity / 10) AS INT) AS band,
         |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS s

@@ -455,6 +455,40 @@ object LlmText {
       .orderBy("source")
   }
 
+  /** Declared l31b: the Bloom-filter mechanism itself — k=4 bit
+    * positions per key in an m=2^18 bit space, membership = all k bits
+    * set — expressed relationally with the MD5 hash kernel so the
+    * oracle recomputes the identical bit set and per-doc verdicts in
+    * SQL (production l31 keeps `bloom_filter_agg`+`might_contain`;
+    * this is the l4b/i6b kernel-swap pattern for the membership-sketch
+    * leg). m is a power of two so signed pmod == unsigned mod; every
+    * quantity is integer. Same split and output shape as l31, so the
+    * zero-false-negative invariant (n_flagged ≥ n_true_dup per source)
+    * is cross-engine-certified, with the FP margin visible. */
+  private def l31bBloomVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.t(spark, dir, "documents").withColumn("h", md5(col("text")))
+    val existing = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    def bits(h: Column): Column = transform(sequence(lit(0), lit(3)),
+      i => pmod(call_function("md5_u64",
+        concat(lit("bl"), i.cast("string"), lit(":"), h)), lit(262144L)))
+    val bitSet = existing.select(explode(bits(col("h"))).as("bit")).distinct()
+      .withColumn("present", lit(1))
+    val flagged = incoming
+      .select(col("doc_id"), col("source"), col("h"), explode(bits(col("h"))).as("bit"))
+      .join(bitSet, Seq("bit"), "left")
+      .groupBy("doc_id", "source", "h")
+      .agg((count(lit(1)) === count(col("present"))).as("maybe_dup"))
+    val exact = existing.select(col("h").as("eh")).distinct()
+    flagged.join(exact, col("h") === col("eh"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_incoming"),
+        graft.CH.countIf(col("maybe_dup")).as("n_flagged"),
+        graft.CH.countIf(col("eh").isNotNull).as("n_true_dup"))
+      .orderBy("source")
+  }
+
   /** L34: bigram conditional statistics — the n-gram LM table one
     * level up from l23's unigram scores: for the 20 heaviest anchor
     * words, the most likely next word and P(next|anchor). Corpus
@@ -480,6 +514,7 @@ object LlmText {
   val queries: Map[String, Q] = Map(
     "l34_bigram_stats" -> (l34BigramStats _),
     "l31_bloom_dedup" -> (l31BloomDedup _),
+    "l31b_bloom_verdict" -> (l31bBloomVerdict _),
     "l28_length_histogram" -> (l28LengthHistogram _),
     "l1_exact_dedup" -> (l1ExactDedup _),
     "l4_minhash_lsh" -> (l4MinhashLsh _),
@@ -495,6 +530,28 @@ object LlmText {
     "l13b_simhash_verdict" -> (l13bSimhashVerdict _))
 
   val oracles: Map[String, String] = Map(
+    // Brute-force replay of l31b: identical md5 bit positions (k=4,
+    // m=2^18 — power of two so UBIGINT mod == signed pmod), the
+    // existing-corpus bit set, all-bits-present membership, and the
+    // same per-source rollup as production l31.
+    "l31b_bloom_verdict" ->
+      """WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+        |ex AS (SELECT * FROM d WHERE doc_id % 5 != 0),
+        |inc AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+        |bits_ex AS (SELECT DISTINCT
+        |    md5_number_upper('bl' || CAST(i AS VARCHAR) || ':' || h) % 262144 AS bit
+        |  FROM ex CROSS JOIN range(4) t(i)),
+        |probe AS (SELECT inc.doc_id, inc.source, inc.h,
+        |    md5_number_upper('bl' || CAST(i AS VARCHAR) || ':' || inc.h) % 262144 AS bit
+        |  FROM inc CROSS JOIN range(4) t(i)),
+        |fl AS (SELECT p.doc_id, p.source, p.h,
+        |    count(*) = count(b.bit) AS maybe_dup
+        |  FROM probe p LEFT JOIN bits_ex b ON p.bit = b.bit GROUP BY 1, 2, 3)
+        |SELECT fl.source, count(*) AS n_incoming,
+        |  count(CASE WHEN fl.maybe_dup THEN 1 END) AS n_flagged,
+        |  count(CASE WHEN eh.h IS NOT NULL THEN 1 END) AS n_true_dup
+        |FROM fl LEFT JOIN (SELECT DISTINCT h FROM ex) eh ON fl.h = eh.h
+        |GROUP BY fl.source ORDER BY fl.source""".stripMargin,
     // Brute-force replay of l13b: per-token MD5 hash (md5_number_upper
     // ≡ first 8 digest bytes little-endian ≡ simhash64_md5's kernel),
     // the Charikar vote loop in SQL, then ALL prefix pairs at
