@@ -146,7 +146,12 @@ object LlmPipeline {
     val a = sh.select(col("doc_id").as("a"), col("grams").as("ga"))
     val b = sh.select(col("doc_id").as("b"), col("grams").as("gb"))
     val inter = size(array_intersect(col("ga"), col("gb")))
-    val pairs = a.crossJoin(b).filter(col("a") < col("b"))
+    // broadcast the (bounded) right side — a bare CartesianProduct is
+    // |left splits| × |right splits| TASKS, and minLabelComponents
+    // re-evaluates this frame every CC round: quadratic scheduling ×
+    // rounds on a many-file layout (l18/l37b/l38 each ~350-414 s at
+    // sf100, ~1 s once broadcast).
+    val pairs = a.crossJoin(broadcast(b)).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         (inter.cast("double") /
           (size(col("ga")) + size(col("gb")) - inter).cast("double")).as("j"))

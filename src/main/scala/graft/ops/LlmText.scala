@@ -400,7 +400,12 @@ object LlmText {
       .select(col("doc_id"), array_distinct(ngrams(toks, 2)).as("grams"))
     val a = sh.select(col("doc_id").as("a_id"), col("grams").as("ga"))
     val b = sh.select(col("doc_id").as("b_id"), col("grams").as("gb"))
-    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+    // broadcast the (bounded) right side: a bare CartesianProduct
+    // schedules |left splits| × |right splits| tasks — invisible on a
+    // single-file table, quadratic on a 4,000-file sf100 layout
+    // (363 s of pure task scheduling for 190 pairs); BNLJ keeps it at
+    // |left splits| tasks.
+    a.crossJoin(broadcast(b)).filter(col("a_id") < col("b_id"))
       .select(
         col("a_id"), col("b_id"),
         size(array_intersect(col("ga"), col("gb"))).as("inter"),
