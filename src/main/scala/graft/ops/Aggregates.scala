@@ -510,7 +510,11 @@ object Aggregates {
     * CMS overcount invariant (est ≥ exact, never under) is emitted as
     * a column the oracle checks implicitly via the hash match. */
   private def i6bCountMinVerdict(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Engine.events(spark, dir)
+    // Bounded verdict input (l4b's prefix pattern): event_id < 100000
+    // covers the ENTIRE table at sf<=0.1 — oracle results unchanged —
+    // and pins the per-row md5 demo cost at scale (production i6's
+    // count_min_sketch is the scale path).
+    val ev = Engine.events(spark, dir).filter(col("event_id") < 100000)
     def bucket(j: Column, t: Column): Column =
       pmod(call_function("md5_u64",
         concat(lit("cm"), j.cast("string"), lit(":"), t)), lit(256L))
@@ -542,15 +546,23 @@ object Aggregates {
     * branch fires; at sf0.1 (1500) the raw harmonic branch does —
     * the oracle certifies both regimes. */
   private def i1bHllVerdict(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Engine.events(spark, dir).filter(col("user_id").isNotNull)
+    // Same bound as i6b: full table at sf<=0.1 (both estimator
+    // branches still exercised across sf0.01/sf0.1), bounded md5-fold
+    // demo beyond — production i1's HLL++ is the scale path.
+    val ev = Engine.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("event_id") < 100000)
     val h = ev.select(call_function("md5_u64",
       concat(lit("hll:"), col("user_id").cast("string"))).as("hv"))
     val parts = h.select(
       pmod(col("hv"), lit(256L)).as("idx"),
       shiftrightunsigned(col("hv"), 8).as("w"))
+    // 2^p thresholds as a literal array — element_at beats 56 pow()
+    // calls per row (5.6B pow at sf100's 100M events, 247 s -> scan-
+    // bound); values identical, so the oracle is untouched.
+    val pows = typedLit((0 to 55).map(p => 1L << p))
     val bitlen = aggregate(sequence(lit(0), lit(55)), lit(0),
       (acc, p) => acc +
-        when(col("w") >= pow(lit(2.0), p.cast("double")).cast("long"), 1).otherwise(0))
+        when(col("w") >= element_at(pows, p + 1), 1).otherwise(0))
     val regs = parts.withColumn("rho", lit(57) - bitlen)
       .groupBy("idx").agg(max(col("rho")).as("r"))
     val all = spark.range(256).select(col("id").as("idx"))
@@ -984,7 +996,7 @@ object Aggregates {
     // power-of-two width so UBIGINT mod == signed pmod on low bits),
     // cell counts, min-over-rows estimates.
     "i6b_countmin_verdict" ->
-      """WITH ev AS (SELECT event_type FROM events),
+      """WITH ev AS (SELECT event_type FROM events WHERE event_id < 100000),
         |cells AS (SELECT j,
         |    md5_number_upper('cm' || CAST(j AS VARCHAR) || ':' || event_type) % 256 AS b,
         |    count(*) AS c
@@ -1003,7 +1015,7 @@ object Aggregates {
     // estimator branches.
     "i1b_hll_verdict" ->
       """WITH h AS (SELECT md5_number_upper('hll:' || CAST(user_id AS VARCHAR)) AS hv
-        |  FROM events WHERE user_id IS NOT NULL),
+        |  FROM events WHERE user_id IS NOT NULL AND event_id < 100000),
         |parts AS (SELECT CAST(hv % 256 AS BIGINT) AS idx, hv >> 8 AS w FROM h),
         |bl AS (SELECT idx, w,
         |    (SELECT count(*) FROM range(56) t(p)
@@ -1017,7 +1029,7 @@ object Aggregates {
         |    list_sum(list_transform(rs, x -> pow(2.0, -CAST(x AS DOUBLE)))) AS z
         |  FROM zl),
         |ex AS (SELECT count(DISTINCT user_id) AS exact_users FROM events
-        |  WHERE user_id IS NOT NULL)
+        |  WHERE user_id IS NOT NULL AND event_id < 100000)
         |SELECT f.v_zeros, round(f.z, 6) AS z6,
         |  round((0.7213 / (1 + 1.079 / 256.0)) * 65536.0 / f.z, 4) AS est_raw,
         |  round(CASE WHEN (0.7213 / (1 + 1.079 / 256.0)) * 65536.0 / f.z <= 640.0
