@@ -142,4 +142,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("l_comment"),
       s"scan must not read unprojected columns, plan:\n$plan")
   }
+
+  test("l10's demo-pair stage broadcasts the bounded side (no raw-scan cartesian)") {
+    // A bare CartesianProduct schedules |left splits| × |right splits|
+    // TASKS — ~1 s on a single-file table, 350-414 s of scheduling on
+    // sf100's 4,000-file layout (round-12 find). The bounded side must
+    // broadcast so the shape is BNLJ at |left splits| tasks. (l18's
+    // identical demoComponents fix can't be pinned here: its CC
+    // fixpoint materializes, so the final plan starts from an
+    // ExistingRDD and the pair stage is upstream of it.)
+    val plan = SparkEntry.queries("l10_ngram_jaccard")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "l10 must not plan a raw-scan cartesian (task count multiplies on " +
+        s"SPLITS, not rows), plan:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"l10 expected BNLJ over the broadcast bounded side, plan:\n$plan")
+  }
 }
