@@ -193,6 +193,39 @@ object Differential {
 
   private def xname(s: Long): String = s"fzx${s}_${PlanGen.generateChain3(s).shape}"
 
+  /** Frozen multi-DISTINCT aggregate seeds (round 13 — the Expand
+    * double-aggregation planning path). */
+  val frozenDistinctSeeds: Seq[Long] = Seq(1L, 2L)
+
+  private def dname(s: Long): String = s"fzds${s}_distinctagg"
+
+  /** Frozen GROUPING SETS seeds (round 13): first seed whose set list
+    * includes a single-column mid set, plus seed 1. */
+  val frozenGsetsSeeds: Seq[Long] = Seq(1L, 2L)
+
+  private def gsname(s: Long): String = s"fzgs${s}_gsets"
+
+  /** Frozen explicit-null-ordering seeds (round 13): one per sub-shape
+    * (sort-limit, window) by the first-seeds-that-fill rule. */
+  private val nullOrdQuota = Map("nullord_sort" -> 1, "nullord_window" -> 1)
+
+  val frozenNullOrdSeeds: Seq[Long] = {
+    val have = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var s = 1L
+    while (picked.size < nullOrdQuota.values.sum && s < 10000L) {
+      val shape = PlanGen.generateNullOrder(s).shape
+      if (have(shape) < nullOrdQuota.getOrElse(shape, 0)) {
+        have(shape) += 1
+        picked += s
+      }
+      s += 1
+    }
+    picked.toSeq
+  }
+
+  private def noname(s: Long): String = s"fzno${s}_${PlanGen.generateNullOrder(s).shape}"
+
   /** Run a generated plan through its Spark-SQL TEXT rendering
     * (VERDICT r11 #7): the frozen rows then exercise the full parser →
     * analyzer → optimizer front door cross-engine vs DuckDB, while
@@ -216,7 +249,10 @@ object Differential {
       frozenAggFnSeeds.map(s => aname(s) -> viaSql(PlanGen.generateAggFns(s))).toMap ++
       frozenRollupSeeds.map(s => gname(s) -> viaSql(PlanGen.generateRollup(s))).toMap ++
       frozenSubqSeeds.map(s => qname(s) -> viaSql(PlanGen.generateSubq(s))).toMap ++
-      frozenChain3Seeds.map(s => xname(s) -> viaSql(PlanGen.generateChain3(s))).toMap
+      frozenChain3Seeds.map(s => xname(s) -> viaSql(PlanGen.generateChain3(s))).toMap ++
+      frozenNullOrdSeeds.map(s => noname(s) -> viaSql(PlanGen.generateNullOrder(s))).toMap ++
+      frozenGsetsSeeds.map(s => gsname(s) -> viaSql(PlanGen.generateGroupingSets(s))).toMap ++
+      frozenDistinctSeeds.map(s => dname(s) -> viaSql(PlanGen.generateDistinct(s))).toMap
 
   /** The DataFrame-API builders for the same frozen rows, keyed by the
     * same names — `DifferentialSpec` pins these equal to the SQL-text
@@ -231,7 +267,10 @@ object Differential {
       frozenAggFnSeeds.map(s => aname(s) -> PlanGen.generateAggFns(s).build).toMap ++
       frozenRollupSeeds.map(s => gname(s) -> PlanGen.generateRollup(s).build).toMap ++
       frozenSubqSeeds.map(s => qname(s) -> PlanGen.generateSubq(s).build).toMap ++
-      frozenChain3Seeds.map(s => xname(s) -> PlanGen.generateChain3(s).build).toMap
+      frozenChain3Seeds.map(s => xname(s) -> PlanGen.generateChain3(s).build).toMap ++
+      frozenNullOrdSeeds.map(s => noname(s) -> PlanGen.generateNullOrder(s).build).toMap ++
+      frozenGsetsSeeds.map(s => gsname(s) -> PlanGen.generateGroupingSets(s).build).toMap ++
+      frozenDistinctSeeds.map(s => dname(s) -> PlanGen.generateDistinct(s).build).toMap
 
   def oracles: Map[String, String] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).duckSql).toMap ++
@@ -243,5 +282,8 @@ object Differential {
       frozenAggFnSeeds.map(s => aname(s) -> PlanGen.generateAggFns(s).duckSql).toMap ++
       frozenRollupSeeds.map(s => gname(s) -> PlanGen.generateRollup(s).duckSql).toMap ++
       frozenSubqSeeds.map(s => qname(s) -> PlanGen.generateSubq(s).duckSql).toMap ++
-      frozenChain3Seeds.map(s => xname(s) -> PlanGen.generateChain3(s).duckSql).toMap
+      frozenChain3Seeds.map(s => xname(s) -> PlanGen.generateChain3(s).duckSql).toMap ++
+      frozenNullOrdSeeds.map(s => noname(s) -> PlanGen.generateNullOrder(s).duckSql).toMap ++
+      frozenGsetsSeeds.map(s => gsname(s) -> PlanGen.generateGroupingSets(s).duckSql).toMap ++
+      frozenDistinctSeeds.map(s => dname(s) -> PlanGen.generateDistinct(s).duckSql).toMap
 }

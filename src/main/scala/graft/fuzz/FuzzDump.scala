@@ -13,13 +13,13 @@ import graft.Engine
   * against DuckDB with no extra compare code.
   *
   * Usage: runMain graft.fuzz.FuzzDump <sfDir> <outDir> <kind> <from> <to>
-  * where kind ∈ base|join|scalar|composite|frame|rframe|aggfns|rollup|subq|chain3.
+  * where kind ∈ base|join|scalar|composite|frame|rframe|aggfns|rollup|subq|chain3|distinct|gsets|nullord.
   */
 object FuzzDump {
   def main(args: Array[String]): Unit = {
     if (args.length < 5) {
       System.err.println(
-        "usage: FuzzDump <sfDir> <outDir> <base|join|scalar|composite|frame|rframe|aggfns|rollup|subq|chain3> <fromSeed> <toSeed>")
+        "usage: FuzzDump <sfDir> <outDir> <base|join|scalar|composite|frame|rframe|aggfns|rollup|subq|chain3|distinct|gsets|nullord> <fromSeed> <toSeed>")
       sys.exit(2)
     }
     val Array(sfDir, outDir, kind, fromS, toS) = args.take(5)
@@ -34,6 +34,9 @@ object FuzzDump {
       case "rollup"    => PlanGen.generateRollup
       case "subq"      => PlanGen.generateSubq
       case "chain3"    => PlanGen.generateChain3
+      case "distinct"  => PlanGen.generateDistinct
+      case "gsets"     => PlanGen.generateGroupingSets
+      case "nullord"   => PlanGen.generateNullOrder
       case other       => sys.error(s"unknown kind $other")
     }
     val spark = Engine.session()

@@ -987,6 +987,162 @@ object PlanGen {
     // seeds all landed on one branch; a non-power-of-2 bound mixes.
     def runChain3(): Generated =
       if (rnd.nextInt(6) < 3) shapeChainPath() else shapeChainStar()
+
+    // ---- multi-DISTINCT aggregate surface (round 13) ----------------
+
+    /** Two-plus DISTINCT aggregates over DIFFERENT columns mixed with
+      * plain aggregates — the one aggregation form Spark cannot plan as
+      * a single hash aggregate: it rewrites through an Expand (one
+      * row-replica per distinct group) + double aggregation, a planning
+      * path none of the other surfaces reach. All DISTINCT operands are
+      * ints/strings (exact equality, no float dedup hazard); int SUMs
+      * pin BIGINT on both engines (DuckDB would widen to HUGEINT). */
+    def runDistinct(): Generated = {
+      val t = pick(singles.filter(_.cats.nonEmpty))
+      val p = filterFor(t)
+      val gcol = pick(t.cats.keys.toSeq.sorted)
+      // two distinct operands over different columns forces Expand
+      val d1 = pick(t.ints)
+      val d2 = pick((t.ints.filterNot(_ == d1) ++
+        t.cats.keys.toSeq.filterNot(_ == gcol)).sorted)
+      val aggs = Seq(
+        Agg(s"count(DISTINCT $d1) AS nd1", s"count(DISTINCT $d1) AS nd1",
+          count_distinct(col(d1)).as("nd1")),
+        Agg(s"count(DISTINCT $d2) AS nd2", s"count(DISTINCT $d2) AS nd2",
+          count_distinct(col(d2)).as("nd2")),
+        Agg(s"CAST(sum(DISTINCT $d1) AS BIGINT) AS sd1",
+          s"CAST(sum(DISTINCT $d1) AS BIGINT) AS sd1",
+          sum_distinct(col(d1)).cast("long").as("sd1"))) ++
+        (if (maybe(0.7)) Seq(aggFor(Seq(t), "agg0")) else Nil) :+
+        Agg("count(*) AS cnt", "count(*) AS cnt", count(lit(1)).as("cnt"))
+      def sql(duck: Boolean) =
+        s"SELECT $gcol, ${aggs.map(a => if (duck) a.duckSql else a.sparkSql).mkString(", ")} " +
+          s"FROM ${t.name} WHERE ${p.sql} GROUP BY $gcol ORDER BY $gcol"
+      val build = (s: SparkSession, dir: String) =>
+        Engine.t(s, dir, t.name).filter(p.cond)
+          .groupBy(gcol).agg(aggs.head.dfCol, aggs.tail.map(_.dfCol): _*)
+          .orderBy(gcol)
+      Generated(seed, "distinctagg", build, sql(false), sql(true))
+    }
+
+    // ---- GROUPING SETS surface (round 13) ---------------------------
+
+    /** Explicit GROUPING SETS with `grouping()` subtotal markers — the
+      * general form behind ROLLUP/CUBE (fzg*), plus the marker function
+      * those rows never project. Sentinel + empty-input rules follow
+      * runRollup: COALESCE to `~~` (byte-order-stable in both engines)
+      * and `HAVING count(*) > 0` to erase DuckDB's empty-input
+      * grand-total row. grouping() exits through BIGINT (Spark returns
+      * TINYINT, DuckDB BIGINT). The DataFrame build uses the Spark 4
+      * `Dataset.groupingSets` API — a front-door the SQL text leg then
+      * cross-checks. */
+    def runGroupingSets(): Generated = {
+      val t = pick(singles.filter(_.cats.size >= 2))
+      val cs = rnd.shuffle(t.cats.keys.toSeq.sorted).take(2)
+      val (c1, c2) = (cs.head, cs(1))
+      val p = filterFor(t)
+      val v = pick(t.nums)
+      // always the full pair + grand total; each single-col set by coin
+      val mids = Seq(Seq(c1), Seq(c2)).filter(_ => maybe(0.6))
+      val sets: Seq[Seq[String]] = (Seq(Seq(c1, c2)) ++ mids) :+ Seq.empty
+      val setsSql = sets.map(s => s"(${s.mkString(", ")})").mkString(", ")
+      def sql(duck: Boolean) = {
+        val sumSql =
+          if (duck) s"CAST(CAST(sum(CAST($v AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
+          else s"CAST(sum(CAST($v AS DECIMAL(18,2))) AS DOUBLE)"
+        s"SELECT COALESCE($c1, '~~') AS g1, COALESCE($c2, '~~') AS g2, " +
+          s"CAST(grouping($c1) AS BIGINT) AS gi1, CAST(grouping($c2) AS BIGINT) AS gi2, " +
+          s"count(*) AS n, $sumSql AS s FROM ${t.name} WHERE ${p.sql} " +
+          s"GROUP BY GROUPING SETS ($setsSql) HAVING count(*) > 0 ORDER BY g1, g2, gi1, gi2"
+      }
+      val build = (s: SparkSession, dir: String) => {
+        val base = Engine.t(s, dir, t.name).filter(p.cond)
+        base.groupingSets(sets.map(_.map(col)), col(c1), col(c2))
+          .agg(grouping(col(c1)).cast("long").as("gi1"),
+            grouping(col(c2)).cast("long").as("gi2"),
+            count(lit(1)).as("n"),
+            sum(col(v).cast("decimal(18,2)")).cast("double").as("s"))
+          .filter(col("n") > 0)
+          .select(coalesce(col(c1), lit("~~")).as("g1"),
+            coalesce(col(c2), lit("~~")).as("g2"),
+            col("gi1"), col("gi2"), col("n"), col("s"))
+          .orderBy("g1", "g2", "gi1", "gi2")
+      }
+      Generated(seed, "gsets", build, sql(false), sql(true))
+    }
+
+    // ---- explicit null-ordering surface (round 13) ------------------
+
+    /** LEFT-join-produced NULLs flowing into an EXPLICIT `NULLS FIRST/
+      * LAST` ordering — the spot where engine DEFAULTS genuinely
+      * diverge (Spark sorts ASC NULLS FIRST, DuckDB ASC NULLS LAST), so
+      * only the explicit form is portable and nothing else on the
+      * surface exercises it. Sort sub-shape: ORDER BY covers every
+      * output column (runScalar rule — remaining ties are identical
+      * rows). Window sub-shape: rows tied on (rval, l.unique) share all
+      * projected columns (shapeJoinWindow rule), so rk permutation
+      * among ties is output-invariant. */
+    def runNullOrder(): Generated = {
+      val (l, r, lk, rk) = pick(joinEdges)
+      val (pl, pr) = (filterFor(l), filterFor(r))
+      val rval = pick(r.nums)
+      val descOrd = maybe(0.5)
+      val nullsFirst = maybe(0.5)
+      val dirSql = (if (descOrd) "DESC" else "ASC") +
+        (if (nullsFirst) " NULLS FIRST" else " NULLS LAST")
+      val lead =
+        (descOrd, nullsFirst) match {
+          case (false, true) => col(rval).asc_nulls_first
+          case (false, false) => col(rval).asc_nulls_last
+          case (true, true) => col(rval).desc_nulls_first
+          case (true, false) => col(rval).desc_nulls_last
+        }
+      if (maybe(0.5)) {
+        // sort-limit sub-shape
+        val n = 20 + rnd.nextInt(60)
+        val outCols = (l.unique :+ rval).distinct
+        val ordTail = l.unique.mkString(", ")
+        val sql =
+          s"SELECT ${outCols.mkString(", ")} FROM " +
+            s"(SELECT * FROM ${l.name} WHERE ${pl.sql}) la LEFT JOIN " +
+            s"(SELECT * FROM ${r.name} WHERE ${pr.sql}) ra ON $lk = $rk " +
+            s"ORDER BY $rval $dirSql, $ordTail LIMIT $n"
+        val build = (s: SparkSession, dir: String) => {
+          val a = Engine.t(s, dir, l.name).filter(pl.cond)
+          val b = Engine.t(s, dir, r.name).filter(pr.cond)
+          a.join(b, a(lk) === b(rk), "left")
+            .select(outCols.map(col): _*)
+            .orderBy(lead +: l.unique.map(col(_).asc): _*)
+            .limit(n)
+        }
+        Generated(seed, "nullord_sort", build, sql, sql)
+      } else {
+        // window sub-shape: rank over the nullable column
+        val partCol = pick(l.cats.keys.toSeq.sorted match {
+          case Nil => r.cats.keys.toSeq.sorted; case cs => cs
+        })
+        val n = 1 + rnd.nextInt(8)
+        val outCols = (l.unique ++ Seq(partCol, rval)).distinct
+        val ordSql = s"$rval $dirSql, ${l.unique.mkString(", ")}"
+        val sql =
+          s"SELECT ${outCols.mkString(", ")}, rk FROM (" +
+            s"SELECT ${outCols.mkString(", ")}, row_number() OVER (PARTITION BY $partCol ORDER BY $ordSql) AS rk " +
+            s"FROM (SELECT * FROM ${l.name} WHERE ${pl.sql}) la LEFT JOIN " +
+            s"(SELECT * FROM ${r.name} WHERE ${pr.sql}) ra ON $lk = $rk) w " +
+            s"WHERE rk <= $n ORDER BY ${outCols.mkString(", ")}, rk"
+        val build = (s: SparkSession, dir: String) => {
+          val a = Engine.t(s, dir, l.name).filter(pl.cond)
+          val b = Engine.t(s, dir, r.name).filter(pr.cond)
+          val w = Window.partitionBy(partCol)
+            .orderBy(lead +: l.unique.map(col(_).asc): _*)
+          a.join(b, a(lk) === b(rk), "left")
+            .select(outCols.map(col): _*)
+            .withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
+            .orderBy((outCols :+ "rk").map(col): _*)
+        }
+        Generated(seed, "nullord_window", build, sql, sql)
+      }
+    }
   }
 
   /** Composite window→agg plan for the same seed space — see
@@ -1020,4 +1176,13 @@ object PlanGen {
 
   /** 3-table mixed-join chain/star plan — see [[Gen.runChain3]]. */
   def generateChain3(seed: Long): Generated = new Gen(seed).runChain3()
+
+  /** Multi-DISTINCT aggregate plan (Expand path) — see [[Gen.runDistinct]]. */
+  def generateDistinct(seed: Long): Generated = new Gen(seed).runDistinct()
+
+  /** GROUPING SETS + grouping() plan — see [[Gen.runGroupingSets]]. */
+  def generateGroupingSets(seed: Long): Generated = new Gen(seed).runGroupingSets()
+
+  /** Explicit NULLS FIRST/LAST ordering plan — see [[Gen.runNullOrder]]. */
+  def generateNullOrder(seed: Long): Generated = new Gen(seed).runNullOrder()
 }

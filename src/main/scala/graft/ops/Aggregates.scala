@@ -771,6 +771,84 @@ object Aggregates {
         (se1 * se1 / (col("n1") - 1) + se2 * se2 / (col("n2") - 1)), 2).as("dof"))
   }
 
+  /** D28 (CH `mannWhitneyUTest`): rank-sum U statistic with average
+    * ranks for ties plus the tie-corrected normal approximation z —
+    * click vs error samples on `events.value`. All rank arithmetic
+    * stays in EXACT integers: the doubled average rank of a tied value
+    * is 2·rank(v) = 2·offset(v) + cnt(v) + 1 (an integer), so
+    * 2·R₁ = Σ n₁(v)·(2·offset+cnt+1) accumulates associatively in
+    * DECIMAL(38,0) (overflow-safe past BIGINT at cluster scale; DuckDB
+    * mirrors in the same decimal width). The final u/z arithmetic is
+    * one fixed double expression over those exact sums — the same IEEE
+    * sequence on both engines (d25's discipline). The rank window runs
+    * over the DISTINCT-VALUE rollup, whose cardinality is bounded by
+    * the DECIMAL(12,2) value domain, not the row count — the same
+    * bounded-state argument as i4's histogram, so the single-partition
+    * window is scan-bound at any scale. */
+  private def d34MannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val byVal = Engine.events(spark, dir)
+      .filter(col("event_type").isin("click", "error"))
+      .groupBy(CH.dec(col("value")).as("v"))
+      .agg(CH.countIf(col("event_type") === "click").as("n1v"),
+        CH.countIf(col("event_type") === "error").as("n2v"))
+      .withColumn("cnt", col("n1v") + col("n2v"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val cntd = col("cnt").cast("decimal(38,0)")
+    val s = byVal
+      .withColumn("off", coalesce(sum("cnt").over(w), lit(0L)))
+      .agg(
+        sum("n1v").as("n1"), sum("n2v").as("n2"),
+        sum(col("n1v").cast("decimal(38,0)") *
+          (lit(2) * col("off") + col("cnt") + 1).cast("decimal(38,0)")).as("r1x2"),
+        sum(cntd * cntd * cntd - cntd).as("tie"))
+    val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
+    val nd = n1d + n2d
+    val u1 = (col("r1x2").cast("double") - n1d * (n1d + 1)) / 2
+    val sigma = sqrt(n1d * n2d / 12 *
+      ((nd + 1) - col("tie").cast("double") / (nd * (nd - 1))))
+    s.select(
+      col("n1").cast("long").as("n_click"),
+      col("n2").cast("long").as("n_error"),
+      round(u1, 4).as("u1"),
+      round(n1d * n2d - u1, 4).as("u2"),
+      round((u1 - n1d * n2d / 2) / sigma, 4).as("z_stat"))
+  }
+
+  /** D29 (CH `kolmogorovSmirnovTest`): two-sample KS distance between
+    * the click and error value distributions. The supremum
+    * D = max |F₁(v) − F₂(v)| is computed EXACTLY in integers:
+    * numerator(v) = |c₁(v)·n₂ − c₂(v)·n₁| over the cumulative counts,
+    * so D = max(numerator)/(n₁·n₂) involves no per-row floating point
+    * at all — both engines agree bit-for-bit before the two final
+    * double divisions. Same domain-bounded distinct-value window as
+    * d34. */
+  private def d35KsTest(spark: SparkSession, dir: String): DataFrame = {
+    val byVal = Engine.events(spark, dir)
+      .filter(col("event_type").isin("click", "error"))
+      .groupBy(CH.dec(col("value")).as("v"))
+      .agg(CH.countIf(col("event_type") === "click").as("n1v"),
+        CH.countIf(col("event_type") === "error").as("n2v"))
+    val wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val s = byVal
+      .withColumn("c1", sum("n1v").over(wc))
+      .withColumn("c2", sum("n2v").over(wc))
+      .withColumn("n1t", sum("n1v").over(wAll))
+      .withColumn("n2t", sum("n2v").over(wAll))
+      .agg(
+        max(abs(col("c1").cast("decimal(38,0)") * col("n2t").cast("decimal(38,0)") -
+          col("c2").cast("decimal(38,0)") * col("n1t").cast("decimal(38,0)"))).as("dnum"),
+        max("n1t").as("n1"), max("n2t").as("n2"))
+    val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
+    val dRaw = col("dnum").cast("double") / (n1d * n2d)
+    s.select(
+      col("n1").cast("long").as("n_click"),
+      col("n2").cast("long").as("n_error"),
+      col("dnum").cast("double").as("d_num"),
+      round(dRaw, 6).as("d_stat"),
+      round(dRaw * sqrt(n1d * n2d / (n1d + n2d)), 4).as("ks_z"))
+  }
+
   /** D24: `-Resample` combinator (`sumResample(start,end,step)(x,key)`)
     * — the aggregate splits into key-range bands and emits one value
     * per band. Spark-native: band = floor(key/step) as a second group
@@ -957,6 +1035,8 @@ object Aggregates {
     "d24_resample" -> (d24Resample _),
     "d8b_topk_weighted" -> (d8bTopKWeighted _),
     "d25_welch_ttest" -> (d25WelchTtest _),
+    "d34_mann_whitney" -> (d34MannWhitney _),
+    "d35_ks_test" -> (d35KsTest _),
     "i2b_tdigest_custom" -> (i2bTdigestCustom _),
     "d22_array_combinators" -> (d22ArrayCombinators _),
     "d19_entropy" -> (d19Entropy _),
@@ -1067,6 +1147,56 @@ object Aggregates {
         |      * ((sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1 + (sxx2 - sx2 * sx2 / n2) / (n2 - 1) / n2) /
         |    ((sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1 * ((sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1) / (n1 - 1)
         |     + (sxx2 - sx2 * sx2 / n2) / (n2 - 1) / n2 * ((sxx2 - sx2 * sx2 / n2) / (n2 - 1) / n2) / (n2 - 1)), 2) AS dof
+        |FROM s""".stripMargin,
+    "d34_mann_whitney" ->
+      """WITH byval AS (
+        |  SELECT CAST(value AS DECIMAL(12,2)) AS v,
+        |    count(*) FILTER (WHERE event_type = 'click') AS n1v,
+        |    count(*) FILTER (WHERE event_type = 'error') AS n2v
+        |  FROM events WHERE event_type IN ('click', 'error') GROUP BY 1),
+        |r AS (
+        |  SELECT n1v, n2v, n1v + n2v AS cnt,
+        |    COALESCE(CAST(sum(n1v + n2v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS off
+        |  FROM byval),
+        |s AS (
+        |  SELECT CAST(sum(n1v) AS BIGINT) AS n1, CAST(sum(n2v) AS BIGINT) AS n2,
+        |    sum(CAST(n1v AS DECIMAL(38,0)) * CAST(2 * off + cnt + 1 AS DECIMAL(38,0))) AS r1x2,
+        |    sum(CAST(cnt AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0)) - CAST(cnt AS DECIMAL(38,0))) AS tie
+        |  FROM r)
+        |SELECT n1 AS n_click, n2 AS n_error,
+        |  round((CAST(CAST(r1x2 AS VARCHAR) AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1)) / 2, 4) AS u1,
+        |  round(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) -
+        |    (CAST(CAST(r1x2 AS VARCHAR) AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1)) / 2, 4) AS u2,
+        |  round(((CAST(CAST(r1x2 AS VARCHAR) AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1)) / 2
+        |      - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2) /
+        |    sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12 *
+        |      (((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1) -
+        |       CAST(CAST(tie AS VARCHAR) AS DOUBLE) /
+        |         ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1)))), 4) AS z_stat
+        |FROM s""".stripMargin,
+    "d35_ks_test" ->
+      """WITH byval AS (
+        |  SELECT CAST(value AS DECIMAL(12,2)) AS v,
+        |    count(*) FILTER (WHERE event_type = 'click') AS n1v,
+        |    count(*) FILTER (WHERE event_type = 'error') AS n2v
+        |  FROM events WHERE event_type IN ('click', 'error') GROUP BY 1),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(n1v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1,
+        |    CAST(sum(n2v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c2,
+        |    CAST(sum(n1v) OVER () AS BIGINT) AS n1t,
+        |    CAST(sum(n2v) OVER () AS BIGINT) AS n2t
+        |  FROM byval),
+        |s AS (
+        |  SELECT max(abs(CAST(c1 AS DECIMAL(38,0)) * CAST(n2t AS DECIMAL(38,0)) -
+        |      CAST(c2 AS DECIMAL(38,0)) * CAST(n1t AS DECIMAL(38,0)))) AS dnum,
+        |    max(n1t) AS n1, max(n2t) AS n2
+        |  FROM c)
+        |SELECT n1 AS n_click, n2 AS n_error,
+        |  CAST(CAST(dnum AS VARCHAR) AS DOUBLE) AS d_num,
+        |  round(CAST(CAST(dnum AS VARCHAR) AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d_stat,
+        |  round(CAST(CAST(dnum AS VARCHAR) AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) *
+        |    sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))), 4) AS ks_z
         |FROM s""".stripMargin,
     "d22_array_combinators" ->
       """WITH t AS (SELECT p_brand, p_size,

@@ -499,6 +499,44 @@ object LlmText {
       .orderBy("source")
   }
 
+  /** L41: TF-IDF top-terms per document — the classic salient-keyword
+    * extractor of corpus curation (feature tagging before mixing /
+    * retrieval / clustering). The (doc, term) count table is a
+    * multi-consumer derived frame (l22's staging rule): ONE explode
+    * pass over the corpus builds it, staged to scratch parquet, then
+    * read by BOTH consumers — per-doc tf (bounded output prefix) and
+    * corpus-wide document frequency — so the corpus is scanned once,
+    * not once per consumer. Smooth idf ln((1+N)/(1+df)) and the tf·idf
+    * product are the only floats (one fixed IEEE sequence both
+    * engines, d25 discipline); ranking orders by the UNROUNDED score
+    * with the term as tiebreak, and Catalyst plans the rank≤3 filter
+    * as WindowGroupLimit — per-task top-3 pruning ahead of the
+    * exchange. The doc-count scalar broadcasts (one row). */
+  private def l41TfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val staged = Engine.scratch(spark, dir, "l41_doc_term")
+    Engine.t(spark, dir, "documents")
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite").parquet(staged)
+    val pairs = spark.read.parquet(staged)
+    val dfTab = pairs.groupBy("term").agg(count(lit(1)).as("dcount"))
+    val total = Engine.t(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val score = col("tf").cast("double") *
+      log((lit(1.0) + col("n_docs").cast("double")) /
+        (lit(1.0) + col("dcount").cast("double")))
+    pairs.filter(col("doc_id") < 100)
+      .join(dfTab, Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("score", score)
+      .withColumn("rk", row_number().over(
+        w.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("dcount"),
+        round(col("score"), 6).as("tfidf6"))
+      .orderBy("doc_id", "rk")
+  }
+
   /** L34: bigram conditional statistics — the n-gram LM table one
     * level up from l23's unigram scores: for the 20 heaviest anchor
     * words, the most likely next word and P(next|anchor). Corpus
@@ -522,6 +560,7 @@ object LlmText {
   }
 
   val queries: Map[String, Q] = Map(
+    "l41_tfidf_topterms" -> (l41TfidfTopTerms _),
     "l34_bigram_stats" -> (l34BigramStats _),
     "l31_bloom_dedup" -> (l31BloomDedup _),
     "l31b_bloom_verdict" -> (l31bBloomVerdict _),
@@ -620,6 +659,19 @@ object LlmText {
         |  count(CASE WHEN hd <= 3 THEN 1 END) AS n_neardup_pairs,
         |  coalesce(max(CASE WHEN hd <= 3 THEN hd END), -1) AS max_hamming
         |FROM pairs""".stripMargin,
+    "l41_tfidf_topterms" ->
+      """WITH tk AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+        |  FROM documents),
+        |pairs AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS dcount FROM pairs GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT p.doc_id, p.term, p.tf, d.dcount,
+        |    CAST(p.tf AS DOUBLE) * ln((1.0 + CAST(n.n_docs AS DOUBLE)) / (1.0 + CAST(d.dcount AS DOUBLE))) AS score
+        |  FROM pairs p JOIN dfq d USING (term) CROSS JOIN n
+        |  WHERE p.doc_id < 100),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM s)
+        |SELECT doc_id, rk, term, tf, dcount, round(score, 6) AS tfidf6
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "l34_bigram_stats" ->
       """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x != '') AS tk
         |  FROM documents),

@@ -596,7 +596,42 @@ object LlmVector {
       .orderBy("cluster")
   }
 
+  /** L42: random-projection dimensionality reduction (Johnson–
+    * Lindenstrauss with an Achlioptas ±1 matrix): 64-dim embeddings
+    * down to 8 exact-integer components. The sign matrix is a pure
+    * function of (j, d) via the md5 parity kernel (`md5_u64` ≡ DuckDB
+    * `md5_number_upper`, SketchSpec-pinned) — data-independent, no
+    * stored model, identical on every executor, and replayable in SQL.
+    * Inputs are milli-unit-quantized ([[quant]]), so every projected
+    * component is an EXACT BIGINT sum — zero FP anywhere in the
+    * transform — and the op is a zero-shuffle narrow map at any scale
+    * (the int8-quantize l27 shape, one rank up). The JL diagnostic
+    * `(‖y‖²/k) / ‖q‖²` is the only float: two divisions over exact
+    * integers, same IEEE sequence both engines. */
+  private val RP_K = 8
+  private def l42RandomProjection(spark: SparkSession, dir: String): DataFrame = {
+    def sgn(j: Column, d: Column): Column =
+      when(pmod(call_function("md5_u64",
+        concat(lit("rp"), j.cast("string"), lit(":"), d.cast("string"))), lit(2)) === 0,
+        lit(1L)).otherwise(lit(-1L))
+    val projected = corpus(spark, dir)
+      .select(col("vec_id"), quant(col("embedding")).as("qv"))
+      .withColumn("y", transform(sequence(lit(0), lit(RP_K - 1)), j =>
+        aggregate(sequence(lit(0), lit(63)), lit(0L),
+          (acc, d) => acc + sgn(j, d) * element_at(col("qv"), d + 1))))
+      .withColumn("sq_q", aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x))
+      .withColumn("sq_y", aggregate(col("y"), lit(0L), (acc, y) => acc + y * y))
+    projected.select(
+      col("vec_id") +:
+        (0 until RP_K).map(j => element_at(col("y"), j + 1).as(s"y$j")) :+
+        col("sq_q") :+ col("sq_y") :+
+        round((col("sq_y").cast("double") / lit(RP_K.toDouble)) /
+          col("sq_q").cast("double"), 6).as("jl_ratio"): _*)
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "l42_random_projection" -> (l42RandomProjection _),
     "l40_kmeans" -> (l40Kmeans _),
     "l40b_kmeans_verdict" -> (l40bKmeansVerdict _),
     "l30_semantic_decontaminate" -> (l30SemanticDecon _),
@@ -671,6 +706,24 @@ object LlmVector {
   private def cosQSql(a: String, b: String): String = cosSql(a, b)
 
   val oracles: Map[String, String] = Map(
+    "l42_random_projection" ->
+      ("""WITH q AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |p AS (SELECT vec_id,
+         |    list_transform(range(0, 8), j ->
+         |      CAST(list_sum(list_transform(range(1, 65), d ->
+         |        (CASE WHEN md5_number_upper(CONCAT('rp', j, ':', d - 1)) % 2 = 0 THEN 1 ELSE -1 END) * qv[d])) AS BIGINT)) AS y,
+         |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS sq_q
+         |  FROM q),
+         |p2 AS (SELECT vec_id, y, sq_q,
+         |    CAST(list_sum(list_transform(y, v -> v * v)) AS BIGINT) AS sq_y
+         |  FROM p)
+         |SELECT vec_id, """.stripMargin +
+        (0 until 8).map(j => s"y[${j + 1}] AS y$j").mkString(", ") +
+        """, sq_q, sq_y,
+          |  round((CAST(sq_y AS DOUBLE) / 8.0) / CAST(sq_q AS DOUBLE), 6) AS jl_ratio
+          |FROM p2 ORDER BY vec_id""".stripMargin),
     "l40b_kmeans_verdict" -> kmeansVerdictOracleSql(4, 3, 200),
     // Brute-force replay of l12b: exact per-label SUM centroids
     // (associative bigint addition — the whole reason the verdict

@@ -182,6 +182,49 @@ class DifferentialSpec extends AnyFunSuite {
       shapes.keySet.exists(_.startsWith("chain3_star")), s"chain3 coverage hole: $shapes")
   }
 
+  test("100 multi-DISTINCT aggregate plans: DataFrame build equals spark.sql rendering") {
+    Engine.registerAll(spark, sf)
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateDistinct(seed)
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+  }
+
+  test("100 GROUPING SETS plans: DataFrame groupingSets API equals spark.sql rendering") {
+    Engine.registerAll(spark, sf)
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateGroupingSets(seed)
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+  }
+
+  test("100 explicit null-ordering plans: DataFrame build equals spark.sql rendering") {
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateNullOrder(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+    assert(Set("nullord_sort", "nullord_window").subsetOf(shapes.keySet),
+      s"nullord shape coverage hole: $shapes")
+  }
+
   test("frozen fz* queries build and their SQL renderings stay stable") {
     // the driver's correctness gate replays these against DuckDB; this
     // test pins that each frozen seed still builds, returns rows, and
