@@ -771,6 +771,54 @@ object Aggregates {
         (se1 * se1 / (col("n1") - 1) + se2 * se2 / (col("n2") - 1)), 2).as("dof"))
   }
 
+  /** Distributed global cumulative sums over a sorted rollup WITHOUT a
+    * single-partition global window (VERDICT r13 #2 — `events.value`
+    * is continuous, so the distinct-value table grows with the data
+    * and `Window.orderBy` with no partition is a genuine single-task
+    * sort at 100 TB). The i4b pattern, factored for d34/d35:
+    * range-repartition on the sort key, stage to scratch parquet (so
+    * every downstream pass sees the SAME partition assignment — range
+    * boundary sampling is not deterministic across jobs), collect ONE
+    * subtotal row per partition per column (KB-bounded driver state),
+    * and join back broadcast exclusive partition offsets `__off_<c>`.
+    * Callers turn a per-partition window sum into the exact global
+    * cumulative sum by adding the offset; partition boundaries cannot
+    * affect the result because ranks are derived from the one staged
+    * total order. Returns the staged frame plus the per-column grand
+    * totals (driver scalars). */
+  private def stagedCumOffsets(spark: SparkSession, dir: String, name: String,
+      byVal: DataFrame, sortCol: String, sumCols: Seq[String])
+      : (DataFrame, Map[String, Long]) = {
+    val staged = Engine.scratch(spark, dir, name)
+    byVal.repartitionByRange(32, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .withColumn("__pid", spark_partition_id())
+      .write.mode("overwrite").parquet(staged)
+    val df = spark.read.parquet(staged)
+    val per = df.groupBy("__pid")
+      .agg(sum(sumCols.head).as(sumCols.head),
+        sumCols.tail.map(c => sum(c).as(c)): _*)
+      .collect()
+      .map(r => r.getInt(r.fieldIndex("__pid")) ->
+        sumCols.map(c => if (r.isNullAt(r.fieldIndex(c))) 0L else r.getLong(r.fieldIndex(c))))
+      .sortBy(_._1)
+    val totals = sumCols.indices.map(i => sumCols(i) -> per.map(_._2(i)).sum).toMap
+    val offRows = per.scanLeft((0, sumCols.map(_ => 0L))) {
+      case ((_, acc), (pid, tots)) => (pid, acc.zip(tots).map { case (a, t) => a + t })
+    } // scanLeft pairs: offset BEFORE partition i lives at scan index i
+    val offs = per.map(_._1).zip(offRows.map(_._2)).map {
+      case (pid, offVals) => Row.fromSeq(pid +: offVals)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.IntegerType, nullable = false) +:
+        sumCols.map(c => org.apache.spark.sql.types.StructField(
+          s"__off_$c", org.apache.spark.sql.types.LongType, nullable = false)))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offs.toSeq, 1), schema)
+    (df.join(broadcast(offDf), "__pid"), totals)
+  }
+
   /** D28 (CH `mannWhitneyUTest`): rank-sum U statistic with average
     * ranks for ties plus the tie-corrected normal approximation z —
     * click vs error samples on `events.value`. All rank arithmetic
@@ -781,10 +829,9 @@ object Aggregates {
     * mirrors in the same decimal width). The final u/z arithmetic is
     * one fixed double expression over those exact sums — the same IEEE
     * sequence on both engines (d25's discipline). The rank window runs
-    * over the DISTINCT-VALUE rollup, whose cardinality is bounded by
-    * the DECIMAL(12,2) value domain, not the row count — the same
-    * bounded-state argument as i4's histogram, so the single-partition
-    * window is scan-bound at any scale. */
+    * over the DISTINCT-VALUE rollup via [[stagedCumOffsets]] — no
+    * single-partition global window anywhere (`events.value` is
+    * continuous, so the rollup's cardinality grows with the data). */
   private def d34MannWhitney(spark: SparkSession, dir: String): DataFrame = {
     val byVal = Engine.events(spark, dir)
       .filter(col("event_type").isin("click", "error"))
@@ -792,10 +839,12 @@ object Aggregates {
       .agg(CH.countIf(col("event_type") === "click").as("n1v"),
         CH.countIf(col("event_type") === "error").as("n2v"))
       .withColumn("cnt", col("n1v") + col("n2v"))
-    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val (staged, _) = stagedCumOffsets(spark, dir, "d34_ranked", byVal, "v", Seq("cnt"))
+    val w = Window.partitionBy("__pid").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
     val cntd = col("cnt").cast("decimal(38,0)")
-    val s = byVal
-      .withColumn("off", coalesce(sum("cnt").over(w), lit(0L)))
+    val s = staged
+      .withColumn("off", col("__off_cnt") + coalesce(sum("cnt").over(w), lit(0L)))
       .agg(
         sum("n1v").as("n1"), sum("n2v").as("n2"),
         sum(col("n1v").cast("decimal(38,0)") *
@@ -820,30 +869,31 @@ object Aggregates {
     * numerator(v) = |c₁(v)·n₂ − c₂(v)·n₁| over the cumulative counts,
     * so D = max(numerator)/(n₁·n₂) involves no per-row floating point
     * at all — both engines agree bit-for-bit before the two final
-    * double divisions. Same domain-bounded distinct-value window as
-    * d34. */
+    * double divisions. Cumulative counts come from [[stagedCumOffsets]]
+    * like d34's ranks (per-partition window + broadcast offsets — no
+    * global window); the grand totals n₁/n₂ are the offset collect's
+    * column sums, injected as literals. */
   private def d35KsTest(spark: SparkSession, dir: String): DataFrame = {
     val byVal = Engine.events(spark, dir)
       .filter(col("event_type").isin("click", "error"))
       .groupBy(CH.dec(col("value")).as("v"))
       .agg(CH.countIf(col("event_type") === "click").as("n1v"),
         CH.countIf(col("event_type") === "error").as("n2v"))
-    val wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy()
-    val s = byVal
-      .withColumn("c1", sum("n1v").over(wc))
-      .withColumn("c2", sum("n2v").over(wc))
-      .withColumn("n1t", sum("n1v").over(wAll))
-      .withColumn("n2t", sum("n2v").over(wAll))
+    val (staged, totals) =
+      stagedCumOffsets(spark, dir, "d35_ranked", byVal, "v", Seq("n1v", "n2v"))
+    val wc = Window.partitionBy("__pid").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val s = staged
+      .withColumn("c1", col("__off_n1v") + sum("n1v").over(wc))
+      .withColumn("c2", col("__off_n2v") + sum("n2v").over(wc))
       .agg(
-        max(abs(col("c1").cast("decimal(38,0)") * col("n2t").cast("decimal(38,0)") -
-          col("c2").cast("decimal(38,0)") * col("n1t").cast("decimal(38,0)"))).as("dnum"),
-        max("n1t").as("n1"), max("n2t").as("n2"))
-    val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
+        max(abs(col("c1").cast("decimal(38,0)") * lit(totals("n2v")).cast("decimal(38,0)") -
+          col("c2").cast("decimal(38,0)") * lit(totals("n1v")).cast("decimal(38,0)"))).as("dnum"))
+    val n1d = lit(totals("n1v")).cast("double"); val n2d = lit(totals("n2v")).cast("double")
     val dRaw = col("dnum").cast("double") / (n1d * n2d)
     s.select(
-      col("n1").cast("long").as("n_click"),
-      col("n2").cast("long").as("n_error"),
+      lit(totals("n1v")).as("n_click"),
+      lit(totals("n2v")).as("n_error"),
       col("dnum").cast("double").as("d_num"),
       round(dRaw, 6).as("d_stat"),
       round(dRaw * sqrt(n1d * n2d / (n1d + n2d)), 4).as("ks_z"))

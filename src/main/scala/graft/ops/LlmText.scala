@@ -508,8 +508,12 @@ object LlmText {
     * corpus-wide document frequency — so the corpus is scanned once,
     * not once per consumer. Smooth idf ln((1+N)/(1+df)) and the tf·idf
     * product are the only floats (one fixed IEEE sequence both
-    * engines, d25 discipline); ranking orders by the UNROUNDED score
-    * with the term as tiebreak, and Catalyst plans the rank≤3 filter
+    * engines, d25 discipline); ranking orders by the 6-decimal-ROUNDED
+    * score with the term as tiebreak on BOTH engines (ADVICE r13: ln
+    * is not correctly rounded, so ranking by the raw score lets a
+    * sub-ulp JVM-vs-libm divergence flip top-3 membership between
+    * near-equal scores; after rounding, the compared keys are
+    * identical on both sides), and Catalyst plans the rank≤3 filter
     * as WindowGroupLimit — per-task top-3 pruning ahead of the
     * exchange. The doc-count scalar broadcasts (one row). */
   private def l41TfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
@@ -528,12 +532,12 @@ object LlmText {
     pairs.filter(col("doc_id") < 100)
       .join(dfTab, Seq("term"))
       .crossJoin(broadcast(total))
-      .withColumn("score", score)
+      .withColumn("score6", round(score, 6))
       .withColumn("rk", row_number().over(
-        w.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
+        w.partitionBy("doc_id").orderBy(col("score6").desc, col("term"))))
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("dcount"),
-        round(col("score"), 6).as("tfidf6"))
+        col("score6").as("tfidf6"))
       .orderBy("doc_id", "rk")
   }
 
@@ -666,11 +670,11 @@ object LlmText {
         |dfq AS (SELECT term, count(*) AS dcount FROM pairs GROUP BY 1),
         |n AS (SELECT count(*) AS n_docs FROM documents),
         |s AS (SELECT p.doc_id, p.term, p.tf, d.dcount,
-        |    CAST(p.tf AS DOUBLE) * ln((1.0 + CAST(n.n_docs AS DOUBLE)) / (1.0 + CAST(d.dcount AS DOUBLE))) AS score
+        |    round(CAST(p.tf AS DOUBLE) * ln((1.0 + CAST(n.n_docs AS DOUBLE)) / (1.0 + CAST(d.dcount AS DOUBLE))), 6) AS score6
         |  FROM pairs p JOIN dfq d USING (term) CROSS JOIN n
         |  WHERE p.doc_id < 100),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM s)
-        |SELECT doc_id, rk, term, tf, dcount, round(score, 6) AS tfidf6
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score6 DESC, term) AS rk FROM s)
+        |SELECT doc_id, rk, term, tf, dcount, score6 AS tfidf6
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "l34_bigram_stats" ->
       """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x != '') AS tk
