@@ -17,27 +17,55 @@ import org.apache.spark.sql.DataFrame
   * tallied as skipped — the sweep's value is the parseable subset.
   *
   * Usage: runMain graft.SqlSweep <sfDir> [name...]
-  * `SqlParitySpec` pins the sweep's result (mismatches == 0, floor on
-  * the parity count) every test run at sf0.001. */
+  * `SqlParitySpec`'s "full oracle-SQL sweep" test pins the result
+  * (mismatch and dfError both empty, floor on the parity count) every
+  * test run at sf0.001 — the parseable subset can only grow. */
 object SqlSweep {
 
-  final case class Result(parity: Seq[String], mismatch: Seq[String], skipped: Seq[String])
+  /** `mismatch` = both plans ran and produced different values (a real
+    * parity break); `dfError` = the DataFrame side (or the comparison
+    * harness) threw after the SQL side ran — an environment/harness
+    * failure, reported separately so exit 1 ⇒ genuine value divergence
+    * (ADVICE r12). */
+  final case class Result(parity: Seq[String], mismatch: Seq[String],
+      skipped: Seq[String], dfError: Seq[String])
 
-  /** Normalize a collected cell for cross-plan comparison: exact for
-    * everything except Decimal, which compares by value (the two
-    * renderings may carry different scales for the same number). */
-  private def norm(v: Any): Any = v match {
-    case d: java.math.BigDecimal => d.stripTrailingZeros
-    case d: BigDecimal => d.underlying.stripTrailingZeros
-    case a: Seq[_] => a.map(norm)
-    case r: org.apache.spark.sql.Row => r.toSeq.map(norm)
-    case x => x
+  /** Cell equivalence for cross-RENDERING comparison: numbers compare
+    * by VALUE across the numeric tower (a `100.0` literal parses as
+    * DECIMAL(4,1) in SQL text but builds DoubleType through `lit` —
+    * same arithmetic, different carrier; e12 was the first false
+    * positive). Decimal-vs-decimal stays exact (`compareTo`, scale-
+    * blind); any pair involving a float/double compares at double
+    * precision with NaN==NaN bit discipline. This is deliberately
+    * LOOSER than the driver's type-sensitive hash — the sweep checks
+    * that two renderings of the same plan agree, not that types
+    * round-trip; the DuckDB gate keeps full type sensitivity. */
+  private def cellEq(a: Any, b: Any): Boolean = (a, b) match {
+    case (null, null) => true
+    case (null, _) | (_, null) => false
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y) == 0
+    case (x: Number, y: Number) =>
+      def integral(n: Number) = n match {
+        case _: java.lang.Byte | _: java.lang.Short |
+             _: java.lang.Integer | _: java.lang.Long => true
+        case _ => false
+      }
+      if (integral(x) && integral(y)) x.longValue == y.longValue
+      else java.lang.Double.compare(x.doubleValue, y.doubleValue) == 0
+    case (xs: Seq[_], ys: Seq[_]) =>
+      xs.size == ys.size && xs.lazyZip(ys).forall(cellEq)
+    case (xr: org.apache.spark.sql.Row, yr: org.apache.spark.sql.Row) =>
+      cellEq(xr.toSeq, yr.toSeq)
+    case _ => a == b
   }
+
+  private def rowsEq(d: Seq[Seq[Any]], o: Seq[Seq[Any]]): Boolean =
+    d.size == o.size && d.lazyZip(o).forall((x, y) => cellEq(x, y))
 
   private def cells(df: DataFrame): Seq[Seq[Any]] = {
     val cols = df.columns.sorted.toIndexedSeq
     df.select(cols.map(org.apache.spark.sql.functions.col): _*)
-      .collect().toSeq.map(_.toSeq.map(norm))
+      .collect().toSeq.map(_.toSeq)
   }
 
   def sweep(spark: org.apache.spark.sql.SparkSession, sfDir: String,
@@ -46,6 +74,7 @@ object SqlSweep {
     val parity = scala.collection.mutable.ArrayBuffer.empty[String]
     val mismatch = scala.collection.mutable.ArrayBuffer.empty[String]
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    val dfError = scala.collection.mutable.ArrayBuffer.empty[String]
     val names = SparkEntry.oracleSql.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
     for (name <- names) {
@@ -60,26 +89,29 @@ object SqlSweep {
       viaSql.foreach { o =>
         try {
           val d = cells(SparkEntry.queries(name)(spark, sfDir))
-          if (d == o) { parity += name; if (verbose) println(s"[sweep] parity $name (${d.size} rows)") }
+          if (rowsEq(d, o)) { parity += name; if (verbose) println(s"[sweep] parity $name (${d.size} rows)") }
           else {
             mismatch += name
             if (verbose) {
               println(s"[sweep] MISMATCH $name: df=${d.size} rows sql=${o.size} rows")
               d.zipAll(o, null, null).zipWithIndex.collectFirst {
-                case ((a, b), i) if a != b => println(s"  row $i\n    df : $a\n    sql: $b")
+                case ((a, b), i) if a == null || b == null || !cellEq(a, b) =>
+                  println(s"  row $i\n    df : $a\n    sql: $b")
               }
             }
           }
         } catch { case e: Throwable =>
-          mismatch += name
-          if (verbose) println(s"[sweep] MISMATCH $name (df side failed): ${e.getMessage}")
+          dfError += name
+          if (verbose) println(s"[sweep] DF-ERROR $name (df side failed, not a value mismatch): ${e.getMessage}")
         }
       }
     }
     if (verbose)
-      println(s"[sweep] total=${names.size} parity=${parity.size} mismatch=${mismatch.size} skipped=${skipped.size}" +
-        (if (mismatch.nonEmpty) s"\n[sweep] mismatches: ${mismatch.mkString(", ")}" else ""))
-    Result(parity.toSeq, mismatch.toSeq, skipped.toSeq)
+      println(s"[sweep] total=${names.size} parity=${parity.size} mismatch=${mismatch.size} " +
+        s"skipped=${skipped.size} dfError=${dfError.size}" +
+        (if (mismatch.nonEmpty) s"\n[sweep] mismatches: ${mismatch.mkString(", ")}" else "") +
+        (if (dfError.nonEmpty) s"\n[sweep] df errors: ${dfError.mkString(", ")}" else ""))
+    Result(parity.toSeq, mismatch.toSeq, skipped.toSeq, dfError.toSeq)
   }
 
   def main(args: Array[String]): Unit = {
@@ -87,6 +119,9 @@ object SqlSweep {
     val spark = Engine.session()
     val r = sweep(spark, sfDir, args.drop(1).toSet)
     spark.stop()
+    // exit 1 only on a genuine value-parity break; df-side/harness
+    // errors exit 2 so callers can tell the buckets apart.
     if (r.mismatch.nonEmpty) sys.exit(1)
+    if (r.dfError.nonEmpty) sys.exit(2)
   }
 }

@@ -199,9 +199,24 @@ object Differential {
 
   private def dname(s: Long): String = s"fzds${s}_distinctagg"
 
-  /** Frozen GROUPING SETS seeds (round 13): first seed whose set list
-    * includes a single-column mid set, plus seed 1. */
-  val frozenGsetsSeeds: Seq[Long] = Seq(1L, 2L)
+  /** Frozen GROUPING SETS seeds (round 13; derivation fixed round 14 —
+    * ADVICE r13 said the "mid-set" claim was hardcoded, not searched):
+    * the same first-seeds-that-fill rule as every other family, with
+    * the quota property read off the RENDERED set list — one seed WITH
+    * a single-column mid set (the Expand path between the full pair
+    * and the grand total) and one WITHOUT (pair + grand total only),
+    * so both planning paths stay pinned by construction. */
+  val frozenGsetsSeeds: Seq[Long] = {
+    // a mid set renders as `(colname)` — one identifier, no comma; the
+    // grand total renders `()` and the full pair contains a comma.
+    def hasMid(s: Long): Boolean =
+      "GROUPING SETS \\(([^H]*)\\) HAVING".r
+        .findFirstMatchIn(PlanGen.generateGroupingSets(s).sparkSql)
+        .exists(m => "\\([a-z_0-9]+\\)".r.findFirstIn(m.group(1)).isDefined)
+    val withMid = (1L to 10000L).find(hasMid).get
+    val withoutMid = (1L to 10000L).find(s => !hasMid(s)).get
+    Seq(withMid, withoutMid).distinct.sorted
+  }
 
   private def gsname(s: Long): String = s"fzgs${s}_gsets"
 
@@ -225,6 +240,56 @@ object Differential {
   }
 
   private def noname(s: Long): String = s"fzno${s}_${PlanGen.generateNullOrder(s).shape}"
+
+  /** Generic first-seeds-that-fill search (the rule every family
+    * above applies by hand). */
+  private def fillQuota(quota: Map[String, Int], shapeOf: Long => String): Seq[Long] = {
+    val have = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var s = 1L
+    while (picked.size < quota.values.sum && s < 10000L) {
+      val shape = shapeOf(s)
+      if (have(shape) < quota.getOrElse(shape, 0)) {
+        have(shape) += 1
+        picked += s
+      }
+      s += 1
+    }
+    picked.toSeq
+  }
+
+  /** Frozen ASOF seeds (round 14 — VERDICT r13 #6): one per join-type
+    * × strictness sub-shape, so the native-DuckDB-ASOF vs
+    * Spark-window-rewrite differential pins all four semantic
+    * corners (inner/left × ≥/>) cross-engine. */
+  private val asofQuota = Map(
+    "asof_inner_ge" -> 1, "asof_inner_gt" -> 1,
+    "asof_left_ge" -> 1, "asof_left_gt" -> 1)
+
+  val frozenAsofSeeds: Seq[Long] =
+    fillQuota(asofQuota, s => PlanGen.generateAsof(s).shape)
+
+  private def asname(s: Long): String = s"fzas${s}_${PlanGen.generateAsof(s).shape}"
+
+  /** Frozen LIMIT BY seeds (round 14): category-group and
+    * modulus-group sub-shapes — QUALIFY (DuckDB) vs row_number
+    * subquery (Spark). */
+  private val limitByQuota = Map("limitby_cat" -> 1, "limitby_mod" -> 1)
+
+  val frozenLimitBySeeds: Seq[Long] =
+    fillQuota(limitByQuota, s => PlanGen.generateLimitBy(s).shape)
+
+  private def lbname(s: Long): String = s"fzlb${s}_${PlanGen.generateLimitBy(s).shape}"
+
+  /** Frozen WITH FILL seeds (round 14): zero-filled and NULL-gap
+    * sub-shapes — generate_series (DuckDB) vs explode(sequence)
+    * (Spark) spine constructions. */
+  private val fillShapeQuota = Map("fill_zero" -> 1, "fill_null" -> 1)
+
+  val frozenWithFillSeeds: Seq[Long] =
+    fillQuota(fillShapeQuota, s => PlanGen.generateWithFill(s).shape)
+
+  private def wfname(s: Long): String = s"fzwf${s}_${PlanGen.generateWithFill(s).shape}"
 
   /** Run a generated plan through its Spark-SQL TEXT rendering
     * (VERDICT r11 #7): the frozen rows then exercise the full parser →
@@ -251,6 +316,9 @@ object Differential {
       frozenSubqSeeds.map(s => qname(s) -> viaSql(PlanGen.generateSubq(s))).toMap ++
       frozenChain3Seeds.map(s => xname(s) -> viaSql(PlanGen.generateChain3(s))).toMap ++
       frozenNullOrdSeeds.map(s => noname(s) -> viaSql(PlanGen.generateNullOrder(s))).toMap ++
+      frozenAsofSeeds.map(s => asname(s) -> viaSql(PlanGen.generateAsof(s))).toMap ++
+      frozenLimitBySeeds.map(s => lbname(s) -> viaSql(PlanGen.generateLimitBy(s))).toMap ++
+      frozenWithFillSeeds.map(s => wfname(s) -> viaSql(PlanGen.generateWithFill(s))).toMap ++
       frozenGsetsSeeds.map(s => gsname(s) -> viaSql(PlanGen.generateGroupingSets(s))).toMap ++
       frozenDistinctSeeds.map(s => dname(s) -> viaSql(PlanGen.generateDistinct(s))).toMap
 
@@ -269,6 +337,9 @@ object Differential {
       frozenSubqSeeds.map(s => qname(s) -> PlanGen.generateSubq(s).build).toMap ++
       frozenChain3Seeds.map(s => xname(s) -> PlanGen.generateChain3(s).build).toMap ++
       frozenNullOrdSeeds.map(s => noname(s) -> PlanGen.generateNullOrder(s).build).toMap ++
+      frozenAsofSeeds.map(s => asname(s) -> PlanGen.generateAsof(s).build).toMap ++
+      frozenLimitBySeeds.map(s => lbname(s) -> PlanGen.generateLimitBy(s).build).toMap ++
+      frozenWithFillSeeds.map(s => wfname(s) -> PlanGen.generateWithFill(s).build).toMap ++
       frozenGsetsSeeds.map(s => gsname(s) -> PlanGen.generateGroupingSets(s).build).toMap ++
       frozenDistinctSeeds.map(s => dname(s) -> PlanGen.generateDistinct(s).build).toMap
 
@@ -284,6 +355,9 @@ object Differential {
       frozenSubqSeeds.map(s => qname(s) -> PlanGen.generateSubq(s).duckSql).toMap ++
       frozenChain3Seeds.map(s => xname(s) -> PlanGen.generateChain3(s).duckSql).toMap ++
       frozenNullOrdSeeds.map(s => noname(s) -> PlanGen.generateNullOrder(s).duckSql).toMap ++
+      frozenAsofSeeds.map(s => asname(s) -> PlanGen.generateAsof(s).duckSql).toMap ++
+      frozenLimitBySeeds.map(s => lbname(s) -> PlanGen.generateLimitBy(s).duckSql).toMap ++
+      frozenWithFillSeeds.map(s => wfname(s) -> PlanGen.generateWithFill(s).duckSql).toMap ++
       frozenGsetsSeeds.map(s => gsname(s) -> PlanGen.generateGroupingSets(s).duckSql).toMap ++
       frozenDistinctSeeds.map(s => dname(s) -> PlanGen.generateDistinct(s).duckSql).toMap
 }

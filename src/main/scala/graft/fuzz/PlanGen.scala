@@ -77,6 +77,16 @@ object PlanGen {
     (lineitem, supplier, "l_suppkey", "s_suppkey"),
     (orders, customer, "o_custkey", "c_custkey"))
 
+  /** (probe, build, probeKey, buildKey) ASOF edges — probe AND build
+    * each carry a ts column (`T.date`). Self-edges model the classic
+    * "latest state as of ts" shape over differently-filtered subsets;
+    * the cross edge joins lineitems to their order's timeline. */
+  private val asofEdges = Seq(
+    (lineitem, orders, "l_orderkey", "o_orderkey"),
+    (orders, orders, "o_custkey", "o_custkey"),
+    (lineitem, lineitem, "l_suppkey", "l_suppkey"),
+    (lineitem, lineitem, "l_partkey", "l_partkey"))
+
   /** Numeric threshold domains per column (plausible selectivities). */
   private val numDomain: Map[String, (Double, Double)] = Map(
     "l_quantity" -> (1.0, 50.0), "l_extendedprice" -> (1000.0, 90000.0),
@@ -1143,6 +1153,198 @@ object PlanGen {
         Generated(seed, "nullord_window", build, sql, sql)
       }
     }
+
+    // ---- ASOF / LIMIT BY / WITH FILL surface (round 14) -------------
+
+    /** ASOF-join plan (SURVEY §2 C6; VERDICT r13 #6 — the hand-
+      * rewritten composite operators are exactly where a seed sweep
+      * finds edge mismatches the single declared query can't): for
+      * each probe row, the ONE build row with the greatest build-ts
+      * satisfying the ts inequality. The build side is pre-aggregated
+      * UNIQUE per (key, ts), so the ASOF pick is deterministic on both
+      * engines; the result rolls up per probe category so output stays
+      * bounded at any sf. Renderings genuinely diverge: DuckDB runs
+      * its NATIVE `ASOF [LEFT] JOIN` operator, Spark runs the
+      * union + carry-forward-window rewrite — production c6's O(n)
+      * shape (NO join operator: a pairwise equi+range join enumerates
+      * O(probe × build) rows per key — measured 26 s at sf0.01 before
+      * this form — while the union touches each row once). Strictness
+      * is encoded in the union SORT: build rows order before probe
+      * rows at equal ts for `>=` (kind 0 < 1) and after for `>`
+      * (kind 2 > 1), so the same 1-PRECEDING carry frame implements
+      * both. Sub-shape encodes join type × strictness so all four
+      * paths stay quota-pinned. */
+    def runAsof(): Generated = {
+      val (l, r, lk, rk) = pick(asofEdges)
+      val (pl, pr) = (filterFor(l), filterFor(r))
+      val lts = l.date.get
+      val rts = r.date.get
+      val rval = pick(r.nums)
+      val leftOuter = maybe(0.5)
+      val strict = maybe(0.4)
+      val op = if (strict) ">" else ">="
+      val buildKind = if (strict) 2 else 0
+      val g = pick(l.cats.keys.toSeq.sorted)
+      val shape = s"asof_${if (leftOuter) "left" else "inner"}_${if (strict) "gt" else "ge"}"
+      val buildSql = s"(SELECT $rk AS bk, $rts AS bts, max($rval) AS bval " +
+        s"FROM ${r.name} WHERE ${pr.sql} GROUP BY $rk, $rts) ba"
+      def aggSql(duck: Boolean, bcol: String) = {
+        val sumS =
+          if (duck) s"CAST(CAST(sum(CAST($bcol AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
+          else s"CAST(sum(CAST($bcol AS DECIMAL(18,2))) AS DOUBLE)"
+        s"count(*) AS n_rows, count($bcol) AS n_hit, $sumS AS s_bval"
+      }
+      val duckSql =
+        s"SELECT $g AS g, ${aggSql(true, "bval")} FROM (SELECT * FROM ${l.name} WHERE ${pl.sql}) pa " +
+          s"${if (leftOuter) "ASOF LEFT JOIN" else "ASOF JOIN"} $buildSql " +
+          s"ON pa.$lk = ba.bk AND pa.$lts $op ba.bts GROUP BY $g ORDER BY $g"
+      val sparkSql =
+        s"SELECT g, ${aggSql(false, "bv")} FROM (" +
+          s"SELECT g, kind, last_value(bval) IGNORE NULLS OVER (" +
+          s"PARTITION BY k ORDER BY ts, kind ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bv " +
+          s"FROM (SELECT bk AS k, bts AS ts, $buildKind AS kind, bval, CAST(NULL AS STRING) AS g FROM $buildSql " +
+          s"UNION ALL SELECT $lk AS k, $lts AS ts, 1 AS kind, CAST(NULL AS DOUBLE) AS bval, $g AS g " +
+          s"FROM ${l.name} WHERE ${pl.sql}) u) m " +
+          s"WHERE kind = 1${if (leftOuter) "" else " AND bv IS NOT NULL"} GROUP BY g ORDER BY g"
+      val build = (s: SparkSession, dir: String) => {
+        val ba = Engine.t(s, dir, r.name).filter(pr.cond)
+          .groupBy(col(rk).as("k"), col(rts).as("ts"))
+          .agg(max(col(rval)).as("bval"))
+          .select(col("k"), col("ts"), lit(buildKind).as("kind"), col("bval"),
+            lit(null).cast("string").as("g"))
+        val pa = Engine.t(s, dir, l.name).filter(pl.cond)
+          .select(col(lk).as("k"), col(lts).as("ts"), lit(1).as("kind"),
+            lit(null).cast("double").as("bval"), col(g).as("g"))
+        val w = Window.partitionBy("k").orderBy(col("ts").asc, col("kind").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carried = ba.unionByName(pa)
+          .withColumn("bv", last(col("bval"), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1)
+        (if (leftOuter) carried else carried.filter(col("bv").isNotNull))
+          .groupBy(col("g"))
+          .agg(count(lit(1)).as("n_rows"), count(col("bv")).as("n_hit"),
+            sum(col("bv").cast("decimal(18,2)")).cast("double").as("s_bval"))
+          .orderBy(col("g"))
+      }
+      Generated(seed, shape, build, sparkSql, duckSql)
+    }
+
+    /** ClickHouse `LIMIT n [OFFSET o] BY g` plan (SURVEY §2 F4):
+      * per-group top-n-from-offset over a total order (value dir +
+      * unique-key tiebreak — no tie nondeterminism). Spark renders the
+      * row_number subquery (which Catalyst plans as WindowGroupLimit —
+      * partial per-task pruning ahead of the exchange, the scale
+      * path); DuckDB renders its native QUALIFY clause, so the two
+      * engines reach the same row set through different planner
+      * features. Group is a category column or an integer modulus
+      * (cast to BIGINT in all three renderings — engines must not
+      * disagree on the modulus' width). */
+    def runLimitBy(): Generated = {
+      val t = pick(singles)
+      val p = filterFor(t)
+      val v = pick(t.nums)
+      // shape decided AFTER the filter draws: java.util.Random's FIRST
+      // draw is nearly constant across sequential seeds (the scrambled
+      // seed's high bits creep), so a first-draw shape selector would
+      // leave one sub-shape unreachable until seed ~4096; supplier has
+      // no category columns and always takes the modulus group.
+      val modShape = t.cats.isEmpty || maybe(0.4)
+      val descOrd = maybe(0.7)
+      val n = 1 + rnd.nextInt(4)
+      val off = if (maybe(0.4)) 1 + rnd.nextInt(2) else 0
+      val (gSql, gCol, shape) =
+        if (modShape) {
+          val c = pick(t.ints); val m = 3 + rnd.nextInt(8)
+          (s"CAST($c % $m AS BIGINT)", (col(c) % m).cast("long"), "limitby_mod")
+        } else {
+          val c = pick(t.cats.keys.toSeq.sorted)
+          (c, col(c), "limitby_cat")
+        }
+      val dirSql = if (descOrd) "DESC" else "ASC"
+      val uk = t.unique.mkString(", ")
+      val outCols = (t.unique :+ v).distinct
+      val lo = off + 1; val hi = off + n
+      val sparkSql =
+        s"SELECT g, ${outCols.mkString(", ")}, rn FROM (" +
+          s"SELECT $gSql AS g, ${outCols.mkString(", ")}, " +
+          s"row_number() OVER (PARTITION BY $gSql ORDER BY $v $dirSql, $uk) AS rn " +
+          s"FROM ${t.name} WHERE ${p.sql}) " +
+          s"WHERE rn BETWEEN $lo AND $hi ORDER BY g, rn"
+      val duckSql =
+        s"SELECT $gSql AS g, ${outCols.mkString(", ")}, " +
+          s"row_number() OVER (PARTITION BY $gSql ORDER BY $v $dirSql, $uk) AS rn " +
+          s"FROM ${t.name} WHERE ${p.sql} " +
+          s"QUALIFY rn BETWEEN $lo AND $hi ORDER BY g, rn"
+      val build = (s: SparkSession, dir: String) => {
+        val lead = if (descOrd) col(v).desc else col(v).asc
+        val w = Window.partitionBy(gCol).orderBy(lead +: t.unique.map(col(_).asc): _*)
+        Engine.t(s, dir, t.name).filter(p.cond)
+          .withColumn("g", gCol)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn").between(lo, hi))
+          .select((("g" +: outCols) :+ "rn").map(col): _*)
+          .orderBy(col("g"), col("rn"))
+      }
+      Generated(seed, shape, build, sparkSql, duckSql)
+    }
+
+    /** ClickHouse `ORDER BY … WITH FILL FROM lo TO hi STEP s` plan
+      * (SURVEY §2 F5): gap-filling over an integer bucket spine —
+      * missing buckets materialize as zero/NULL rows. Spark renders
+      * the spine as `explode(sequence(...))` (the declared f5's
+      * composite shape), DuckDB as its `generate_series` table
+      * function — structurally different constructions that must agree
+      * row-for-row, including the filled-vs-present boundary and the
+      * STEP-skipped buckets. Bucket floors run double-division-then-
+      * floor, identical IEEE arithmetic on both engines. */
+    def runWithFill(): Generated = {
+      val candidates = Seq(
+        (lineitem, "l_quantity", Seq(5, 10)),
+        (orders, "o_totalprice", Seq(25000, 50000)),
+        (part, "p_size", Seq(5, 10)),
+        (customer, "c_acctbal", Seq(1000, 2000)))
+      val (t, c, widths) = pick(candidates)
+      val p = filterFor(t)
+      val v = pick(t.nums)
+      val w = pick(widths)
+      val (dLo, dHi) = numDomain.getOrElse(c, (1.0, 50.0))
+      val bLo = math.floor(dLo / w).toLong
+      val bHi = math.floor(dHi / w).toLong
+      val step = if (maybe(0.25)) 2L else 1L
+      val fillZero = maybe(0.6)
+      val shape = if (fillZero) "fill_zero" else "fill_null"
+      def aggSub(duck: Boolean) = {
+        val sumS =
+          if (duck) s"CAST(CAST(sum(CAST($v AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
+          else s"CAST(sum(CAST($v AS DECIMAL(18,2))) AS DOUBLE)"
+        s"(SELECT CAST(floor($c / $w) AS BIGINT) AS ab, count(*) AS an, $sumS AS asum " +
+          s"FROM ${t.name} WHERE ${p.sql} GROUP BY 1) ag"
+      }
+      val outSel =
+        if (fillZero) "CAST(coalesce(an, 0) AS BIGINT) AS n, coalesce(asum, 0.0) AS s"
+        else "an AS n, asum AS s"
+      val sparkSql =
+        s"SELECT sp.b AS b, $outSel FROM " +
+          s"(SELECT explode(sequence(CAST($bLo AS BIGINT), CAST($bHi AS BIGINT), CAST($step AS BIGINT))) AS b) sp " +
+          s"LEFT JOIN ${aggSub(false)} ON sp.b = ag.ab ORDER BY b"
+      val duckSql =
+        s"SELECT sp.b AS b, $outSel FROM " +
+          s"(SELECT CAST(generate_series AS BIGINT) AS b FROM generate_series($bLo, $bHi, $step)) sp " +
+          s"LEFT JOIN ${aggSub(true)} ON sp.b = ag.ab ORDER BY b"
+      val build = (s: SparkSession, dir: String) => {
+        val ag = Engine.t(s, dir, t.name).filter(p.cond)
+          .groupBy(floor(col(c) / w).cast("long").as("ab"))
+          .agg(count(lit(1)).as("an"),
+            sum(col(v).cast("decimal(18,2)")).cast("double").as("asum"))
+        val sp = s.range(bLo, bHi + 1, step).select(col("id").as("b"))
+        val joined = sp.join(ag, sp("b") === ag("ab"), "left")
+        val (nC, sC) =
+          if (fillZero) (coalesce(col("an"), lit(0L)).as("n"), coalesce(col("asum"), lit(0.0)).as("s"))
+          else (col("an").as("n"), col("asum").as("s"))
+        joined.select(col("b"), nC, sC).orderBy("b")
+      }
+      Generated(seed, shape, build, sparkSql, duckSql)
+    }
   }
 
   /** Composite window→agg plan for the same seed space — see
@@ -1185,4 +1387,16 @@ object PlanGen {
 
   /** Explicit NULLS FIRST/LAST ordering plan — see [[Gen.runNullOrder]]. */
   def generateNullOrder(seed: Long): Generated = new Gen(seed).runNullOrder()
+
+  /** ASOF-join plan (native ASOF JOIN on DuckDB vs window rewrite on
+    * Spark) — see [[Gen.runAsof]]. */
+  def generateAsof(seed: Long): Generated = new Gen(seed).runAsof()
+
+  /** LIMIT n OFFSET o BY g plan (QUALIFY on DuckDB vs row_number
+    * subquery on Spark) — see [[Gen.runLimitBy]]. */
+  def generateLimitBy(seed: Long): Generated = new Gen(seed).runLimitBy()
+
+  /** WITH FILL gap-filling plan (generate_series vs explode(sequence))
+    * — see [[Gen.runWithFill]]. */
+  def generateWithFill(seed: Long): Generated = new Gen(seed).runWithFill()
 }

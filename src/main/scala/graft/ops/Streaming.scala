@@ -483,7 +483,13 @@ object Streaming {
     * windows from the on-time file alone — a single late row leaking
     * in (or an unclosed window leaking out) fails the hash. */
   private def j9WatermarkLateDrop(spark: SparkSession, dir: String): DataFrame = withStreamingPartitions(spark) {
-    val staged = Engine.stagingCache(dir, "events_src_wm4")
+    // All four batch id-bands live inside 0..899/900..999 — event_id is
+    // dense from 0 at EVERY sf (sf0.001 tops out at 999; the previous
+    // absolute bands ≥1000 left batches 2-4 EMPTY there, so the
+    // watermark never advanced and append mode emitted nothing — found
+    // by the r14 SqlSweep gate, which runs the declared entries at
+    // sf0.001). Cache name bumped (wm5) so stale wm4 layouts restage.
+    val staged = Engine.stagingCache(dir, "events_src_wm5")
     dropStaleNtzCache(spark, staged)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val done = new org.apache.hadoop.fs.Path(staged + "/_WM_STAGED")
@@ -493,13 +499,13 @@ object Streaming {
         ev.filter(cond).withColumn("ts",
           expr(s"timestampadd(SECOND, cast($secExpr as int), timestamp'2024-06-01 00:00:00')"))
       Seq(
-        reshape(col("event_id") < 1000, "(event_id * 7) % 3600"), // on-time hour
-        reshape(col("event_id").between(1000, 1009), "7200 + event_id % 600"), // raises max event time to ~02:07
+        reshape(col("event_id") < 900, "(event_id * 7) % 3600"), // on-time hour
+        reshape(col("event_id").between(900, 909), "7200 + event_id % 600"), // raises max event time to ~02:05
         // spacer batch: state eviction happens at END of a batch using the
         // watermark derived from PRIOR batches — this batch runs with
-        // watermark ≈01:37, so the first two windows close and emit here
-        reshape(col("event_id").between(2000, 2004), "8400 + event_id % 60"),
-        reshape(col("event_id").between(1010, 1099), "(event_id * 7) % 1200") // LATE replay of first 20 min
+        // watermark ≈01:35, so the first two windows close and emit here
+        reshape(col("event_id").between(950, 954), "8400 + event_id % 60"),
+        reshape(col("event_id").between(910, 949), "(event_id * 7) % 1200") // LATE replay of first 20 min
       ).zipWithIndex.foreach { case (df, i) =>
         df.coalesce(1).write.mode(if (i == 0) "overwrite" else "append").parquet(staged)
         Thread.sleep(100) // strictly increasing mod-time → arrival order
@@ -792,7 +798,7 @@ object Streaming {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "j9_watermark_late_drop" ->
-      """WITH f0 AS (SELECT (event_id * 7) % 3600 AS s FROM events WHERE event_id < 1000)
+      """WITH f0 AS (SELECT (event_id * 7) % 3600 AS s FROM events WHERE event_id < 900)
         |SELECT * FROM (
         |  SELECT '2024-06-01 00:00' AS w_start, '2024-06-01 00:30' AS w_end,
         |    count(*) AS n FROM f0 WHERE s < 1800

@@ -225,6 +225,58 @@ class DifferentialSpec extends AnyFunSuite {
       s"nullord shape coverage hole: $shapes")
   }
 
+  test("100 ASOF-join plans: DataFrame window rewrite equals spark.sql rendering") {
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateAsof(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+    // all four semantic corners (inner/left × ≥/>) must occur
+    assert(Set("asof_inner_ge", "asof_inner_gt", "asof_left_ge", "asof_left_gt")
+      .subsetOf(shapes.keySet), s"asof shape coverage hole: $shapes")
+  }
+
+  test("100 LIMIT BY plans: DataFrame build equals spark.sql rendering") {
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateLimitBy(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+    assert(Set("limitby_cat", "limitby_mod").subsetOf(shapes.keySet),
+      s"limitby shape coverage hole: $shapes")
+  }
+
+  test("100 WITH FILL plans: DataFrame build equals spark.sql rendering") {
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateWithFill(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+    assert(Set("fill_zero", "fill_null").subsetOf(shapes.keySet),
+      s"fill shape coverage hole: $shapes")
+  }
+
   test("frozen fz* queries build and their SQL renderings stay stable") {
     // the driver's correctness gate replays these against DuckDB; this
     // test pins that each frozen seed still builds, returns rows, and

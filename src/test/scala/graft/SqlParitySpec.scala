@@ -75,6 +75,20 @@ class SqlParitySpec extends AnyFunSuite {
     assert(sql.count() > 0)
   }
 
+  test("full oracle-SQL sweep: every Spark-parseable oracle equals its DataFrame plan") {
+    // The sweep runs EVERY declared oracle whose DuckDB SQL text Spark
+    // itself can parse, and value-compares it against the declared
+    // DataFrame entry (SqlSweep's contract). Pinned here so the SQL
+    // front door can't silently rot (ADVICE r13): zero value
+    // mismatches, zero df-side errors, and a FLOOR on the parity count
+    // so the parseable subset can only grow.
+    val r = SqlSweep.sweep(spark, sf, verbose = false)
+    assert(r.mismatch.isEmpty, s"SQL-vs-DataFrame parity breaks: ${r.mismatch.mkString(", ")}")
+    assert(r.dfError.isEmpty, s"df-side errors during sweep: ${r.dfError.mkString(", ")}")
+    assert(r.parity.size >= 116,
+      s"parity count regressed: ${r.parity.size} < 116 (skipped=${r.skipped.size})")
+  }
+
   test("window + LIMIT BY shape through SQL equals the declared f4 result") {
     Engine.registerAll(spark, sf)
     val sql = spark.sql(
