@@ -264,17 +264,33 @@ object Events {
     * the per-customer rollup; the three ntiles share one global sort
     * at dim-table cardinality. */
   private def e15RfmSegmentation(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-    val per = Engine.t(spark, dir, "orders")
+    // Per-customer rollup GROWS with the data, so the r13 form's three
+    // bare global ntile windows were three single-task sorts of the
+    // whole customer base (the bench log's `No Partition Defined`
+    // warnings — VERDICT r13 #2's pattern beyond d34/d35). Each
+    // quartile now runs [[DistRank.ntile]] (range-exchange + staged
+    // rank + closed-form remainder rule — bit-identical to the
+    // builtin, DuckDB's flat window stays the oracle); the rollup is
+    // staged once so the three rank passes and the final join all read
+    // one materialization instead of re-aggregating orders 4×.
+    val perPath = Engine.scratch(spark, dir, "e15_per")
+    Engine.t(spark, dir, "orders")
       .groupBy("o_custkey")
       .agg(
         max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("freq"),
         sum(graft.CH.dec(col("o_totalprice"))).as("monetary"))
-    per
-      .withColumn("r", ntile(4).over(w.orderBy(col("last_order").desc, col("o_custkey"))))
-      .withColumn("f", ntile(4).over(w.orderBy(col("freq").desc, col("o_custkey"))))
-      .withColumn("m", ntile(4).over(w.orderBy(col("monetary").desc, col("o_custkey"))))
+      .write.mode("overwrite").parquet(perPath)
+    val per = spark.read.parquet(perPath)
+    def bucket(keyCol: String, out: String) =
+      DistRank.ntile(spark, dir, s"e15_rank_$out",
+        per.select("o_custkey", keyCol),
+        Seq(col(keyCol).desc, col("o_custkey")), 4, out)
+        .select(col("o_custkey"), col(out))
+    per.select("o_custkey", "monetary")
+      .join(bucket("last_order", "r"), "o_custkey")
+      .join(bucket("freq", "f"), "o_custkey")
+      .join(bucket("monetary", "m"), "o_custkey")
       .withColumn("segment", concat(col("r"), col("f"), col("m")))
       .groupBy("segment")
       .agg(count(lit(1)).as("n_customers"),
