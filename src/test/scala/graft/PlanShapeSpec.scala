@@ -159,4 +159,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"),
       s"l10 expected BNLJ over the broadcast bounded side, plan:\n$plan")
   }
+
+  test("d34/d35/e15 plan no global windows (every WindowExec is partitioned)") {
+    // The r13 forms ran Window.orderBy with no partition — a
+    // single-task sort of an input that GROWS with the data (distinct
+    // event values / the per-customer rollup). The r14 staged
+    // range-exchange forms must keep every window partitioned (__pid);
+    // this pin makes the bench log's `WindowExec: No Partition
+    // Defined` warning an executable assert instead of a log grep.
+    // queryExecution.sparkPlan (pre-AQE) so collect() traverses the
+    // whole tree rather than stopping at the adaptive wrapper.
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("d34_mann_whitney", "d35_ks_test", "e15_rfm_segmentation")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val global = df.queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty,
+        s"$q plans ${global.size} unpartitioned WindowExec node(s) — " +
+          "a single-task sort at scale")
+    }
+  }
 }
