@@ -13,7 +13,7 @@ import graft.Engine
   * against DuckDB with no extra compare code.
   *
   * Usage: runMain graft.fuzz.FuzzDump <sfDir> <outDir> <kind> <from> <to>
-  * where kind ∈ base|join|scalar|composite|frame|rframe|aggfns|rollup|subq|chain3|distinct|gsets|nullord.
+  * where kind ∈ base|join|scalar|composite|frame|rframe|aggfns|rollup|subq|chain3|distinct|gsets|nullord|asof|limitby|withfill.
   */
 object FuzzDump {
   def main(args: Array[String]): Unit = {
@@ -37,6 +37,9 @@ object FuzzDump {
       case "distinct"  => PlanGen.generateDistinct
       case "gsets"     => PlanGen.generateGroupingSets
       case "nullord"   => PlanGen.generateNullOrder
+      case "asof"      => PlanGen.generateAsof
+      case "limitby"   => PlanGen.generateLimitBy
+      case "withfill"  => PlanGen.generateWithFill
       case other       => sys.error(s"unknown kind $other")
     }
     val spark = Engine.session()

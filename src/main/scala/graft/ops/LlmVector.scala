@@ -618,16 +618,31 @@ object LlmVector {
     * `(‖y‖²/k) / ‖q‖²` is the only float: two divisions over exact
     * integers, same IEEE sequence both engines. */
   private val RP_K = 8
+  /** MD5-parity ±1 projection matrix for l42, derived DRIVER-SIDE once
+    * (the md5Signs rule): sign(j,d) = +1 iff md5("rp{j}:{d}")'s u64 is
+    * even — and the little-endian u64's parity is just the FIRST digest
+    * byte's low bit, so the driver replica needs one byte. The r13 form
+    * evaluated `md5_u64` INSIDE the per-row fold: RP_K×64 = 512 MD5
+    * digests per row of a row-independent constant (~1M digests at
+    * sf0.1 — the whole 2.2 s bench line). The DuckDB oracle still
+    * re-derives the matrix independently with its own md5, so the
+    * cross-engine certification is unchanged. */
+  private lazy val rpSigns: Seq[Long] =
+    (0 until RP_K).flatMap { j =>
+      (0 until 64).map { d =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"rp$j:$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1L else -1L
+      }
+    }
+
   private def l42RandomProjection(spark: SparkSession, dir: String): DataFrame = {
-    def sgn(j: Column, d: Column): Column =
-      when(pmod(call_function("md5_u64",
-        concat(lit("rp"), j.cast("string"), lit(":"), d.cast("string"))), lit(2)) === 0,
-        lit(1L)).otherwise(lit(-1L))
+    val signs = typedLit(rpSigns)
     val projected = corpus(spark, dir)
       .select(col("vec_id"), quant(col("embedding")).as("qv"))
       .withColumn("y", transform(sequence(lit(0), lit(RP_K - 1)), j =>
         aggregate(sequence(lit(0), lit(63)), lit(0L),
-          (acc, d) => acc + sgn(j, d) * element_at(col("qv"), d + 1))))
+          (acc, d) => acc + element_at(signs, j * 64 + d + 1) * element_at(col("qv"), d + 1))))
       .withColumn("sq_q", aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x))
       .withColumn("sq_y", aggregate(col("y"), lit(0L), (acc, y) => acc + y * y))
     projected.select(
