@@ -424,6 +424,63 @@ object LlmPipeline {
       .orderBy("source")
   }
 
+  /** L43: CROSS-document repeated-substring spans — the suffix-array
+    * dedup family (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): find every W-token window that occurs in
+    * ≥2 distinct documents, then merge the per-document hit positions
+    * into MAXIMAL duplicated intervals (the spans a pipeline would cut
+    * out). Distinct from l22 (non-overlapping chunks — misses spans
+    * straddling a chunk boundary) and l39 (intra-doc only): the sliding
+    * window catches every cross-doc repetition at W-token resolution.
+    *
+    * Scale shape (the suffix array itself is replaced by relational
+    * primitives): tokenize+slide is a NARROW map — one row per token
+    * position, linear in corpus tokens; the gram TEXT never leaves the
+    * map side (hashed to 64 bits immediately, expected collisions
+    * G²/2⁶⁵ ≈ 0.005 at 100 TB's ~10¹³ grams — and a collision only
+    * OVER-marks a span, it cannot miss one); the (doc,pos,hash) stream
+    * feeds two consumers (dup-set rollup + membership join), so it is
+    * staged to scratch once (the l22/l24b multi-consumer rule); the
+    * dup set shuffles on the 8-byte hash and is orders of magnitude
+    * smaller than the corpus; the island merge windows per doc_id —
+    * bounded by a single document's token count, never global. */
+  private def l43RepeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val W = 6
+    val base = Engine.t(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_toks"), col("t"))
+      .filter(col("n_toks") >= W)
+    val grams = base
+      .withColumn("pos", explode(sequence(lit(1), (col("n_toks") - (W - 1)).cast("int"))))
+      .select(col("doc_id"), col("n_toks"), col("pos"),
+        xxhash64(concat_ws(" ", slice(col("t"), col("pos"), lit(W)))).as("h"))
+    val stagedPath = Engine.scratch(spark, dir, "l43_grams")
+    grams.write.mode("overwrite").parquet(stagedPath)
+    val g = spark.read.parquet(stagedPath)
+    val dup = g.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val hits = g.join(dup, Seq("h")).select("doc_id", "n_toks", "pos")
+    // Gaps-and-islands per doc: windows [pos, pos+W-1] merge while the
+    // next start is ≤ prev start + W (overlap or exact adjacency).
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = hits
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= W, lit(0)).otherwise(lit(1)))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("n_toks"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (W - 1)).as("e"))
+    spans.groupBy("doc_id", "n_toks")
+      .agg(
+        count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("dup_tokens"))
+      .select(
+        col("doc_id"), col("n_dup_spans"), col("dup_tokens"), col("n_toks"),
+        round(col("dup_tokens").cast("double") / col("n_toks").cast("double"), 6)
+          .as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   private def l37DedupPipeline(spark: SparkSession, dir: String): DataFrame =
     dedupVerdicts(spark, dir)
       .groupBy("source")
@@ -759,6 +816,7 @@ object LlmPipeline {
     "l38b_split_rollup" -> (l38bSplitRollup _),
     "l38c_split_verdict" -> (l38cSplitVerdict _),
     "l39_intradoc_dedup" -> (l39IntradocDedup _),
+    "l43_repeated_spans" -> (l43RepeatedSpans _),
     "l19_corpus_mix" -> (l19CorpusMix _),
     "l14_stratified_sample" -> (l14StratifiedSample _),
     "l15_pattern_scrub" -> (l15PatternScrub _),
@@ -958,6 +1016,27 @@ object LlmPipeline {
         |  (1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_toks AS DOUBLE)) <= 0.52
         |    AND CAST(top_count AS DOUBLE) / CAST(n_toks AS DOUBLE) <= 0.10 AS quality_pass
         |FROM per ORDER BY doc_id""".stripMargin,
+    // l43: the oracle groups by the gram STRING (no hashing at all) —
+    // an independent path that also certifies the 64-bit-hash dup set
+    "l43_repeated_spans" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+        |  FROM documents),
+        |d AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_toks FROM tok WHERE len(t) >= 6),
+        |g AS (SELECT doc_id, n_toks, u.i AS pos, array_to_string(t[u.i:u.i+5], ' ') AS gram
+        |      FROM d, LATERAL unnest(range(1, CAST(n_toks AS INT) - 6 + 2)) AS u(i)),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |hit AS (SELECT g.doc_id, g.n_toks, g.pos FROM g JOIN dup USING (gram)),
+        |brk AS (SELECT doc_id, n_toks, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 6
+        |              THEN 0 ELSE 1 END AS b
+        |        FROM hit),
+        |isl AS (SELECT doc_id, n_toks, pos,
+        |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM brk),
+        |sp AS (SELECT doc_id, n_toks, island, min(pos) AS s, max(pos) + 5 AS e
+        |       FROM isl GROUP BY 1, 2, 3)
+        |SELECT doc_id, count(*) AS n_dup_spans, CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+        |  n_toks, round(CAST(sum(e - s + 1) AS DOUBLE) / CAST(n_toks AS DOUBLE), 6) AS dup_ratio
+        |FROM sp GROUP BY doc_id, n_toks ORDER BY doc_id""".stripMargin,
     "l22_chunk_dedup" ->
       """WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
         |  FROM documents),

@@ -395,4 +395,87 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(mm5.getInt(2) == pairs.getLong(2).toInt, s"min_hamming: $mm5 vs $pairs")
     assert(mm5.getInt(2) == 0, "exact copies must pin min_hamming to 0")
   }
+
+  test("l43 merges repeated-span islands: overlap and exact adjacency fuse, gaps split") {
+    import spark.implicits._
+    def span(p: String, n: Int) = (1 to n).map(p + _).mkString(" ")
+    val sA = span("s", 10) // shared 10-token run A (docs 1, 2, 4, 5)
+    val sB = span("t", 10) // shared 10-token run B (docs 4, 5)
+    val docs = Seq(
+      (1L, sA + " " + span("f", 4)),                       // A at pos 1..10
+      (2L, span("g", 2) + " " + sA + " " + span("g2x", 2)), // A at pos 3..12
+      (3L, span("h", 14)),                                  // nothing shared
+      (4L, sA + " " + span("w", 8) + " " + sB),             // A, 8-token gap, B
+      (5L, sA + " " + sB)                                   // A and B ADJACENT
+    ).toDF("doc_id", "text")
+    val staged = "/tmp/graft_io/test_l43"
+    docs.select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("t").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$staged/documents.parquet")
+    val rows = LlmPipeline.queries("l43_repeated_spans")(spark, staged).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // W=6 ⇒ only grams fully inside a shared run are duplicated; the
+    // island merge must recover the FULL run (hits at p..p+4 union to
+    // [p, p+9]). Doc 4's two runs are 8 tokens apart (gap > W ⇒ two
+    // spans); doc 5's are exactly adjacent (pos diff == W ⇒ one span
+    // covering both). Doc 3 has no duplicated gram ⇒ no output row.
+    val r714 = math.rint(10.0 / 14.0 * 1e6) / 1e6
+    assert(rows.toSeq == Seq(
+      (1L, 1L, 10L, 14L, r714),
+      (2L, 1L, 10L, 14L, r714),
+      (4L, 2L, 20L, 28L, math.rint(20.0 / 28.0 * 1e6) / 1e6),
+      (5L, 1L, 20L, 20L, 1.0)), s"got: ${rows.toSeq}")
+  }
+
+  test("l43 equals a brute-force reference over randomized planted corpora") {
+    import spark.implicits._
+    val W = 6
+    // Independent algorithm: hash maps + a linear island scan (no
+    // windows, no joins) — certifies the relational rendering.
+    def reference(docs: Seq[(Long, String)]): Seq[(Long, Long, Long, Long, Double)] = {
+      val toks = docs.map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty) }
+      val gramDocs = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+      for ((id, t) <- toks; p <- 0 to t.length - W)
+        gramDocs.getOrElseUpdate(t.slice(p, p + W).mkString(" "),
+          scala.collection.mutable.Set.empty) += id
+      val dup = gramDocs.collect { case (g, ds) if ds.size >= 2 => g }.toSet
+      toks.flatMap { case (id, t) =>
+        val hits = (0 to t.length - W).filter(p => dup(t.slice(p, p + W).mkString(" ")))
+        if (hits.isEmpty) None
+        else {
+          // split where the gap between successive starts exceeds W
+          val islands = hits.tail.foldLeft(List(List(hits.head))) { (acc, p) =>
+            if (p - acc.head.head <= W) (p :: acc.head) :: acc.tail else List(p) :: acc
+          }
+          val spans = islands.map(is => (is.min, is.max + W - 1))
+          val dupTok = spans.map { case (s, e) => e - s + 1 }.sum
+          Some((id, islands.size.toLong, dupTok.toLong, t.length.toLong,
+            math.rint(dupTok.toDouble / t.length * 1e6) / 1e6))
+        }
+      }.sortBy(_._1)
+    }
+    for (seed <- 1 to 8) {
+      val rnd = new java.util.Random(seed)
+      val vocab = (0 until 8).map("v" + _)
+      def randToks(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      // planted spans long enough to guarantee interior W-grams
+      val spans = Seq.fill(3)(randToks(6 + rnd.nextInt(10)))
+      val docs = (0 until 30).map { id =>
+        var t = randToks(10 + rnd.nextInt(31))
+        for (sp <- spans if rnd.nextInt(10) < 3) { // ~30% of docs carry each span
+          val at = rnd.nextInt(t.length + 1)
+          t = t.take(at) ++ sp ++ t.drop(at)
+        }
+        (id.toLong, t.mkString(" "))
+      }
+      val staged = "/tmp/graft_io/test_l43_prop"
+      docs.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("t").as("source"), length(col("text")).cast("long").as("n_chars"))
+        .write.mode("overwrite").parquet(s"$staged/documents.parquet")
+      val got = LlmPipeline.queries("l43_repeated_spans")(spark, staged).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+      assert(got == reference(docs), s"seed $seed diverged")
+    }
+  }
 }
