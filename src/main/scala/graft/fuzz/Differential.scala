@@ -291,6 +291,29 @@ object Differential {
 
   private def wfname(s: Long): String = s"fzwf${s}_${PlanGen.generateWithFill(s).shape}"
 
+  /** Frozen QUALIFY seeds (round 14): one per window-filter path the
+    * LIMIT BY family cannot reach — rank-with-ties threshold,
+    * aggregate-over-partition predicate, lag-comparison predicate —
+    * native QUALIFY (DuckDB) vs subquery+WHERE rewrite (Spark). */
+  private val qualifyQuota = Map(
+    "qualify_rank" -> 1, "qualify_cnt" -> 1, "qualify_lag" -> 1)
+
+  val frozenQualifySeeds: Seq[Long] =
+    fillQuota(qualifyQuota, s => PlanGen.generateQualify(s).shape)
+
+  private def qlname(s: Long): String = s"fzql${s}_${PlanGen.generateQualify(s).shape}"
+
+  /** Frozen distribution-window seeds (round 14): one per bucket
+    * function — ntile's positional remainder rule, percent_rank's
+    * tie-aware decile edges, cume_dist's closed top bucket. */
+  private val distWinQuota = Map(
+    "dist_ntile" -> 1, "dist_prank" -> 1, "dist_cume" -> 1)
+
+  val frozenDistWinSeeds: Seq[Long] =
+    fillQuota(distWinQuota, s => PlanGen.generateDistWin(s).shape)
+
+  private def dwname(s: Long): String = s"fzdw${s}_${PlanGen.generateDistWin(s).shape}"
+
   /** Run a generated plan through its Spark-SQL TEXT rendering
     * (VERDICT r11 #7): the frozen rows then exercise the full parser →
     * analyzer → optimizer front door cross-engine vs DuckDB, while
@@ -319,6 +342,8 @@ object Differential {
       frozenAsofSeeds.map(s => asname(s) -> viaSql(PlanGen.generateAsof(s))).toMap ++
       frozenLimitBySeeds.map(s => lbname(s) -> viaSql(PlanGen.generateLimitBy(s))).toMap ++
       frozenWithFillSeeds.map(s => wfname(s) -> viaSql(PlanGen.generateWithFill(s))).toMap ++
+      frozenQualifySeeds.map(s => qlname(s) -> viaSql(PlanGen.generateQualify(s))).toMap ++
+      frozenDistWinSeeds.map(s => dwname(s) -> viaSql(PlanGen.generateDistWin(s))).toMap ++
       frozenGsetsSeeds.map(s => gsname(s) -> viaSql(PlanGen.generateGroupingSets(s))).toMap ++
       frozenDistinctSeeds.map(s => dname(s) -> viaSql(PlanGen.generateDistinct(s))).toMap
 
@@ -340,6 +365,8 @@ object Differential {
       frozenAsofSeeds.map(s => asname(s) -> PlanGen.generateAsof(s).build).toMap ++
       frozenLimitBySeeds.map(s => lbname(s) -> PlanGen.generateLimitBy(s).build).toMap ++
       frozenWithFillSeeds.map(s => wfname(s) -> PlanGen.generateWithFill(s).build).toMap ++
+      frozenQualifySeeds.map(s => qlname(s) -> PlanGen.generateQualify(s).build).toMap ++
+      frozenDistWinSeeds.map(s => dwname(s) -> PlanGen.generateDistWin(s).build).toMap ++
       frozenGsetsSeeds.map(s => gsname(s) -> PlanGen.generateGroupingSets(s).build).toMap ++
       frozenDistinctSeeds.map(s => dname(s) -> PlanGen.generateDistinct(s).build).toMap
 
@@ -358,6 +385,8 @@ object Differential {
       frozenAsofSeeds.map(s => asname(s) -> PlanGen.generateAsof(s).duckSql).toMap ++
       frozenLimitBySeeds.map(s => lbname(s) -> PlanGen.generateLimitBy(s).duckSql).toMap ++
       frozenWithFillSeeds.map(s => wfname(s) -> PlanGen.generateWithFill(s).duckSql).toMap ++
+      frozenQualifySeeds.map(s => qlname(s) -> PlanGen.generateQualify(s).duckSql).toMap ++
+      frozenDistWinSeeds.map(s => dwname(s) -> PlanGen.generateDistWin(s).duckSql).toMap ++
       frozenGsetsSeeds.map(s => gsname(s) -> PlanGen.generateGroupingSets(s).duckSql).toMap ++
       frozenDistinctSeeds.map(s => dname(s) -> PlanGen.generateDistinct(s).duckSql).toMap
 }

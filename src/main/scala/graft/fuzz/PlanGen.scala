@@ -1345,6 +1345,259 @@ object PlanGen {
       }
       Generated(seed, shape, build, sparkSql, duckSql)
     }
+
+    /** Window-predicate (QUALIFY) plan — the three window-filter paths
+      * the LIMIT BY family does NOT cover (that one is row_number over
+      * a UNIQUE order, ties impossible by construction):
+      *
+      *  - `qualify_rank`: rank()/dense_rank() ≤ k over a NON-unique
+      *    value order, so tie groups genuinely straddle the threshold —
+      *    Catalyst's WindowGroupLimit rewrite must keep every tied row
+      *    that row_number-style pruning would cut;
+      *  - `qualify_cnt`: an aggregate-over-partition predicate
+      *    (count(*)/decimal-sum OVER (PARTITION BY g) vs a threshold) —
+      *    the unbounded-frame WindowExec path, no group-limit rewrite
+      *    exists for it;
+      *  - `qualify_lag`: a lag-comparison predicate (v vs lag(v) in
+      *    unique-key-then-value order) — the first row of every
+      *    partition has a NULL lag, so the predicate's NULL row-drop
+      *    must agree. The window order appends v AFTER the "unique"
+      *    key because lineitem's (l_orderkey, l_linenumber) is NOT
+      *    actually unique in the synthetic data (~20% of keys
+      *    duplicated — the same pitfall lines 470-475 handle by
+      *    projection): with v as the final tiebreak, rows still tied
+      *    are identical in (partition, order, v), so any permutation
+      *    among them yields the same (v, lag(v)) pair multiset and
+      *    the qualifying row set stays engine-deterministic. A
+      *    150-seed sweep WITHOUT the tiebreak diverged on exactly 4
+      *    seeds, all lag-shape on lineitem, all one tied pair apart.
+      *
+      * DuckDB renders its native QUALIFY clause; Spark renders the
+      * subquery + WHERE rewrite (there is no QUALIFY in Spark SQL), so
+      * the differential pins two different implementations of the same
+      * semantics. Each plan ends in a per-group rollup (count + exact
+      * BIGINT sum of a unique key + min/max of the value column): the
+      * rollup fingerprints the qualifying ROW SET exactly while keeping
+      * the output O(groups) at any scale — the qualifying set itself
+      * can be a constant fraction of the table. */
+    def runQualify(): Generated = {
+      val t = pick(singles)
+      val p = filterFor(t)
+      val vc = pick(t.nums)
+      // shape decided AFTER the table/filter/value draws (the limitby
+      // first-draw-constancy pitfall: java.util.Random's first draw is
+      // nearly constant across sequential seeds)
+      val modShape = t.cats.isEmpty || maybe(0.4)
+      val (gSql, gCol) =
+        if (modShape) {
+          val c = pick(t.ints); val m = 3 + rnd.nextInt(8)
+          (s"CAST($c % $m AS BIGINT)", (col(c) % m).cast("long"))
+        } else {
+          val c = pick(t.cats.keys.toSeq.sorted)
+          (c, col(c))
+        }
+      val u1 = t.unique.head
+      val uk = t.unique.mkString(", ")
+      val rollSparkSql =
+        s"SELECT g, count(*) AS n, sum($u1) AS su, min(v) AS mn, max(v) AS mx"
+      val rollDuckSql =
+        s"SELECT g, count(*) AS n, CAST(sum($u1) AS BIGINT) AS su, min(v) AS mn, max(v) AS mx"
+      def rollup(df: DataFrame): DataFrame =
+        df.groupBy("g")
+          .agg(count(lit(1)).as("n"), sum(col(u1)).as("su"),
+            min(col("v")).as("mn"), max(col("v")).as("mx"))
+          .orderBy("g")
+      val base = (s: SparkSession, dir: String) =>
+        Engine.t(s, dir, t.name).filter(p.cond)
+          .withColumn("g", gCol).withColumn("v", col(vc))
+      rnd.nextInt(3) match {
+        case 0 =>
+          val dense = maybe(0.5)
+          val desc = maybe(0.6)
+          val k = 1 + rnd.nextInt(3)
+          val fnSql = if (dense) "dense_rank()" else "rank()"
+          val dirSql = if (desc) "DESC" else "ASC"
+          val winSql = s"$fnSql OVER (PARTITION BY $gSql ORDER BY $vc $dirSql)"
+          val sparkSql =
+            s"$rollSparkSql FROM (" +
+              s"SELECT g, $u1, v FROM (" +
+              s"SELECT $gSql AS g, $u1, $vc AS v, $winSql AS rk " +
+              s"FROM ${t.name} WHERE ${p.sql}) WHERE rk <= $k) " +
+              s"GROUP BY g ORDER BY g"
+          val duckSql =
+            s"$rollDuckSql FROM (" +
+              s"SELECT $gSql AS g, $u1, $vc AS v FROM ${t.name} WHERE ${p.sql} " +
+              s"QUALIFY $winSql <= $k) " +
+              s"GROUP BY g ORDER BY g"
+          val build = (s: SparkSession, dir: String) => {
+            val w = Window.partitionBy(col("g"))
+              .orderBy(if (desc) col("v").desc else col("v").asc)
+            val fn = if (dense) dense_rank() else rank()
+            rollup(base(s, dir).withColumn("rk", fn.over(w))
+              .filter(col("rk") <= k))
+          }
+          Generated(seed, "qualify_rank", build, sparkSql, duckSql)
+        case 1 =>
+          val useSum = maybe(0.4)
+          val ge = maybe(0.6)
+          val opSql = if (ge) ">=" else "<"
+          val (winSql, winCol, thrSql) =
+            if (useSum) {
+              val (lo, hi) = numDomain.getOrElse(vc, (1.0, 1000.0))
+              // plausible group-total threshold: mid-domain value × a
+              // group-size factor, rendered with exactly 2 decimals so
+              // both parsers read the same DECIMAL literal
+              val thr = math.rint((lo + hi) * (5 + rnd.nextInt(200)) * 100) / 100
+              (s"sum(CAST($vc AS DECIMAL(18,2))) OVER (PARTITION BY $gSql)",
+                sum(col(vc).cast("decimal(18,2)"))
+                  .over(Window.partitionBy(col("g"))),
+                f"$thr%.2f")
+            } else {
+              val k = 2 + rnd.nextInt(63)
+              ("count(*) OVER (PARTITION BY " + gSql + ")",
+                count(lit(1)).over(Window.partitionBy(col("g"))),
+                k.toString)
+            }
+          val sparkSql =
+            s"$rollSparkSql FROM (" +
+              s"SELECT g, $u1, v FROM (" +
+              s"SELECT $gSql AS g, $u1, $vc AS v, $winSql AS wv " +
+              s"FROM ${t.name} WHERE ${p.sql}) WHERE wv $opSql $thrSql) " +
+              s"GROUP BY g ORDER BY g"
+          val duckSql =
+            s"$rollDuckSql FROM (" +
+              s"SELECT $gSql AS g, $u1, $vc AS v FROM ${t.name} WHERE ${p.sql} " +
+              s"QUALIFY $winSql $opSql $thrSql) " +
+              s"GROUP BY g ORDER BY g"
+          val build = (s: SparkSession, dir: String) => {
+            val wv = winCol
+            val thr = expr(thrSql)
+            rollup(base(s, dir).withColumn("wv", wv)
+              .filter(if (ge) col("wv") >= thr else col("wv") < thr))
+          }
+          Generated(seed, "qualify_cnt", build, sparkSql, duckSql)
+        case _ =>
+          val gt = maybe(0.5)
+          val cmpSql = if (gt) ">" else "<"
+          val winSql = s"lag($vc) OVER (PARTITION BY $gSql ORDER BY $uk, $vc)"
+          val sparkSql =
+            s"$rollSparkSql FROM (" +
+              s"SELECT g, $u1, v FROM (" +
+              s"SELECT $gSql AS g, $u1, $vc AS v, $winSql AS pv " +
+              s"FROM ${t.name} WHERE ${p.sql}) WHERE v $cmpSql pv) " +
+              s"GROUP BY g ORDER BY g"
+          val duckSql =
+            s"$rollDuckSql FROM (" +
+              s"SELECT $gSql AS g, $u1, $vc AS v FROM ${t.name} WHERE ${p.sql} " +
+              s"QUALIFY $vc $cmpSql $winSql) " +
+              s"GROUP BY g ORDER BY g"
+          val build = (s: SparkSession, dir: String) => {
+            val w = Window.partitionBy(col("g"))
+              .orderBy(t.unique.map(col(_).asc) :+ col("v").asc: _*)
+            val withPv = base(s, dir).withColumn("pv", lag(col("v"), 1).over(w))
+            rollup(withPv.filter(
+              if (gt) col("v") > col("pv") else col("v") < col("pv")))
+          }
+          Generated(seed, "qualify_lag", build, sparkSql, duckSql)
+      }
+    }
+
+    /** Distribution window-function plan (ntile / percent_rank /
+      * cume_dist) — the tile-assignment semantics family behind the
+      * production e15 RFM quartiles and the custom DistRank operator
+      * (`ops/DistRank.scala`): both engines must agree on how rows
+      * land in buckets, not just on rank order.
+      *
+      *  - `dist_ntile`: ntile(k) over a TOTAL order (value dir, then
+      *    the unique key) — the remainder rule (first `n mod k` tiles
+      *    get the extra row) must match. The order appends the unique
+      *    key so tile assignment is positionally deterministic; rows
+      *    still tied (lineitem's duplicated keys with equal v) are
+      *    identical in the rollup projection (same u1, same v), so a
+      *    boundary swap between them moves identical contributions.
+      *  - `dist_prank`: percent_rank bucketed by floor(pr*10) — pr is
+      *    tie-AWARE ((rank-1)/(n-1), single-row partition → 0.0 on
+      *    both engines, probed before this family was written), so no
+      *    tiebreak is needed: every row's pr is order-independent.
+      *    Both engines evaluate the same exact IEEE division, then
+      *    the same multiply and floor — bucket edges cannot drift.
+      *  - `dist_cume`: cume_dist bucketed by floor(cd*5) — peers
+      *    share cd = peers≤v / n, same determinism argument; cd = 1.0
+      *    rows land in the closed top bucket 5.
+      *
+      * The rollup fingerprints (g, bucket) → count + exact sum of the
+      * unique key + min/max(v): O(groups × buckets) output at any
+      * scale. Both engines run the SAME SQL text modulo the BIGINT
+      * sum cast (DuckDB sums int32 into HUGEINT, which arrives as
+      * arrow decimal128 and hard-fails the type gate). */
+    def runDistWin(): Generated = {
+      val t = pick(singles)
+      val p = filterFor(t)
+      val vc = pick(t.nums)
+      val modShape = t.cats.isEmpty || maybe(0.4)
+      val (gSql, gCol) =
+        if (modShape) {
+          val c = pick(t.ints); val m = 3 + rnd.nextInt(8)
+          (s"CAST($c % $m AS BIGINT)", (col(c) % m).cast("long"))
+        } else {
+          val c = pick(t.cats.keys.toSeq.sorted)
+          (c, col(c))
+        }
+      val u1 = t.unique.head
+      val uk = t.unique.mkString(", ")
+      val desc = maybe(0.5)
+      val dirSql = if (desc) "DESC" else "ASC"
+      val vOrd = if (desc) col("v").desc else col("v").asc
+      def outSql(winSql: String, bSql: String, duck: Boolean) = {
+        val sumS = if (duck) s"CAST(sum($u1) AS BIGINT)" else s"sum($u1)"
+        s"SELECT g, b, count(*) AS n, $sumS AS su, min(v) AS mn, max(v) AS mx " +
+          s"FROM (SELECT $gSql AS g, $u1, $vc AS v, $bSql AS b " +
+          s"FROM (SELECT *, $winSql AS wv FROM ${t.name} WHERE ${p.sql})) " +
+          s"GROUP BY g, b ORDER BY g, b"
+      }
+      def rollup(df: DataFrame, b: Column): DataFrame =
+        df.withColumn("b", b)
+          .groupBy("g", "b")
+          .agg(count(lit(1)).as("n"), sum(col(u1)).as("su"),
+            min(col("v")).as("mn"), max(col("v")).as("mx"))
+          .orderBy("g", "b")
+      val base = (s: SparkSession, dir: String) =>
+        Engine.t(s, dir, t.name).filter(p.cond)
+          .withColumn("g", gCol).withColumn("v", col(vc))
+      rnd.nextInt(3) match {
+        case 0 =>
+          val k = 2 + rnd.nextInt(7)
+          val winSql = s"ntile($k) OVER (PARTITION BY $gSql ORDER BY $vc $dirSql, $uk)"
+          val bSql = "wv"
+          val build = (s: SparkSession, dir: String) => {
+            val w = Window.partitionBy(col("g"))
+              .orderBy(vOrd +: t.unique.map(col(_).asc): _*)
+            rollup(base(s, dir).withColumn("wv", ntile(k).over(w)), col("wv"))
+          }
+          Generated(seed, "dist_ntile", build,
+            outSql(winSql, bSql, duck = false), outSql(winSql, bSql, duck = true))
+        case 1 =>
+          val winSql = s"percent_rank() OVER (PARTITION BY $gSql ORDER BY $vc $dirSql)"
+          val bSql = "CAST(floor(wv * 10) AS BIGINT)"
+          val build = (s: SparkSession, dir: String) => {
+            val w = Window.partitionBy(col("g")).orderBy(vOrd)
+            rollup(base(s, dir).withColumn("wv", percent_rank().over(w)),
+              floor(col("wv") * 10).cast("long"))
+          }
+          Generated(seed, "dist_prank", build,
+            outSql(winSql, bSql, duck = false), outSql(winSql, bSql, duck = true))
+        case _ =>
+          val winSql = s"cume_dist() OVER (PARTITION BY $gSql ORDER BY $vc $dirSql)"
+          val bSql = "CAST(floor(wv * 5) AS BIGINT)"
+          val build = (s: SparkSession, dir: String) => {
+            val w = Window.partitionBy(col("g")).orderBy(vOrd)
+            rollup(base(s, dir).withColumn("wv", cume_dist().over(w)),
+              floor(col("wv") * 5).cast("long"))
+          }
+          Generated(seed, "dist_cume", build,
+            outSql(winSql, bSql, duck = false), outSql(winSql, bSql, duck = true))
+      }
+    }
   }
 
   /** Composite window→agg plan for the same seed space — see
@@ -1399,4 +1652,12 @@ object PlanGen {
   /** WITH FILL gap-filling plan (generate_series vs explode(sequence))
     * — see [[Gen.runWithFill]]. */
   def generateWithFill(seed: Long): Generated = new Gen(seed).runWithFill()
+
+  /** Window-predicate plan (native QUALIFY on DuckDB vs subquery+WHERE
+    * rewrite on Spark) — see [[Gen.runQualify]]. */
+  def generateQualify(seed: Long): Generated = new Gen(seed).runQualify()
+
+  /** Distribution window-function plan (ntile / percent_rank /
+    * cume_dist bucket fingerprints) — see [[Gen.runDistWin]]. */
+  def generateDistWin(seed: Long): Generated = new Gen(seed).runDistWin()
 }

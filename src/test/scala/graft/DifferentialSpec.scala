@@ -277,6 +277,49 @@ class DifferentialSpec extends AnyFunSuite {
       s"fill shape coverage hole: $shapes")
   }
 
+  test("100 QUALIFY plans: DataFrame build equals spark.sql rendering") {
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var nonEmpty = 0
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateQualify(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      if (viaApi.nonEmpty) nonEmpty += 1
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+    assert(Set("qualify_rank", "qualify_cnt", "qualify_lag")
+      .subsetOf(shapes.keySet), s"qualify shape coverage hole: $shapes")
+    // a degenerate generator (thresholds that filter everything away)
+    // would pass trivially on empty == empty; require a real majority
+    // of seeds to exercise non-empty qualifying sets
+    assert(nonEmpty >= 50, s"only $nonEmpty/100 qualify seeds non-empty")
+  }
+
+  test("100 distribution-window plans: DataFrame build equals spark.sql rendering") {
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var nonEmpty = 0
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateDistWin(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      if (viaApi.nonEmpty) nonEmpty += 1
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+    assert(Set("dist_ntile", "dist_prank", "dist_cume")
+      .subsetOf(shapes.keySet), s"distwin shape coverage hole: $shapes")
+    assert(nonEmpty >= 50, s"only $nonEmpty/100 distwin seeds non-empty")
+  }
+
   test("frozen fz* queries build and their SQL renderings stay stable") {
     // the driver's correctness gate replays these against DuckDB; this
     // test pins that each frozen seed still builds, returns rows, and
