@@ -654,7 +654,129 @@ object LlmVector {
       .orderBy("vec_id")
   }
 
+  /** Deterministic planted near-duplicates shared by l44/l44b: for
+    * each source a = vec_id < 60, a derived row (100000 + vec_id,
+    * same label) whose vector is 10·a + b, b the next source
+    * cyclically — direction ≈ a (cos ≈ 0.995 for these corpora), so
+    * the dedup pass has KNOWN positives to collapse (the synthetic
+    * embeddings have no natural near-dups: max within-label cos ≈
+    * 0.49, measured before this op was written — a τ=0.9 prune over
+    * raw data would certify nothing). The combiner runs in the
+    * caller-chosen element space: float for production l44, exact
+    * quantized BIGINT for the l44b oracle (where 10·qa + qb is
+    * integer arithmetic DuckDB replays verbatim). */
+  private def plantNearDups(src: DataFrame, combine: (Column, Column) => Column,
+      vecCol: String): DataFrame = {
+    // nid = partner_id − 1 (mod 60), so joining a.vec_id = nid pairs
+    // source a with partner (a+1) mod 60 — the NEXT source, matching
+    // the oracle's `ON b.vec_id = (a.vec_id + 1) % 60` (the naive
+    // `(vec_id+1)%60 AS nid` reads the same but pairs a with a−1:
+    // that sign flip was a real hash mismatch on max_cos6).
+    val nxt = src.select(((col("vec_id") + 59) % 60).as("nid"),
+      col(vecCol).as("nb_vec"))
+    src.join(nxt, col("vec_id") === col("nid"))
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        zip_with(col(vecCol), col("nb_vec"), combine).as(vecCol),
+        col("label"))
+  }
+
+  /** L44: SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — the cluster-then-prune curation pass): k-means
+    * the corpus, then within each cluster mark a doc as a semantic
+    * duplicate iff some LOWER-id doc in the same cluster has cosine ≥
+    * τ=0.9 (keep-first election, the l18/l37 keeper rule). The
+    * clustering is what makes this survive 100 TB: candidate pairs are
+    * Σ n_c², not n² — k grows with the corpus so cluster size stays
+    * ~constant, and the pair stage is a self-join co-partitioned on
+    * the cluster key (one shuffle, no cartesian — pinned in
+    * PlanShapeSpec). The
+    * assignment frame (cluster + per-row norm) is staged to scratch
+    * parquet once so the 5-job kmeansFit does not re-run on both join
+    * sides, and norms are precomputed so each pair costs ONE codegen
+    * `dot_f` kernel call. Planted near-copies (see [[plantNearDups]],
+    * float space) give the pass real positives; ~60 collapse, the
+    * naturals survive. no-oracle: kmeansFit reduces float means in
+    * partition-merge order (same reason l40 is no-oracle); l44b below
+    * certifies the prune arithmetic itself cross-engine. */
+  private def l44SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = corpus(spark, dir).select("vec_id", "embedding", "label")
+    // a + 0.1·b: the same DIRECTION as the oracle twin's 10·qa + qb
+    // (cos to the source ≈ 0.995) but norm-preserving — L2 k-means is
+    // not scale-invariant, so a 10× norm would push the planted copy
+    // toward a different centroid than its source and the pair would
+    // never meet in a cluster.
+    val planted = plantNearDups(base.filter(col("vec_id") < 60),
+      (x, y) => x + y * lit(0.1f), "embedding")
+    val all = base.unionByName(planted)
+    val (cents, _) = kmeansFit(all, 8, 4)
+    val mPath = Engine.scratch(spark, dir, "l44_asg")
+    kmeansAssign(all, cents)
+      .select(col("vec_id"), col("embedding"), col("cluster"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+      .write.mode("overwrite").parquet(mPath)
+    val m = spark.read.parquet(mPath)
+    val aT = m.select(col("cluster"), col("vec_id").as("a_id"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val bT = m.select(col("cluster"), col("vec_id").as("b_id"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val dups = aT.join(bT, Seq("cluster")).filter(col("b_id") < col("a_id"))
+      .groupBy(col("cluster"), col("a_id"))
+      .agg(max(dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("mx"))
+      .filter(col("mx") >= 0.9)
+      .select(col("a_id").as("vec_id"), lit(1).as("dup"))
+    m.join(dups, Seq("vec_id"), "left")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        graft.CH.countIf(col("dup").isNotNull).as("n_dup"),
+        graft.CH.countIf(col("dup").isNull).as("n_kept"))
+      .orderBy("cluster")
+  }
+
+  /** Declared l44b: bounded semantic-dedup VERDICT table (the l37b
+    * pattern) certifying l44's prune arithmetic cross-engine. The
+    * upstream clusterer is replaced by the deterministic `label`
+    * column (the l12b precedent — cluster assignment itself is
+    * certified by l40b), the corpus is the sf-complete vec_id < 400
+    * prefix plus the 60 planted near-copies built in EXACT quantized
+    * integer space (10·qa + qb — DuckDB replays the same BIGINT
+    * arithmetic), and every pair cosine is the proven verdict-table
+    * float discipline: one sequential double fold over exact-integer
+    * products per pair (norms precomputed per row), sqrt/divide, round
+    * to 6 dp on BOTH engines before the τ comparison. Planted rows
+    * carry their source's label, so each one meets its source in the
+    * bucket and collapses (cos6 ≈ 0.995 ≥ 0.9); no natural pair
+    * reaches 0.5. Output fingerprints the kept SET exactly: per label,
+    * counts plus the exact BIGINT sum of kept vec_ids. */
+  private def l44bSemdedupVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val v = corpus(spark, dir).filter(col("vec_id") < 400)
+      .select(col("vec_id"), quant(col("embedding")).as("qv"), col("label"))
+    val planted = plantNearDups(v.filter(col("vec_id") < 60),
+      (x, y) => x * lit(10L) + y, "qv")
+    val all = v.unionByName(planted)
+      .withColumn("nq", dotQ(col("qv"), col("qv")))
+    val aT = all.select(col("label"), col("vec_id").as("a_id"),
+      col("qv").as("qa"), col("nq").as("na"))
+    val bT = all.select(col("label"), col("vec_id").as("b_id"),
+      col("qv").as("qb"), col("nq").as("nb"))
+    val cos6 = round(dotQ(col("qa"), col("qb")) /
+      (sqrt(col("na")) * sqrt(col("nb"))), 6)
+    val mx = aT.join(bT, Seq("label")).filter(col("b_id") < col("a_id"))
+      .groupBy(col("label"), col("a_id")).agg(max(cos6).as("mx"))
+      .select(col("a_id").as("vec_id"), col("mx"))
+    all.join(mx, Seq("vec_id"), "left")
+      .withColumn("dup", coalesce(col("mx") >= 0.9, lit(false)))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        graft.CH.countIf(col("dup")).as("n_dup"),
+        graft.CH.countIf(!col("dup")).as("n_kept"),
+        sum(when(!col("dup"), col("vec_id"))).as("kept_id_sum"),
+        round(max(col("mx")), 6).as("max_cos6"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, Q] = Map(
+    "l44_semantic_dedup" -> (l44SemanticDedup _),
+    "l44b_semdedup_verdict" -> (l44bSemdedupVerdict _),
     "l42_random_projection" -> (l42RandomProjection _),
     "l40_kmeans" -> (l40Kmeans _),
     "l40b_kmeans_verdict" -> (l40bKmeansVerdict _),
@@ -730,6 +852,31 @@ object LlmVector {
   private def cosQSql(a: String, b: String): String = cosSql(a, b)
 
   val oracles: Map[String, String] = Map(
+    // Replay of l44b: identical planted-copy construction in BIGINT
+    // quant space, identical per-pair fold/round discipline, lower-id
+    // keep-first prune within the label buckets.
+    "l44b_semdedup_verdict" ->
+      s"""WITH v AS (SELECT vec_id, $quantSql AS qv, label FROM embeddings
+         |  WHERE vec_id < 400),
+         |src AS (SELECT * FROM v WHERE vec_id < 60),
+         |pl AS (SELECT a.vec_id + 100000 AS vec_id,
+         |    list_transform(range(1, len(a.qv) + 1), i -> 10 * a.qv[i] + b.qv[i]) AS qv,
+         |    a.label AS label
+         |  FROM src a JOIN src b ON b.vec_id = (a.vec_id + 1) % 60),
+         |allv AS (SELECT vec_id, qv, label, ${dotSql("qv", "qv")} AS nq
+         |  FROM (SELECT * FROM v UNION ALL SELECT * FROM pl)),
+         |mx AS (SELECT a.vec_id AS vec_id,
+         |    max(round(${dotSql("a.qv", "b.qv")} / (sqrt(a.nq) * sqrt(b.nq)), 6)) AS mx
+         |  FROM allv a JOIN allv b ON a.label = b.label AND b.vec_id < a.vec_id
+         |  GROUP BY 1)
+         |SELECT label, count(*) AS n,
+         |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST(sum(CASE WHEN NOT dup THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN NOT dup THEN vec_id END) AS BIGINT) AS kept_id_sum,
+         |  round(max(mx), 6) AS max_cos6
+         |FROM (SELECT allv.label, allv.vec_id, coalesce(m.mx >= 0.9, false) AS dup, m.mx
+         |  FROM allv LEFT JOIN mx m ON allv.vec_id = m.vec_id)
+         |GROUP BY label ORDER BY label""".stripMargin,
     "l42_random_projection" ->
       ("""WITH q AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv

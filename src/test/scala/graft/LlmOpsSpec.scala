@@ -396,6 +396,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(mm5.getInt(2) == 0, "exact copies must pin min_hamming to 0")
   }
 
+  test("l44 semantic dedup collapses the planted near-copies and keeps the naturals") {
+    val out = LlmVector.queries("l44_semantic_dedup")(spark, sf).collect()
+    val n = out.map(_.getAs[Long]("n")).sum
+    val nDup = out.map(_.getAs[Long]("n_dup")).sum
+    val nKept = out.map(_.getAs[Long]("n_kept")).sum
+    assert(n == nDup + nKept, "dup/kept must partition every cluster")
+    assert(n == 560, s"corpus = 500 naturals + 60 planted, got $n")
+    // no natural pair reaches τ=0.9 (max within-corpus cos ≈ 0.49), so
+    // only planted copies can collapse; a copy survives only if k-means
+    // separated it from its source (floor, not equality, so a
+    // centroid-boundary case can't flake the suite — the run is
+    // deterministic, the floor just documents the tolerance)
+    assert(nDup <= 60, s"$nDup > 60 collapsed — a natural was marked dup")
+    assert(nDup >= 55, s"only $nDup/60 planted copies collapsed")
+    val v = LlmVector.queries("l44b_semdedup_verdict")(spark, sf).collect()
+    assert(v.map(_.getAs[Long]("n")).sum == 460, "400 naturals + 60 planted")
+    assert(v.map(_.getAs[Long]("n_dup")).sum == 60,
+      "label buckets always unite copy and source: all 60 collapse")
+    v.foreach(r => assert(r.getAs[Double]("max_cos6") >= 0.9,
+      s"label ${r.getAs[Int]("label")} lost its planted high-cos pair"))
+  }
+
   test("l43 merges repeated-span islands: overlap and exact adjacency fuse, gaps split") {
     import spark.implicits._
     def span(p: String, n: Int) = (1 to n).map(p + _).mkString(" ")

@@ -160,6 +160,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"l10 expected BNLJ over the broadcast bounded side, plan:\n$plan")
   }
 
+  test("l44's pair stage co-partitions on the cluster key (no cartesian, no BNLJ)") {
+    // SemDeDup's whole scale argument is Σ n_c² pairs via an EQUI-join
+    // on the cluster id — if Catalyst ever plans the self-join as a
+    // cartesian/BNLJ the op degrades to n² over the full corpus.
+    val plan = SparkEntry.queries("l44_semantic_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"l44 pair stage must equi-join on cluster, plan:\n$plan")
+  }
+
   test("d34/d35/e15 plan no global windows (every WindowExec is partitioned)") {
     // The r13 forms ran Window.orderBy with no partition — a
     // single-task sort of an input that GROWS with the data (distinct
