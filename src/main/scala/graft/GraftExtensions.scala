@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{DotProductF, L2SquaredF, MinHashBandsExpr, MinHashSigsExpr, SimHash64Expr}
+import graft.expressions.{ArgMinL2F, DotProductF, L2SquaredF, MinHashBandsExpr, MinHashSigsExpr, MinL2F, SimHash64Expr}
 
 /** Engine extension point (SURVEY §2 custom-operator path (b)/(c)):
   * registers the codegen'd vector kernels so they resolve like any
@@ -19,6 +19,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2sq_f"),
       new ExpressionInfo(classOf[L2SquaredF].getName, "l2sq_f"),
       (children: Seq[Expression]) => L2SquaredF(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("argmin_l2sq_f"),
+      new ExpressionInfo(classOf[ArgMinL2F].getName, "argmin_l2sq_f"),
+      (children: Seq[Expression]) => ArgMinL2F(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("min_l2sq_f"),
+      new ExpressionInfo(classOf[MinL2F].getName, "min_l2sq_f"),
+      (children: Seq[Expression]) => MinL2F(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigsExpr].getName, "minhash_sigs"),

@@ -320,6 +320,110 @@ case class DotProductF(left: Expression, right: Expression) extends VectorFold {
     copy(left = newLeft, right = newRight)
 }
 
+/** Base for the k-centroid scan kernels: `cents` is the k×dim
+  * centroid matrix FLATTENED row-major into one array<double> literal
+  * (k = cents.length / vec.length), so the whole argmin is ONE
+  * expression with ONE literal regardless of k. The previous shape —
+  * an `array()` of k separate `l2sq_f(vec, typedLit(centroid_c))`
+  * calls — made Catalyst analyze and janino compile k kernel
+  * instances per stage: at k=64 that alone cost ~6 s per Lloyd
+  * iteration at sf1 (25 s of l44's 36 s), pure plan overhead that
+  * re-paid itself every iteration. Per-centroid distance accumulates
+  * in the same sequential index order as [[L2SquaredF]], and the
+  * argmin keeps the FIRST strict minimum — exactly
+  * `array_position(d, array_min(d))` — so the swap cannot change
+  * l40b's oracle-certified assignments. */
+abstract class CentroidScan extends BinaryExpression {
+  private def vecElem(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vecElem(left).isDefined && right.dataType == ArrayType(DoubleType, false)
+      || vecElem(left).isDefined && right.dataType == ArrayType(DoubleType, true))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, array<double>), got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  /** true → emit the argmin index (int); false → the min distance. */
+  protected def emitIndex: Boolean
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val vec = a.asInstanceOf[ArrayData]
+    val cents = b.asInstanceOf[ArrayData]
+    val dim = vec.numElements()
+    val k = if (dim == 0) 0 else cents.numElements() / dim
+    val fl = vecElem(left).get == FloatType
+    var best = Double.PositiveInfinity
+    var bestC = 0
+    var c = 0
+    while (c < k) {
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        val x = if (fl) vec.getFloat(i).toDouble else vec.getDouble(i)
+        val d = x - cents.getDouble(c * dim + i)
+        s += d * d
+        i += 1
+      }
+      if (s < best) { best = s; bestC = c }
+      c += 1
+    }
+    if (emitIndex) bestC else best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = if (vecElem(left).get == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val dim = ctx.freshName("dim")
+      val k = ctx.freshName("k")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val best = ctx.freshName("best")
+      val bestC = ctx.freshName("bestC")
+      s"""
+         |int $dim = $a.numElements();
+         |int $k = $dim == 0 ? 0 : $b.numElements() / $dim;
+         |double $best = Double.POSITIVE_INFINITY;
+         |int $bestC = 0;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    double $d = (double) $a.$getter($i) - $b.getDouble($c * $dim + $i);
+         |    $s += $d * $d;
+         |  }
+         |  if ($s < $best) { $best = $s; $bestC = $c; }
+         |}
+         |${ev.value} = ${if (emitIndex) bestC else best};
+       """.stripMargin
+    })
+  }
+}
+
+/** argmin_l2sq_f(vec, flat_cents) → 0-based index of the nearest
+  * centroid (first strict min on exact-tie distances). */
+case class ArgMinL2F(left: Expression, right: Expression) extends CentroidScan {
+  override def prettyName: String = "argmin_l2sq_f"
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override protected def emitIndex: Boolean = true
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** min_l2sq_f(vec, flat_cents) → squared distance to that centroid. */
+case class MinL2F(left: Expression, right: Expression) extends CentroidScan {
+  override def prettyName: String = "min_l2sq_f"
+  override def dataType: DataType = DoubleType
+  override protected def emitIndex: Boolean = false
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** l2sq_f(a, b) = Σ (a_i - b_i)² */
 case class L2SquaredF(left: Expression, right: Expression) extends VectorFold {
   override def prettyName: String = "l2sq_f"

@@ -492,11 +492,15 @@ object LlmVector {
     * The centroids ride along as broadcast literals, so this is a pure
     * narrow map — the corpus streams once, zero shuffle. */
   def kmeansAssign(df: DataFrame, cents: Seq[Array[Double]]): DataFrame = {
-    val d = array(cents.map(c => call_function("l2sq_f", col("embedding"), typedLit(c))): _*)
-    df.withColumn("d", d)
-      .withColumn("cluster", (expr("array_position(d, array_min(d))") - 1).cast("int"))
-      .withColumn("dist_sq", expr("array_min(d)"))
-      .drop("d")
+    // One flattened k×dim literal + the argmin/min CentroidScan kernel
+    // pair instead of k separate l2sq_f calls: the k-call form made
+    // Catalyst analyze and compile k kernel instances PER STAGE (~6 s
+    // per Lloyd iteration at k=64 — plan overhead, not compute).
+    // Identical arithmetic and first-min tie-break (CentroidScan doc),
+    // so l40b's oracle-certified assignments are unchanged.
+    val flat = typedLit(cents.flatten.toArray)
+    df.withColumn("cluster", call_function("argmin_l2sq_f", col("embedding"), flat))
+      .withColumn("dist_sq", call_function("min_l2sq_f", col("embedding"), flat))
   }
 
   /** L40: distributed k-means (Lloyd's iterations) — the coarse-
@@ -707,8 +711,22 @@ object LlmVector {
     // never meet in a cluster.
     val planted = plantNearDups(base.filter(col("vec_id") < 60),
       (x, y) => x + y * lit(0.1f), "embedding")
-    val all = base.unionByName(planted)
-    val (cents, _) = kmeansFit(all, 8, 4)
+    // Stage the augmented corpus once: kmeansFit re-scans its input
+    // every Lloyd iteration, and re-running the union+planted join per
+    // iteration would pay the build 6× (count + 4 iterations + final
+    // assign). The l22/l41 multi-consumer staging rule.
+    val cPath = Engine.scratch(spark, dir, "l44_corpus")
+    base.unionByName(planted).write.mode("overwrite").parquet(cPath)
+    val all = spark.read.parquet(cPath)
+    // SemDeDup's scale contract is k ∝ n (cluster size ~constant, so
+    // Σ n_c² stays LINEAR in the corpus): target ~250 vectors per
+    // cluster, floored at 8 so the test corpora still split, capped
+    // at 64 because kmeansFit's maximin init draws from a 256-point
+    // hash sample — beyond that the init sample (and the driver's
+    // k×dim centroid state, still only MBs at k=8000/dim=64) must
+    // grow with k; the clamp documents where that redesign starts.
+    val k = math.max(8, math.min(64, (all.count() / 250).toInt))
+    val (cents, _) = kmeansFit(all, k, 4)
     val mPath = Engine.scratch(spark, dir, "l44_asg")
     kmeansAssign(all, cents)
       .select(col("vec_id"), col("embedding"), col("cluster"),

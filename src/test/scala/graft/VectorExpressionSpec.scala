@@ -24,6 +24,35 @@ class VectorExpressionSpec extends AnyFunSuite {
     assert(zero.forall(_ == 0.0))
   }
 
+  test("argmin_l2sq_f / min_l2sq_f equal the k-call array_min construction bit-exactly") {
+    // the CentroidScan kernels replaced kmeansAssign's array of k
+    // separate l2sq_f calls (plan-overhead fix); this pins the exact
+    // equivalence — per-centroid fold order AND first-min tie-break —
+    // that l40b's oracle certification rests on
+    val e = Engine.t(spark, TestSpark.sf, "embeddings").limit(200)
+    val cents: Seq[Array[Double]] = e.orderBy("vec_id").limit(7).collect()
+      .map(_.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray).toSeq
+    val flat = typedLit(cents.flatten.toArray)
+    val dArr = array(cents.map(c =>
+      call_function("l2sq_f", col("embedding"), typedLit(c))): _*)
+    val rows = e.select(
+      call_function("argmin_l2sq_f", col("embedding"), flat).as("ac"),
+      call_function("min_l2sq_f", col("embedding"), flat).as("ad"),
+      dArr.as("d"))
+      .withColumn("oc", (expr("array_position(d, array_min(d))") - 1).cast("int"))
+      .withColumn("od", expr("array_min(d)"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("ac") == r.getAs[Int]("oc"), s"argmin diverged: $r")
+      assert(r.getAs[Double]("ad") == r.getAs[Double]("od"), s"min dist diverged: $r")
+    }
+    // exact-tie path: duplicated centroid — argmin must keep the FIRST
+    val dup = typedLit((cents(3) ++ cents(3)).toArray)
+    val ties = e.select(call_function("argmin_l2sq_f", col("embedding"), dup).as("c"))
+      .collect().map(_.getInt(0))
+    assert(ties.forall(_ == 0), "exact tie must resolve to the first centroid")
+  }
+
   test("kernels resolve through SQL text (SparkSessionExtensions)") {
     val r = spark.sql(
       "SELECT dot_f(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d," +
