@@ -314,6 +314,17 @@ object Differential {
 
   private def dwname(s: Long): String = s"fzdw${s}_${PlanGen.generateDistWin(s).shape}"
 
+  /** Frozen time-bucket seeds (round 14): one per calendar shape —
+    * date_trunc DATE buckets, (year, month|quarter) integer parts,
+    * day-of-month modulus. */
+  private val timeBucketQuota = Map(
+    "tb_trunc" -> 1, "tb_parts" -> 1, "tb_dom" -> 1)
+
+  val frozenTimeBucketSeeds: Seq[Long] =
+    fillQuota(timeBucketQuota, s => PlanGen.generateTimeBucket(s).shape)
+
+  private def tbname(s: Long): String = s"fztb${s}_${PlanGen.generateTimeBucket(s).shape}"
+
   /** Run a generated plan through its Spark-SQL TEXT rendering
     * (VERDICT r11 #7): the frozen rows then exercise the full parser →
     * analyzer → optimizer front door cross-engine vs DuckDB, while
@@ -344,6 +355,7 @@ object Differential {
       frozenWithFillSeeds.map(s => wfname(s) -> viaSql(PlanGen.generateWithFill(s))).toMap ++
       frozenQualifySeeds.map(s => qlname(s) -> viaSql(PlanGen.generateQualify(s))).toMap ++
       frozenDistWinSeeds.map(s => dwname(s) -> viaSql(PlanGen.generateDistWin(s))).toMap ++
+      frozenTimeBucketSeeds.map(s => tbname(s) -> viaSql(PlanGen.generateTimeBucket(s))).toMap ++
       frozenGsetsSeeds.map(s => gsname(s) -> viaSql(PlanGen.generateGroupingSets(s))).toMap ++
       frozenDistinctSeeds.map(s => dname(s) -> viaSql(PlanGen.generateDistinct(s))).toMap
 
@@ -367,6 +379,7 @@ object Differential {
       frozenWithFillSeeds.map(s => wfname(s) -> PlanGen.generateWithFill(s).build).toMap ++
       frozenQualifySeeds.map(s => qlname(s) -> PlanGen.generateQualify(s).build).toMap ++
       frozenDistWinSeeds.map(s => dwname(s) -> PlanGen.generateDistWin(s).build).toMap ++
+      frozenTimeBucketSeeds.map(s => tbname(s) -> PlanGen.generateTimeBucket(s).build).toMap ++
       frozenGsetsSeeds.map(s => gsname(s) -> PlanGen.generateGroupingSets(s).build).toMap ++
       frozenDistinctSeeds.map(s => dname(s) -> PlanGen.generateDistinct(s).build).toMap
 
@@ -387,6 +400,7 @@ object Differential {
       frozenWithFillSeeds.map(s => wfname(s) -> PlanGen.generateWithFill(s).duckSql).toMap ++
       frozenQualifySeeds.map(s => qlname(s) -> PlanGen.generateQualify(s).duckSql).toMap ++
       frozenDistWinSeeds.map(s => dwname(s) -> PlanGen.generateDistWin(s).duckSql).toMap ++
+      frozenTimeBucketSeeds.map(s => tbname(s) -> PlanGen.generateTimeBucket(s).duckSql).toMap ++
       frozenGsetsSeeds.map(s => gsname(s) -> PlanGen.generateGroupingSets(s).duckSql).toMap ++
       frozenDistinctSeeds.map(s => dname(s) -> PlanGen.generateDistinct(s).duckSql).toMap
 }

@@ -13,7 +13,7 @@ import graft.Engine
   * against DuckDB with no extra compare code.
   *
   * Usage: runMain graft.fuzz.FuzzDump <sfDir> <outDir> <kind> <from> <to>
-  * where kind ∈ base|join|scalar|composite|frame|rframe|aggfns|rollup|subq|chain3|distinct|gsets|nullord|asof|limitby|withfill|qualify|distwin.
+  * where kind ∈ base|join|scalar|composite|frame|rframe|aggfns|rollup|subq|chain3|distinct|gsets|nullord|asof|limitby|withfill|qualify|distwin|timebucket.
   */
 object FuzzDump {
   def main(args: Array[String]): Unit = {
@@ -42,6 +42,7 @@ object FuzzDump {
       case "withfill"  => PlanGen.generateWithFill
       case "qualify"   => PlanGen.generateQualify
       case "distwin"   => PlanGen.generateDistWin
+      case "timebucket" => PlanGen.generateTimeBucket
       case other       => sys.error(s"unknown kind $other")
     }
     val spark = Engine.session()

@@ -1502,6 +1502,77 @@ object PlanGen {
       }
     }
 
+    /** Time-bucketing plan — the calendar dimension every OLAP rollup
+      * lives on, over the shapes whose cross-engine semantics are
+      * provably stable:
+      *
+      *  - `tb_trunc`: GROUP BY CAST(date_trunc(part, d) AS DATE) for
+      *    part ∈ {month, quarter, week} — both engines take the part
+      *    argument FIRST and truncate week to Monday (ISO), and the
+      *    DATE cast normalizes Spark's tz-aware timestamp vs DuckDB's
+      *    naive one to the same arrow date32;
+      *  - `tb_parts`: GROUP BY (EXTRACT(YEAR), EXTRACT(MONTH|QUARTER))
+      *    — pure integer calendar parts, CAST to BIGINT on both sides
+      *    (DuckDB extracts BIGINT, Spark INT — the driver's hash is
+      *    type-sensitive);
+      *  - `tb_dom`: GROUP BY EXTRACT(DAY) % m — the day-of-month
+      *    modulus bucketing shape (h15's calendar sibling). Dow is
+      *    deliberately EXCLUDED: Spark's dayofweek is 1=Sunday,
+      *    DuckDB's 0=Sunday — a genuine dialect divergence, not a
+      *    semantics bug to differential-test.
+      *
+      * Rollup fingerprint: count + exact BIGINT sum of the unique key
+      * per bucket, O(calendar buckets) output at any scale. */
+    def runTimeBucket(): Generated = {
+      val withDate = singles.filter(_.date.isDefined)
+      val t = pick(withDate)
+      val p = filterFor(t)
+      val d = t.date.get
+      val u1 = t.unique.head
+      def out(bSql: Seq[(String, String)], duck: Boolean) = {
+        val sumS = if (duck) s"CAST(sum($u1) AS BIGINT)" else s"sum($u1)"
+        val bs = bSql.map { case (e, n) => s"$e AS $n" }.mkString(", ")
+        val ns = bSql.map(_._2).mkString(", ")
+        s"SELECT $bs, count(*) AS n, $sumS AS su " +
+          s"FROM ${t.name} WHERE ${p.sql} GROUP BY $ns ORDER BY $ns"
+      }
+      def build(bCols: Seq[(Column, String)]): (SparkSession, String) => DataFrame =
+        (s: SparkSession, dir: String) => {
+          val withB = bCols.foldLeft(Engine.t(s, dir, t.name).filter(p.cond)) {
+            case (df, (c, n)) => df.withColumn(n, c)
+          }
+          withB.groupBy(bCols.map(b => col(b._2)): _*)
+            .agg(count(lit(1)).as("n"), sum(col(u1)).as("su"))
+            .orderBy(bCols.map(b => col(b._2)): _*)
+        }
+      rnd.nextInt(3) match {
+        case 0 =>
+          val part = pick(Seq("month", "quarter", "week"))
+          val e = s"CAST(date_trunc('$part', $d) AS DATE)"
+          val c = date_trunc(part, col(d)).cast("date")
+          Generated(seed, "tb_trunc", build(Seq(c -> "b")),
+            out(Seq(e -> "b"), duck = false), out(Seq(e -> "b"), duck = true))
+        case 1 =>
+          val (sub, fn) =
+            if (maybe(0.5)) ("MONTH", (x: Column) => month(x))
+            else ("QUARTER", (x: Column) => quarter(x))
+          val es = Seq(
+            s"CAST(EXTRACT(YEAR FROM $d) AS BIGINT)" -> "y",
+            s"CAST(EXTRACT($sub FROM $d) AS BIGINT)" -> "m")
+          val cs = Seq(
+            year(col(d)).cast("long") -> "y",
+            fn(col(d)).cast("long") -> "m")
+          Generated(seed, "tb_parts", build(cs),
+            out(es, duck = false), out(es, duck = true))
+        case _ =>
+          val m = 2 + rnd.nextInt(9)
+          val e = s"CAST(EXTRACT(DAY FROM $d) AS BIGINT) % $m"
+          val c = (dayofmonth(col(d)).cast("long") % m)
+          Generated(seed, "tb_dom", build(Seq(c -> "b")),
+            out(Seq(e -> "b"), duck = false), out(Seq(e -> "b"), duck = true))
+      }
+    }
+
     /** Distribution window-function plan (ntile / percent_rank /
       * cume_dist) — the tile-assignment semantics family behind the
       * production e15 RFM quartiles and the custom DistRank operator
@@ -1660,4 +1731,8 @@ object PlanGen {
   /** Distribution window-function plan (ntile / percent_rank /
     * cume_dist bucket fingerprints) — see [[Gen.runDistWin]]. */
   def generateDistWin(seed: Long): Generated = new Gen(seed).runDistWin()
+
+  /** Calendar time-bucketing plan (date_trunc / EXTRACT rollups) —
+    * see [[Gen.runTimeBucket]]. */
+  def generateTimeBucket(seed: Long): Generated = new Gen(seed).runTimeBucket()
 }

@@ -320,6 +320,26 @@ class DifferentialSpec extends AnyFunSuite {
     assert(nonEmpty >= 50, s"only $nonEmpty/100 distwin seeds non-empty")
   }
 
+  test("100 time-bucket plans: DataFrame build equals spark.sql rendering") {
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var nonEmpty = 0
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateTimeBucket(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      if (viaApi.nonEmpty) nonEmpty += 1
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+    assert(Set("tb_trunc", "tb_parts", "tb_dom")
+      .subsetOf(shapes.keySet), s"timebucket shape coverage hole: $shapes")
+    assert(nonEmpty >= 50, s"only $nonEmpty/100 timebucket seeds non-empty")
+  }
+
   test("frozen fz* queries build and their SQL renderings stay stable") {
     // the driver's correctness gate replays these against DuckDB; this
     // test pins that each frozen seed still builds, returns rows, and
