@@ -325,6 +325,17 @@ object Differential {
 
   private def tbname(s: Long): String = s"fztb${s}_${PlanGen.generateTimeBucket(s).shape}"
 
+  /** Frozen array-aggregation seeds (round 14): one per list probe —
+    * sorted prefix, sorted distinct prefix, k-th smallest (with the
+    * out-of-bounds NULL path exercised by small groups). */
+  private val arrAggQuota = Map(
+    "arr_prefix" -> 1, "arr_distinct" -> 1, "arr_nth" -> 1)
+
+  val frozenArrAggSeeds: Seq[Long] =
+    fillQuota(arrAggQuota, s => PlanGen.generateArrAgg(s).shape)
+
+  private def aaname(s: Long): String = s"fzaa${s}_${PlanGen.generateArrAgg(s).shape}"
+
   /** Run a generated plan through its Spark-SQL TEXT rendering
     * (VERDICT r11 #7): the frozen rows then exercise the full parser →
     * analyzer → optimizer front door cross-engine vs DuckDB, while
@@ -356,6 +367,7 @@ object Differential {
       frozenQualifySeeds.map(s => qlname(s) -> viaSql(PlanGen.generateQualify(s))).toMap ++
       frozenDistWinSeeds.map(s => dwname(s) -> viaSql(PlanGen.generateDistWin(s))).toMap ++
       frozenTimeBucketSeeds.map(s => tbname(s) -> viaSql(PlanGen.generateTimeBucket(s))).toMap ++
+      frozenArrAggSeeds.map(s => aaname(s) -> viaSql(PlanGen.generateArrAgg(s))).toMap ++
       frozenGsetsSeeds.map(s => gsname(s) -> viaSql(PlanGen.generateGroupingSets(s))).toMap ++
       frozenDistinctSeeds.map(s => dname(s) -> viaSql(PlanGen.generateDistinct(s))).toMap
 
@@ -380,6 +392,7 @@ object Differential {
       frozenQualifySeeds.map(s => qlname(s) -> PlanGen.generateQualify(s).build).toMap ++
       frozenDistWinSeeds.map(s => dwname(s) -> PlanGen.generateDistWin(s).build).toMap ++
       frozenTimeBucketSeeds.map(s => tbname(s) -> PlanGen.generateTimeBucket(s).build).toMap ++
+      frozenArrAggSeeds.map(s => aaname(s) -> PlanGen.generateArrAgg(s).build).toMap ++
       frozenGsetsSeeds.map(s => gsname(s) -> PlanGen.generateGroupingSets(s).build).toMap ++
       frozenDistinctSeeds.map(s => dname(s) -> PlanGen.generateDistinct(s).build).toMap
 
@@ -401,6 +414,7 @@ object Differential {
       frozenQualifySeeds.map(s => qlname(s) -> PlanGen.generateQualify(s).duckSql).toMap ++
       frozenDistWinSeeds.map(s => dwname(s) -> PlanGen.generateDistWin(s).duckSql).toMap ++
       frozenTimeBucketSeeds.map(s => tbname(s) -> PlanGen.generateTimeBucket(s).duckSql).toMap ++
+      frozenArrAggSeeds.map(s => aaname(s) -> PlanGen.generateArrAgg(s).duckSql).toMap ++
       frozenGsetsSeeds.map(s => gsname(s) -> PlanGen.generateGroupingSets(s).duckSql).toMap ++
       frozenDistinctSeeds.map(s => dname(s) -> PlanGen.generateDistinct(s).duckSql).toMap
 }

@@ -13,7 +13,7 @@ import graft.Engine
   * against DuckDB with no extra compare code.
   *
   * Usage: runMain graft.fuzz.FuzzDump <sfDir> <outDir> <kind> <from> <to>
-  * where kind ∈ base|join|scalar|composite|frame|rframe|aggfns|rollup|subq|chain3|distinct|gsets|nullord|asof|limitby|withfill|qualify|distwin|timebucket.
+  * where kind ∈ base|join|scalar|composite|frame|rframe|aggfns|rollup|subq|chain3|distinct|gsets|nullord|asof|limitby|withfill|qualify|distwin|timebucket|arragg.
   */
 object FuzzDump {
   def main(args: Array[String]): Unit = {
@@ -43,6 +43,7 @@ object FuzzDump {
       case "qualify"   => PlanGen.generateQualify
       case "distwin"   => PlanGen.generateDistWin
       case "timebucket" => PlanGen.generateTimeBucket
+      case "arragg"    => PlanGen.generateArrAgg
       case other       => sys.error(s"unknown kind $other")
     }
     val spark = Engine.session()

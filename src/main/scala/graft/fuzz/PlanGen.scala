@@ -1502,6 +1502,97 @@ object PlanGen {
       }
     }
 
+    /** Array-aggregation plan (ClickHouse groupArray/groupUniqArray
+      * territory, SURVEY D9) — collect per group, then canonicalize
+      * and probe the ARRAY ITSELF: sort, distinct, prefix slice,
+      * positional index. collect_list order is nondeterministic by
+      * contract, so every rendering canonicalizes through a full sort
+      * before anything observable; presentation is the d9 precedent —
+      * a comma-joined string (array_join / array_to_string) plus
+      * BIGINT scalars — because the cross-engine gate has only ever
+      * certified scalar cells (DuckDB lists arrive as arrow lists the
+      * driver's type-sensitive hash has no precedent for). Sorted
+      * element values render identically as strings on both engines
+      * for INTEGER and VARCHAR payloads — the two payload pools this
+      * family draws from (decimals are excluded: '5.0' vs '5.00'
+      * formatting is a dialect artifact, not semantics). Per-group
+      * state is O(group size) — inherent to the operator under test
+      * (the reason production d9 bounds its groups); the fuzz tables'
+      * group counts bound it here.
+      *
+      *  - `arr_prefix`: first k of the sorted value list + count;
+      *  - `arr_distinct`: sorted DISTINCT prefix + distinct count
+      *    (list_distinct vs array_distinct, then sort — dedup order
+      *    must not leak);
+      *  - `arr_nth`: the k-th smallest element as a BIGINT scalar,
+      *    via try_element_at — Spark 4's ANSI element_at THROWS on
+      *    out-of-bounds where DuckDB's list[k] returns NULL, so the
+      *    try_ variant is the only rendering with shared semantics
+      *    (groups smaller than k pin that null path). */
+    def runArrAgg(): Generated = {
+      val t = pick(singles)
+      val p = filterFor(t)
+      val u1 = t.unique.head
+      val modShape = t.cats.isEmpty || maybe(0.4)
+      val (gSql, gCol) =
+        if (modShape) {
+          val c = pick(t.ints); val m = 3 + rnd.nextInt(8)
+          (s"CAST($c % $m AS BIGINT)", (col(c) % m).cast("long"))
+        } else {
+          val c = pick(t.cats.keys.toSeq.sorted)
+          (c, col(c))
+        }
+      // string payload pool excludes the grouping column itself (a
+      // cat-shape g over a single-cat table would otherwise leave
+      // nothing to pick and crash the draw)
+      val strPool = t.cats.keys.toSeq.sorted.filterNot(c => !modShape && c == gSql)
+      val useStr = strPool.nonEmpty && maybe(0.4)
+      val vc = if (useStr) pick(strPool) else pick(t.ints)
+      val k = 2 + rnd.nextInt(3)
+      def gen(shape: String, sparkAgg: String, duckAgg: String,
+          build: (SparkSession, String) => DataFrame) = Generated(seed, shape,
+        build,
+        s"SELECT $gSql AS g, $sparkAgg, count(*) AS n FROM ${t.name} " +
+          s"WHERE ${p.sql} GROUP BY $gSql ORDER BY g",
+        s"SELECT $gSql AS g, $duckAgg, CAST(count(*) AS BIGINT) AS n FROM ${t.name} " +
+          s"WHERE ${p.sql} GROUP BY $gSql ORDER BY g")
+      val base = (s: SparkSession, dir: String) =>
+        Engine.t(s, dir, t.name).filter(p.cond).withColumn("g", gCol)
+      rnd.nextInt(3) match {
+        case 0 =>
+          gen("arr_prefix",
+            s"array_join(slice(array_sort(collect_list($vc)), 1, $k), ',') AS s",
+            s"array_to_string((list_sort(list($vc)))[1:$k], ',') AS s",
+            (s, dir) => base(s, dir).groupBy("g")
+              .agg(array_join(slice(array_sort(collect_list(col(vc))), 1, k), ",").as("s"),
+                count(lit(1)).as("n"))
+              .orderBy("g"))
+        case 1 =>
+          gen("arr_distinct",
+            s"array_join(slice(array_sort(array_distinct(collect_list($vc))), 1, $k), ',') AS s, " +
+              s"CAST(size(array_distinct(collect_list($vc))) AS BIGINT) AS nd",
+            s"array_to_string((list_sort(list_distinct(list($vc))))[1:$k], ',') AS s, " +
+              s"CAST(len(list_distinct(list($vc))) AS BIGINT) AS nd",
+            (s, dir) => base(s, dir).groupBy("g")
+              .agg(array_join(slice(array_sort(array_distinct(collect_list(col(vc)))), 1, k), ",").as("s"),
+                size(array_distinct(collect_list(col(vc)))).cast("long").as("nd"),
+                count(lit(1)).as("n"))
+              .select("g", "s", "nd", "n")
+              .orderBy("g"))
+        case _ =>
+          // k-th smallest of the UNIQUE key (never a string): groups
+          // with fewer than k rows exercise the engine-shared
+          // out-of-bounds → NULL contract
+          gen("arr_nth",
+            s"CAST(try_element_at(array_sort(collect_list($u1)), $k) AS BIGINT) AS nth",
+            s"CAST((list_sort(list($u1)))[$k] AS BIGINT) AS nth",
+            (s, dir) => base(s, dir).groupBy("g")
+              .agg(call_function("try_element_at", array_sort(collect_list(col(u1))), lit(k)).cast("long").as("nth"),
+                count(lit(1)).as("n"))
+              .orderBy("g"))
+      }
+    }
+
     /** Time-bucketing plan — the calendar dimension every OLAP rollup
       * lives on, over the shapes whose cross-engine semantics are
       * provably stable:
@@ -1735,4 +1826,8 @@ object PlanGen {
   /** Calendar time-bucketing plan (date_trunc / EXTRACT rollups) —
     * see [[Gen.runTimeBucket]]. */
   def generateTimeBucket(seed: Long): Generated = new Gen(seed).runTimeBucket()
+
+  /** Array-aggregation plan (sorted/distinct/sliced/indexed collected
+    * lists, canonical string presentation) — see [[Gen.runArrAgg]]. */
+  def generateArrAgg(seed: Long): Generated = new Gen(seed).runArrAgg()
 }

@@ -340,6 +340,26 @@ class DifferentialSpec extends AnyFunSuite {
     assert(nonEmpty >= 50, s"only $nonEmpty/100 timebucket seeds non-empty")
   }
 
+  test("100 array-aggregation plans: DataFrame build equals spark.sql rendering") {
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var nonEmpty = 0
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateArrAgg(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      if (viaApi.nonEmpty) nonEmpty += 1
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+    assert(Set("arr_prefix", "arr_distinct", "arr_nth")
+      .subsetOf(shapes.keySet), s"arragg shape coverage hole: $shapes")
+    assert(nonEmpty >= 50, s"only $nonEmpty/100 arragg seeds non-empty")
+  }
+
   test("frozen fz* queries build and their SQL renderings stay stable") {
     // the driver's correctness gate replays these against DuckDB; this
     // test pins that each frozen seed still builds, returns rows, and
