@@ -39,18 +39,71 @@ object Bench {
       }
     println(s"[bench] LPT order over ${priorTimes.size} prior timings")
     var failed = List.empty[String]
-    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Plan fingerprint (ADVICE r14): the min-merge below keeps the
+    // best-known time per query FOREVER, so a query whose
+    // implementation changed shape would silently inherit timings of
+    // code that no longer exists unless someone remembers
+    // SPARK_GRAFT_BENCH_RESET. The fingerprint is an MD5 of the
+    // canonicalized ANALYZED plan (captures any source change to the
+    // query; exprIds normalized by canonicalization) with the two
+    // run-varying path families — the sf dir and the per-appId
+    // /tmp/graft_io scratch tree — replaced by placeholders. Stored
+    // alongside the times in BENCH_FULL.json; a changed fingerprint
+    // auto-resets that query's record to THIS run's time.
+    // Beyond paths, strip every token that varies across IDENTICAL
+    // code (measured by diffing two same-tree runs): JVM object
+    // identities (Aggregator instances print `@hex`), lambda class
+    // names/addresses (MapPartitions functions), the random seed the
+    // analyzer assigns to uuid(), and — for the query that embeds an
+    // explain STRING as data — plan_ids and raw exprIds inside string
+    // literals (canonicalization only normalizes the plan's own ids).
+    def normalizedPlan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.analyzed.canonicalized.toString
+        .replace(sfDir, "SF")
+        .replaceAll("/tmp/graft_io/\\S*", "TMP")
+        .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "LambdaN")
+        .replaceAll("@[0-9a-f]+", "@X")
+        .replaceAll("plan_id=\\d+", "plan_id=N")
+        .replaceAll("uuid\\(Some\\(-?\\d+\\)\\)", "uuid(SEED)")
+        .replaceAll("#\\d+", "#N")
+    def fingerprint(df: org.apache.spark.sql.DataFrame): String = {
+      val s = normalizedPlan(df)
+      "h" + java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.take(16)
+    }
+    val fpDebug = sys.env.get("SPARK_GRAFT_FP_DEBUG")
+    val fps = scala.collection.mutable.Map.empty[String, String]
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+               wantFp: Boolean = false): Double = {
       val t0 = System.nanoTime()
       // noop sink forces FULL evaluation of every output column —
       // count() would let Catalyst prune projections and trailing
       // sorts, overstating projection-heavy queries (ADVICE r2).
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      val df = try {
+        val d = fn(spark, sfDir)
+        d.write.format("noop").mode("overwrite").save()
+        Some(d)
+      } catch { case e: Throwable =>
         failed ::= name
         println(s"[bench] $name FAILED: ${e.getMessage}")
+        None
       }
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[bench] $name%-28s $dt%9.3f s")
+      // fingerprint OUTSIDE the timed section, on the already-built df
+      // (the write above used its own QueryExecution; .analyzed here is
+      // a lazy analysis pass, no job runs).
+      if (wantFp) df.foreach { d =>
+        try {
+          fps(name) = fingerprint(d)
+          fpDebug.foreach { dbg =>
+            new java.io.File(dbg).mkdirs()
+            java.nio.file.Files.write(java.nio.file.Paths.get(s"$dbg/$name.txt"),
+              normalizedPlan(d).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        } catch { case _: Throwable => () }
+      }
       dt
     }
     // Two full passes, per-query MIN. The host's intermittent throttle
@@ -64,7 +117,7 @@ object Bench {
       .sortBy { case (name, _) => (-priorTimes.getOrElse(name, Double.MaxValue), name) }
     val pass1 = ordered.map { case (name, fn) => name -> runOne(name, fn) }
     println("[bench] --- pass 2 (reverse order) ---")
-    val pass2 = ordered.reverse.map { case (name, fn) => name -> runOne(name, fn) }.toMap
+    val pass2 = ordered.reverse.map { case (name, fn) => name -> runOne(name, fn, wantFp = true) }.toMap
     val results = pass1.map { case (name, t1) => name -> math.min(t1, pass2(name)) }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     def qjson(rs: Seq[(String, Double)]): String =
@@ -109,32 +162,58 @@ object Bench {
       // keep their old record (a crash's wall time is not a timing);
       // queries dropped from the suite drop out of the record.
       val target = benchOut.getOrElse("BENCH_FULL.json")
+      // the raw-run audit file follows the redirect: an off-scale run
+      // with SPARK_GRAFT_BENCH_OUT must not clobber the committed
+      // sf0.1 BENCH_LAST.json either (same poisoning as the record
+      // file, caught when an sf0.001 fingerprint rehearsal overwrote it)
+      val lastPath = benchOut.map(_ + ".last").getOrElse("BENCH_LAST.json")
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_LAST.json"),
+        java.nio.file.Paths.get(lastPath),
         fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val resetQ = sys.env.get("SPARK_GRAFT_BENCH_RESET")
         .map(_.split(",").toSet).getOrElse(Set.empty[String])
-      val old: Map[String, Double] =
+      val (old: Map[String, Double], oldFps: Map[String, String]) =
         try {
           val txt = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(target)), java.nio.charset.StandardCharsets.UTF_8)
-          """"([a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(txt)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        } catch { case _: Throwable => Map.empty }
+          (""""([a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap,
+           """"([a-z0-9_]+)":"(h[0-9a-f]{16})"""".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2)).toMap)
+        } catch { case _: Throwable => (Map.empty[String, Double], Map.empty[String, String]) }
       val failedSet = failed.toSet
+      // ADVICE r14: a query whose plan fingerprint changed takes its
+      // FRESH time — the old record measured code that no longer
+      // exists. Manual SPARK_GRAFT_BENCH_RESET still works for shape
+      // changes the analyzed plan can't see (e.g. a physical-rule or
+      // config change with identical logical plan).
+      val fpReset = results.collect {
+        case (n, _) if fps.get(n).exists(f => oldFps.get(n).exists(_ != f)) => n
+      }.map(_.toString).toSet
+      if (fpReset.nonEmpty)
+        println(s"[bench] plan fingerprint changed -> fresh time for: ${fpReset.toSeq.sorted.mkString(",")}")
       val merged = results.map { case (n, t) =>
         n -> (
           if (failedSet(n)) old.getOrElse(n, t)
-          else if (resetQ(n)) t
+          else if (resetQ(n) || fpReset(n)) t
           else math.min(t, old.getOrElse(n, Double.MaxValue)))
       }
       val tightened = merged.count { case (n, t) => old.get(n).exists(t < _) }
+      val stale = merged.count { case (n, t) => old.get(n).contains(t) && !resetQ(n) && !fpReset(n) }
       val mtotal = r3(merged.map(_._2).sum)
       println(s"[bench] min-merged $target: ${merged.size} queries, " +
-        s"$tightened tightened, total $mtotal s (raw run ${total} s -> BENCH_LAST.json)")
+        s"$tightened tightened, $stale kept from prior record, " +
+        s"${fpReset.size} fp-reset, total $mtotal s (raw run ${total} s -> $lastPath)")
+      // keep a fingerprint for every query: fresh when this run made
+      // one, else carry the old one forward (a FAILED query keeps its
+      // prior fp alongside its prior time).
+      val mergedFps = merged.flatMap { case (n, _) =>
+        fps.get(n).orElse(oldFps.get(n)).map(n -> _) }
+      val fpsJson = mergedFps.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(target),
-        s"""{"metric":"total","value":$mtotal,"unit":"sec","queries":${qjson(merged)},"failed":$failedJson,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$mtotal,"unit":"sec","queries":${qjson(merged)},"fps":$fpsJson,"failed":$failedJson,"sf":"$sfDir"}"""
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(head)},"n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
