@@ -351,11 +351,21 @@ abstract class CentroidScan extends BinaryExpression {
   /** true → emit the argmin index (int); false → the min distance. */
   protected def emitIndex: Boolean
 
+  /** ADVICE r14: a flattened centroid literal whose length is not a
+    * multiple of the vector dim previously TRUNCATED the trailing
+    * values (integer division for k), and an empty vector yielded
+    * index 0 / +Infinity — plausible wrong assignments from malformed
+    * input. Both now return NULL (eval and codegen), which any
+    * downstream grouping/join surfaces immediately instead of
+    * silently mis-clustering. */
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val vec = a.asInstanceOf[ArrayData]
     val cents = b.asInstanceOf[ArrayData]
     val dim = vec.numElements()
-    val k = if (dim == 0) 0 else cents.numElements() / dim
+    if (dim == 0 || cents.numElements() % dim != 0) return null
+    val k = cents.numElements() / dim
     val fl = vecElem(left).get == FloatType
     var best = Double.PositiveInfinity
     var bestC = 0
@@ -388,18 +398,22 @@ abstract class CentroidScan extends BinaryExpression {
       val bestC = ctx.freshName("bestC")
       s"""
          |int $dim = $a.numElements();
-         |int $k = $dim == 0 ? 0 : $b.numElements() / $dim;
-         |double $best = Double.POSITIVE_INFINITY;
-         |int $bestC = 0;
-         |for (int $c = 0; $c < $k; $c++) {
-         |  double $s = 0.0;
-         |  for (int $i = 0; $i < $dim; $i++) {
-         |    double $d = (double) $a.$getter($i) - $b.getDouble($c * $dim + $i);
-         |    $s += $d * $d;
+         |if ($dim == 0 || $b.numElements() % $dim != 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $k = $b.numElements() / $dim;
+         |  double $best = Double.POSITIVE_INFINITY;
+         |  int $bestC = 0;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      double $d = (double) $a.$getter($i) - $b.getDouble($c * $dim + $i);
+         |      $s += $d * $d;
+         |    }
+         |    if ($s < $best) { $best = $s; $bestC = $c; }
          |  }
-         |  if ($s < $best) { $best = $s; $bestC = $c; }
+         |  ${ev.value} = ${if (emitIndex) bestC else best};
          |}
-         |${ev.value} = ${if (emitIndex) bestC else best};
        """.stripMargin
     })
   }

@@ -53,6 +53,29 @@ class VectorExpressionSpec extends AnyFunSuite {
     assert(ties.forall(_ == 0), "exact tie must resolve to the first centroid")
   }
 
+  test("centroid scan: malformed flattened matrix / empty vector -> NULL, not truncation") {
+    // ADVICE r14: cents.length not a multiple of dim used to silently
+    // drop the trailing values (integer division for k), and a
+    // zero-length vector produced index 0 / +Infinity. Both are NULL
+    // now, in BOTH the interpreted and codegen paths.
+    val e = Engine.t(spark, TestSpark.sf, "embeddings").limit(5)
+    val dim = e.select(expr("size(embedding)")).head().getInt(0)
+    val ragged = typedLit(Array.fill(dim + 1)(0.5)) // k*dim+1: not a multiple
+    val r1 = e.select(
+      call_function("argmin_l2sq_f", col("embedding"), ragged).as("a"),
+      call_function("min_l2sq_f", col("embedding"), ragged).as("m")).collect()
+    assert(r1.forall(r => r.isNullAt(0) && r.isNullAt(1)), "ragged matrix must be NULL")
+    val r2 = spark.sql(
+      "SELECT argmin_l2sq_f(CAST(array() AS array<float>), array(CAST(1.0 AS DOUBLE))) AS a," +
+        " min_l2sq_f(CAST(array() AS array<float>), array(CAST(1.0 AS DOUBLE))) AS m")
+      .collect().head
+    assert(r2.isNullAt(0) && r2.isNullAt(1), "empty vector must be NULL")
+    // well-formed inputs stay non-null through the same path
+    val ok = typedLit(Array.fill(2 * dim)(0.5))
+    val r3 = e.select(call_function("argmin_l2sq_f", col("embedding"), ok)).collect()
+    assert(r3.forall(!_.isNullAt(0)))
+  }
+
   test("kernels resolve through SQL text (SparkSessionExtensions)") {
     val r = spark.sql(
       "SELECT dot_f(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d," +
