@@ -50,7 +50,24 @@ def main():
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     dumped = sorted(os.path.basename(d) for d in glob.glob(f"{out}/*")
                     if os.path.isdir(d))
+    # ADVICE r14: cross-check dumps against the declared query list —
+    # a query that crashed before dumping must surface as a bad row
+    # with a distinct err, not silently vanish from the record. The
+    # list is written by Verify (declared_queries.json); if the dump
+    # predates that change, fall back to dump-dirs-only with a warning.
     rec = {}
+    try:
+        declared = json.load(open(f"{out}/declared_queries.json"))
+        for name in sorted(set(declared) - set(dumped)):
+            rec[name] = dict(rows_match=None, schema_match=None,
+                             hash_match=None, spark_rows=None,
+                             oracle_rows=None, err="missing_dump")
+        extra = sorted(set(dumped) - set(declared))
+        if extra:
+            print(f"WARNING: dumps not in declared list: {extra}")
+    except FileNotFoundError:
+        print("WARNING: no declared_queries.json in dump — "
+              "crashed-before-dump queries cannot be detected")
     for name in dumped:
         files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
         entry = dict(rows_match=None, schema_match=None, hash_match=None,
@@ -94,6 +111,10 @@ def main():
                  if v["hash_match"] or v["err"] == "no_oracle")
     n_bad = sum(1 for v in rec.values()
                 if v["hash_match"] is False or (v["err"] and v["err"] != "no_oracle"))
+    n_missing = sum(1 for v in rec.values() if v["err"] == "missing_dump")
+    if n_missing:
+        print(f"ERROR: {n_missing} declared queries never dumped "
+              f"(crashed before write?)")
     print(f"{path}: {len(rec)} queries, {n_pass} pass/no-oracle, {n_bad} bad")
     sys.exit(1 if n_bad else 0)
 

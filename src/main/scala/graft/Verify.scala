@@ -40,6 +40,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // ADVICE r14: the snapshot script only iterated dumped output dirs,
+    // so a query that CRASHED before dumping vanished from the
+    // correctness record entirely. Export the full declared list (all
+    // of SparkEntry.queries, regardless of a dev-time `only` filter) so
+    // the script can record missing dumps with a loud distinct err.
+    Files.writeString(Paths.get(s"$outDir/declared_queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }
