@@ -199,24 +199,25 @@ object Differential {
 
   private def dname(s: Long): String = s"fzds${s}_distinctagg"
 
-  /** Frozen GROUPING SETS seeds (round 13; derivation fixed round 14 —
-    * ADVICE r13 said the "mid-set" claim was hardcoded, not searched):
-    * the same first-seeds-that-fill rule as every other family, with
-    * the quota property read off the RENDERED set list — one seed WITH
-    * a single-column mid set (the Expand path between the full pair
-    * and the grand total) and one WITHOUT (pair + grand total only),
-    * so both planning paths stay pinned by construction. */
-  val frozenGsetsSeeds: Seq[Long] = {
-    // a mid set renders as `(colname)` — one identifier, no comma; the
-    // grand total renders `()` and the full pair contains a comma.
-    def hasMid(s: Long): Boolean =
-      "GROUPING SETS \\(([^H]*)\\) HAVING".r
-        .findFirstMatchIn(PlanGen.generateGroupingSets(s).sparkSql)
-        .exists(m => "\\([a-z_0-9]+\\)".r.findFirstIn(m.group(1)).isDefined)
-    val withMid = (1L to 10000L).find(hasMid).get
-    val withoutMid = (1L to 10000L).find(s => !hasMid(s)).get
-    Seq(withMid, withoutMid).distinct.sorted
-  }
+  /** Frozen GROUPING SETS seeds, PINNED as literals (ADVICE r14: the
+    * previous class-load search over 1..10000 with `.get` could
+    * silently shift the "frozen" seeds on any generator tweak —
+    * renaming the committed fzgs* correctness rows — or throw at init
+    * if a quota became unreachable). The selection rule that produced
+    * them (round 13): first seed WITH a single-column mid set (the
+    * Expand path between the full pair and the grand total) and first
+    * seed WITHOUT (pair + grand total only). `DifferentialSpec`
+    * re-runs that search every test run and fails loudly with the new
+    * first-matching seeds if the generator moves. */
+  val frozenGsetsSeeds: Seq[Long] = Seq(1L, 3L)
+
+  /** The mid-set property the frozen gsets seeds were selected by: a
+    * mid set renders as `(colname)` — one identifier, no comma; the
+    * grand total renders `()` and the full pair contains a comma. */
+  private[graft] def gsetsHasMid(s: Long): Boolean =
+    "GROUPING SETS \\(([^H]*)\\) HAVING".r
+      .findFirstMatchIn(PlanGen.generateGroupingSets(s).sparkSql)
+      .exists(m => "\\([a-z_0-9]+\\)".r.findFirstIn(m.group(1)).isDefined)
 
   private def gsname(s: Long): String = s"fzgs${s}_gsets"
 
@@ -336,6 +337,33 @@ object Differential {
 
   private def aaname(s: Long): String = s"fzaa${s}_${PlanGen.generateArrAgg(s).shape}"
 
+  /** Frozen PIVOT seeds (round 15), PINNED as literals per the ADVICE
+    * r14 rule: the first seed of each shape (pivot_sum, pivot_cnt) by
+    * the standard first-seeds-that-fill search, which
+    * `DifferentialSpec` re-runs every test run — a generator tweak
+    * that moves them fails THERE with the new values instead of
+    * silently renaming the committed fzpv* rows at class-load. */
+  val frozenPivotSeeds: Seq[Long] = Seq(1L, 4L)
+
+  private[graft] val pivotQuota = Map("pivot_sum" -> 1, "pivot_cnt" -> 1)
+
+  private def pvname(s: Long): String = s"fzpv${s}_${PlanGen.generatePivot(s).shape}"
+
+  /** Frozen explode/unnest seeds (round 15), PINNED as literals: first
+    * seed of each row-generator shape (expl_seq re-aggregation,
+    * expl_split posexplode/ordinality) — same re-search contract in
+    * `DifferentialSpec`. */
+  val frozenExplodeSeeds: Seq[Long] = Seq(1L, 2L)
+
+  private[graft] val explodeQuota = Map("expl_seq" -> 1, "expl_split" -> 1)
+
+  private def exname(s: Long): String = s"fzex${s}_${PlanGen.generateExplode(s).shape}"
+
+  /** The search the two pinned round-15 families were selected by —
+    * exposed so the spec can re-run it against the literals. */
+  private[graft] def searchQuota(quota: Map[String, Int], shapeOf: Long => String): Seq[Long] =
+    fillQuota(quota, shapeOf)
+
   /** Run a generated plan through its Spark-SQL TEXT rendering
     * (VERDICT r11 #7): the frozen rows then exercise the full parser →
     * analyzer → optimizer front door cross-engine vs DuckDB, while
@@ -369,7 +397,9 @@ object Differential {
       frozenTimeBucketSeeds.map(s => tbname(s) -> viaSql(PlanGen.generateTimeBucket(s))).toMap ++
       frozenArrAggSeeds.map(s => aaname(s) -> viaSql(PlanGen.generateArrAgg(s))).toMap ++
       frozenGsetsSeeds.map(s => gsname(s) -> viaSql(PlanGen.generateGroupingSets(s))).toMap ++
-      frozenDistinctSeeds.map(s => dname(s) -> viaSql(PlanGen.generateDistinct(s))).toMap
+      frozenDistinctSeeds.map(s => dname(s) -> viaSql(PlanGen.generateDistinct(s))).toMap ++
+      frozenPivotSeeds.map(s => pvname(s) -> viaSql(PlanGen.generatePivot(s))).toMap ++
+      frozenExplodeSeeds.map(s => exname(s) -> viaSql(PlanGen.generateExplode(s))).toMap
 
   /** The DataFrame-API builders for the same frozen rows, keyed by the
     * same names — `DifferentialSpec` pins these equal to the SQL-text
@@ -394,7 +424,9 @@ object Differential {
       frozenTimeBucketSeeds.map(s => tbname(s) -> PlanGen.generateTimeBucket(s).build).toMap ++
       frozenArrAggSeeds.map(s => aaname(s) -> PlanGen.generateArrAgg(s).build).toMap ++
       frozenGsetsSeeds.map(s => gsname(s) -> PlanGen.generateGroupingSets(s).build).toMap ++
-      frozenDistinctSeeds.map(s => dname(s) -> PlanGen.generateDistinct(s).build).toMap
+      frozenDistinctSeeds.map(s => dname(s) -> PlanGen.generateDistinct(s).build).toMap ++
+      frozenPivotSeeds.map(s => pvname(s) -> PlanGen.generatePivot(s).build).toMap ++
+      frozenExplodeSeeds.map(s => exname(s) -> PlanGen.generateExplode(s).build).toMap
 
   def oracles: Map[String, String] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).duckSql).toMap ++
@@ -416,5 +448,7 @@ object Differential {
       frozenTimeBucketSeeds.map(s => tbname(s) -> PlanGen.generateTimeBucket(s).duckSql).toMap ++
       frozenArrAggSeeds.map(s => aaname(s) -> PlanGen.generateArrAgg(s).duckSql).toMap ++
       frozenGsetsSeeds.map(s => gsname(s) -> PlanGen.generateGroupingSets(s).duckSql).toMap ++
-      frozenDistinctSeeds.map(s => dname(s) -> PlanGen.generateDistinct(s).duckSql).toMap
+      frozenDistinctSeeds.map(s => dname(s) -> PlanGen.generateDistinct(s).duckSql).toMap ++
+      frozenPivotSeeds.map(s => pvname(s) -> PlanGen.generatePivot(s).duckSql).toMap ++
+      frozenExplodeSeeds.map(s => exname(s) -> PlanGen.generateExplode(s).duckSql).toMap
 }

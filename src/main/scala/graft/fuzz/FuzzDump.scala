@@ -44,6 +44,8 @@ object FuzzDump {
       case "distwin"   => PlanGen.generateDistWin
       case "timebucket" => PlanGen.generateTimeBucket
       case "arragg"    => PlanGen.generateArrAgg
+      case "pivot"     => PlanGen.generatePivot
+      case "explode"   => PlanGen.generateExplode
       case other       => sys.error(s"unknown kind $other")
     }
     val spark = Engine.session()

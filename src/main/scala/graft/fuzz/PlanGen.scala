@@ -1760,6 +1760,150 @@ object PlanGen {
             outSql(winSql, bSql, duck = false), outSql(winSql, bSql, duck = true))
       }
     }
+
+    /** PIVOT plan (round 15) — three genuinely different constructions
+      * of one contingency rollup: Spark SQL's PIVOT clause (its own
+      * parser + RewritePivot path), `RelationalGroupedDataset.pivot`
+      * with an EXPLICIT value list (the DataFrame path — explicit so
+      * no distinct-value collect job runs, the only pivot shape that
+      * survives 100 TB), and a manual CASE-per-value rollup on DuckDB.
+      *
+      * Cross-engine rules:
+      *  - pivot values come from the clean single-token cat domains
+      *    only (o_orderpriority excluded — '1-URGENT' is not
+      *    identifier-safe as a pivot output column);
+      *  - `pivot_sum` sums via DECIMAL(18,2) and exits DOUBLE through
+      *    an OUTER cast (Spark's PIVOT clause wants a bare aggregate),
+      *    VARCHAR-bridged on DuckDB as usual;
+      *  - `pivot_cnt` renders the DuckDB leg as sum(CASE WHEN..1 END),
+      *    NOT count(CASE..) — count gives 0 where PIVOT gives NULL for
+      *    an absent (group, value) combo;
+      *  - output columns are renamed v0..vk by position, so the
+      *    driver's sorted-column hash never sees the engine-specific
+      *    spelling of a value-derived column name. */
+    def runPivot(): Generated = {
+      val cands = singles.filter(t => t.cats.keys.exists(_ != "o_orderpriority"))
+      val t = pick(cands)
+      val p = filterFor(t)
+      val pc = pick(t.cats.keys.toSeq.filter(_ != "o_orderpriority").sorted)
+      val dom = t.cats(pc)
+      val nVals = 2 + rnd.nextInt(math.min(3, dom.size - 1))
+      val vals = rnd.shuffle(dom).take(nVals).sorted
+      val otherCats = t.cats.keys.toSeq.filterNot(_ == pc).sorted
+      val modShape = otherCats.isEmpty || maybe(0.5)
+      val (gSql, gCol) =
+        if (modShape) {
+          val c = pick(t.ints); val m = 3 + rnd.nextInt(8)
+          (s"CAST($c % $m AS BIGINT)", (col(c) % m).cast("long"))
+        } else {
+          val c = pick(otherCats)
+          (c, col(c))
+        }
+      val vc = pick(t.nums)
+      val doSum = maybe(0.5)
+      val inList = vals.map(v => s"'$v'").mkString(", ")
+      val (shape, pivotAgg, outCast, duckAgg, dfAgg, dfCast) =
+        if (doSum) ("pivot_sum",
+          "sum(v)", "DOUBLE",
+          (v: String) => s"CAST(CAST(sum(CASE WHEN $pc = '$v' THEN CAST($vc AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE)",
+          sum(col("v")), "double")
+        else ("pivot_cnt",
+          "count(v)", "BIGINT",
+          (v: String) => s"CAST(sum(CASE WHEN $pc = '$v' THEN 1 END) AS BIGINT)",
+          count(col("v")), "long")
+      val outCols = vals.zipWithIndex
+        .map { case (v, i) => s"CAST(`$v` AS $outCast) AS v$i" }.mkString(", ")
+      val sparkSql =
+        s"SELECT g, $outCols FROM (SELECT $gSql AS g, $pc, " +
+          s"CAST($vc AS DECIMAL(18,2)) AS v FROM ${t.name} WHERE ${p.sql}) " +
+          s"PIVOT ($pivotAgg FOR $pc IN ($inList)) ORDER BY g"
+      val duckSql =
+        s"SELECT $gSql AS g, " +
+          vals.zipWithIndex.map { case (v, i) => s"${duckAgg(v)} AS v$i" }.mkString(", ") +
+          s" FROM ${t.name} WHERE ${p.sql} GROUP BY $gSql ORDER BY g"
+      val build = (s: SparkSession, dir: String) => {
+        val pvt = Engine.t(s, dir, t.name).filter(p.cond)
+          .select(gCol.as("g"), col(pc), col(vc).cast("decimal(18,2)").as("v"))
+          .groupBy("g").pivot(pc, vals).agg(dfAgg)
+        pvt.select(col("g") +: vals.zipWithIndex.map { case (v, i) =>
+          pvt(v).cast(dfCast).as(s"v$i") }: _*)
+          .orderBy("g")
+      }
+      Generated(seed, shape, build, sparkSql, duckSql)
+    }
+
+    /** Row-generator plan (round 15) — the explode/unnest surface, the
+      * one relational shape where output cardinality EXCEEDS input.
+      * Three renderings per shape: Spark's LATERAL VIEW clause (parser
+      * path), the DataFrame explode/posexplode column (Generate node),
+      * and DuckDB's unnest.
+      *
+      *  - `expl_seq`: explode(sequence(1, 1 + key % m)) re-aggregated
+      *    per group — count and exact BIGINT sum of the generated
+      *    element (DuckDB's generate_series is inclusive on both ends,
+      *    same as Spark's sequence); the fan-out factor is bounded by
+      *    m ≤ 4, so the blow-up is a constant multiple at any scale;
+      *  - `expl_split`: posexplode(split(cat, 'LETTER')) — both engines
+      *    keep leading AND trailing empty parts (verified: DuckDB
+      *    string_split('STANDARD','D') = [STAN, AR, '']), pos is
+      *    rendered 1-based on the Spark side to match
+      *    generate_subscripts; row-level output under a total-order
+      *    sort + LIMIT. */
+    def runExplode(): Generated = {
+      val t = pick(singles)
+      val p = filterFor(t)
+      if (t.cats.isEmpty || maybe(0.5)) {
+        val c = pick(t.ints)
+        val m = 2 + rnd.nextInt(3)
+        val modShape = t.cats.isEmpty || maybe(0.4)
+        val (gSql, gCol) =
+          if (modShape) {
+            val gc = pick(t.ints); val gm = 3 + rnd.nextInt(8)
+            (s"CAST($gc % $gm AS BIGINT)", (col(gc) % gm).cast("long"))
+          } else {
+            val gc = pick(t.cats.keys.toSeq.sorted)
+            (gc, col(gc))
+          }
+        val sparkSql =
+          s"SELECT g, count(*) AS n, sum(x) AS sx FROM (SELECT $gSql AS g, x " +
+            s"FROM ${t.name} LATERAL VIEW explode(sequence(1, 1 + CAST($c % $m AS INT))) ex AS x " +
+            s"WHERE ${p.sql}) GROUP BY g ORDER BY g"
+        val duckSql =
+          s"SELECT g, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx FROM (SELECT $gSql AS g, " +
+            s"unnest(generate_series(1, 1 + $c % $m)) AS x FROM ${t.name} WHERE ${p.sql}) " +
+            s"GROUP BY g ORDER BY g"
+        val build = (s: SparkSession, dir: String) =>
+          Engine.t(s, dir, t.name).filter(p.cond)
+            .withColumn("g", gCol)
+            .withColumn("x", explode(sequence(lit(1), lit(1) + (col(c) % m).cast("int"))))
+            .groupBy("g")
+            .agg(count(lit(1)).as("n"), sum(col("x").cast("long")).as("sx"))
+            .orderBy("g")
+        Generated(seed, "expl_seq", build, sparkSql, duckSql)
+      } else {
+        val vc = pick(t.cats.keys.toSeq.sorted)
+        val sep = pick("ADEIMNORT".toSeq).toString // letters present in the cat domains
+        val uk = t.unique
+        val ukSql = uk.mkString(", ")
+        val n = 50 + rnd.nextInt(150)
+        val sparkSql =
+          s"SELECT $ukSql, CAST(pos + 1 AS BIGINT) AS p, part FROM ${t.name} " +
+            s"LATERAL VIEW posexplode(split($vc, '$sep')) ex AS pos, part " +
+            s"WHERE ${p.sql} ORDER BY $ukSql, p LIMIT $n"
+        val duckSql =
+          s"SELECT $ukSql, p, part FROM (SELECT $ukSql, " +
+            s"CAST(generate_subscripts(string_split($vc, '$sep'), 1) AS BIGINT) AS p, " +
+            s"unnest(string_split($vc, '$sep')) AS part FROM ${t.name} WHERE ${p.sql}) " +
+            s"ORDER BY $ukSql, p LIMIT $n"
+        val build = (s: SparkSession, dir: String) =>
+          Engine.t(s, dir, t.name).filter(p.cond)
+            .select(uk.map(col) :+ posexplode(split(col(vc), sep)): _*)
+            .withColumn("p", (col("pos") + 1).cast("long"))
+            .select(uk.map(col) :+ col("p") :+ col("col").as("part"): _*)
+            .orderBy((uk :+ "p").map(col): _*).limit(n)
+        Generated(seed, "expl_split", build, sparkSql, duckSql)
+      }
+    }
   }
 
   /** Composite window→agg plan for the same seed space — see
@@ -1830,4 +1974,12 @@ object PlanGen {
   /** Array-aggregation plan (sorted/distinct/sliced/indexed collected
     * lists, canonical string presentation) — see [[Gen.runArrAgg]]. */
   def generateArrAgg(seed: Long): Generated = new Gen(seed).runArrAgg()
+
+  /** PIVOT plan (Spark PIVOT clause / RelationalGroupedDataset.pivot /
+    * DuckDB CASE rollup) — see [[Gen.runPivot]]. */
+  def generatePivot(seed: Long): Generated = new Gen(seed).runPivot()
+
+  /** Row-generator (explode / LATERAL VIEW / unnest) plan — see
+    * [[Gen.runExplode]]. */
+  def generateExplode(seed: Long): Generated = new Gen(seed).runExplode()
 }

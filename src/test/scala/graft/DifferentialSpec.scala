@@ -360,6 +360,59 @@ class DifferentialSpec extends AnyFunSuite {
     assert(nonEmpty >= 50, s"only $nonEmpty/100 arragg seeds non-empty")
   }
 
+  test("100 PIVOT plans: RelationalGroupedDataset.pivot equals PIVOT-clause sql") {
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var nonEmpty = 0
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generatePivot(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      if (viaApi.nonEmpty) nonEmpty += 1
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+    assert(Set("pivot_sum", "pivot_cnt").subsetOf(shapes.keySet),
+      s"pivot shape coverage hole: $shapes")
+    assert(nonEmpty >= 50, s"only $nonEmpty/100 pivot seeds non-empty")
+  }
+
+  test("100 explode/unnest plans: DataFrame Generate equals LATERAL VIEW sql") {
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var nonEmpty = 0
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateExplode(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      if (viaApi.nonEmpty) nonEmpty += 1
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+    assert(Set("expl_seq", "expl_split").subsetOf(shapes.keySet),
+      s"explode shape coverage hole: $shapes")
+    assert(nonEmpty >= 50, s"only $nonEmpty/100 explode seeds non-empty")
+  }
+
+  test("frozen round-15 pivot/explode seeds: pinned literals match the search") {
+    // the ADVICE r14 pinning contract: the literals in Differential
+    // must equal the first-seeds-that-fill search result, re-run here
+    val pv = graft.fuzz.Differential.searchQuota(
+      graft.fuzz.Differential.pivotQuota, s => PlanGen.generatePivot(s).shape)
+    assert(pv.sorted == graft.fuzz.Differential.frozenPivotSeeds,
+      s"generator moved the frozen pivot seeds: search=$pv — re-pin AND rename fzpv* rows")
+    val ex = graft.fuzz.Differential.searchQuota(
+      graft.fuzz.Differential.explodeQuota, s => PlanGen.generateExplode(s).shape)
+    assert(ex.sorted == graft.fuzz.Differential.frozenExplodeSeeds,
+      s"generator moved the frozen explode seeds: search=$ex — re-pin AND rename fzex* rows")
+  }
+
   test("frozen fz* queries build and their SQL renderings stay stable") {
     // the driver's correctness gate replays these against DuckDB; this
     // test pins that each frozen seed still builds, returns rows, and
@@ -371,6 +424,22 @@ class DifferentialSpec extends AnyFunSuite {
     }
     assert(graft.fuzz.Differential.queries.keySet ==
       graft.fuzz.Differential.oracles.keySet)
+  }
+
+  test("frozen GROUPING SETS seeds: pinned literals match the selection-rule search") {
+    // ADVICE r14: the seeds are now pinned literals in Differential;
+    // this re-runs the round-13 selection rule (first seed WITH a
+    // single-column mid set, first WITHOUT) so a generator tweak that
+    // moves them fails HERE with the new values instead of silently
+    // renaming the committed fzgs* correctness rows at class-load.
+    val withMid = (1L to 10000L).find(graft.fuzz.Differential.gsetsHasMid)
+    val withoutMid = (1L to 10000L).find(s => !graft.fuzz.Differential.gsetsHasMid(s))
+    assert(withMid.isDefined && withoutMid.isDefined,
+      "gsets generator no longer produces both mid-set shapes in seeds 1..10000")
+    assert(Seq(withMid.get, withoutMid.get).distinct.sorted ==
+      graft.fuzz.Differential.frozenGsetsSeeds,
+      s"generator moved the frozen gsets seeds: first withMid=$withMid, " +
+        s"first withoutMid=$withoutMid — re-pin the literals AND rename the fzgs* rows")
   }
 
   test("frozen fz* rows: SQL-text entry equals DataFrame-API build") {
