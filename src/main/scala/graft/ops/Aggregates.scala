@@ -899,6 +899,54 @@ object Aggregates {
       round(dRaw * sqrt(n1d * n2d / (n1d + n2d)), 4).as("ks_z"))
   }
 
+  /** D36 (CH `rankCorr`): Spearman rank correlation between
+    * `l_quantity` and `l_extendedprice`, ties handled by AVERAGE
+    * ranks. All rank arithmetic is exact: the doubled average rank of
+    * a tied value is u(v) = 2·offset(v) + cnt(v) + 1 (d34's integer
+    * identity), computed per DISTINCT value with [[stagedCumOffsets]]
+    * — per-partition window over range-staged value groups + broadcast
+    * offsets, NO global window at any scale — then joined back to the
+    * rows by value (two shuffle joins, each scale-safe). Spearman rho
+    * is Pearson on the ranks and is invariant under the 2r+c scaling,
+    * so the five sufficient sums accumulate u directly in
+    * DECIMAL(38,0) (u ≤ 2n ⇒ Σu² ≤ 4n³ — exact past 10¹² rows); only
+    * the last-mile combination is floating point, with the identical
+    * expression order on both engines (DuckDB mirrors the u identity
+    * with flat rank()/count() windows and exits each sum through the
+    * VARCHAR→DOUBLE bridge).
+    * Ref: DanielCasali/clickhouseocp pins ClickHouse v25.7
+    * (`rankCorr`), Dockerfile:102-126. */
+  private def d36Spearman(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Engine.t(spark, dir, "lineitem")
+      .select(CH.dec(col("l_quantity")).as("x"),
+        CH.dec(col("l_extendedprice")).as("y"))
+    def uMap(vc: String, stage: String): DataFrame = {
+      val byVal = rows.groupBy(col(vc).as("v")).agg(count(lit(1)).as("cnt"))
+      val (staged, _) = stagedCumOffsets(spark, dir, stage, byVal, "v", Seq("cnt"))
+      val w = Window.partitionBy("__pid").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      staged
+        .withColumn("off", col("__off_cnt") + coalesce(sum("cnt").over(w), lit(0L)))
+        .select(col("v").as(vc),
+          (lit(2) * col("off") + col("cnt") + 1).cast("decimal(19,0)").as(s"u$vc"))
+    }
+    val withU = rows
+      .join(uMap("x", "d36_rx"), "x")
+      .join(uMap("y", "d36_ry"), "y")
+    val s = withU.agg(
+      count(lit(1)).as("n"),
+      sum(col("ux")).as("su"), sum(col("uy")).as("sv"),
+      sum(col("ux") * col("ux")).as("suu"),
+      sum(col("uy") * col("uy")).as("svv"),
+      sum(col("ux") * col("uy")).as("suv"))
+    val nd = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = nd * d("suv") - d("su") * d("sv")
+    val den = sqrt(nd * d("suu") - d("su") * d("su")) *
+      sqrt(nd * d("svv") - d("sv") * d("sv"))
+    s.select(col("n").cast("long").as("n"), round(num / den, 6).as("rho"))
+  }
+
   /** D24: `-Resample` combinator (`sumResample(start,end,step)(x,key)`)
     * — the aggregate splits into key-range bands and emits one value
     * per band. Spark-native: band = floor(key/step) as a second group
@@ -1087,6 +1135,7 @@ object Aggregates {
     "d25_welch_ttest" -> (d25WelchTtest _),
     "d34_mann_whitney" -> (d34MannWhitney _),
     "d35_ks_test" -> (d35KsTest _),
+    "d36_spearman" -> (d36Spearman _),
     "i2b_tdigest_custom" -> (i2bTdigestCustom _),
     "d22_array_combinators" -> (d22ArrayCombinators _),
     "d19_entropy" -> (d19Entropy _),
@@ -1247,6 +1296,28 @@ object Aggregates {
         |  round(CAST(CAST(dnum AS VARCHAR) AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d_stat,
         |  round(CAST(CAST(dnum AS VARCHAR) AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) *
         |    sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))), 4) AS ks_z
+        |FROM s""".stripMargin,
+    "d36_spearman" ->
+      """WITH r AS (
+        |  SELECT CAST(l_quantity AS DECIMAL(12,2)) AS x,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS y
+        |  FROM lineitem),
+        |u AS (
+        |  SELECT
+        |    CAST(2 * rank() OVER (ORDER BY x) + count(*) OVER (PARTITION BY x) - 1 AS DECIMAL(19,0)) AS ux,
+        |    CAST(2 * rank() OVER (ORDER BY y) + count(*) OVER (PARTITION BY y) - 1 AS DECIMAL(19,0)) AS uy
+        |  FROM r),
+        |s AS (
+        |  SELECT count(*) AS n,
+        |    CAST(CAST(sum(ux) AS VARCHAR) AS DOUBLE) AS su,
+        |    CAST(CAST(sum(uy) AS VARCHAR) AS DOUBLE) AS sv,
+        |    CAST(CAST(sum(ux * ux) AS VARCHAR) AS DOUBLE) AS suu,
+        |    CAST(CAST(sum(uy * uy) AS VARCHAR) AS DOUBLE) AS svv,
+        |    CAST(CAST(sum(ux * uy) AS VARCHAR) AS DOUBLE) AS suv
+        |  FROM u)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round((CAST(n AS DOUBLE) * suv - su * sv) /
+        |    (sqrt(CAST(n AS DOUBLE) * suu - su * su) * sqrt(CAST(n AS DOUBLE) * svv - sv * sv)), 6) AS rho
         |FROM s""".stripMargin,
     "d22_array_combinators" ->
       """WITH t AS (SELECT p_brand, p_size,

@@ -338,7 +338,44 @@ object Events {
         (count(lit(1)) / 2).cast("long").as("n_intervals"))
   }
 
+  /** E17 (the batch face of j3's streaming sessionize — CH
+    * gaps-and-islands idiom over `events`): split each user's
+    * timeline into maximal sessions at gaps > 30 min with the
+    * lag+cumulative-sum rewrite, then roll up the per-user session
+    * counts into a bounded histogram. All windows are PARTITIONED BY
+    * user_id (per-user data is bounded by human behavior, not corpus
+    * size, so no single task ever sees more than one user's rows at
+    * any scale) and the output is O(distinct session counts). Every
+    * quantity is an exact integer — session ids by cumulative sum of
+    * 0/1 markers, durations in microseconds — so the DuckDB replay is
+    * bit-exact. Tie order inside a user is pinned by (ts, event_id).
+    * Ref: DanielCasali/clickhouseocp pins ClickHouse v25.7 (the
+    * windowFunnel/retention family's session sibling). */
+  private def e17SessionsGap(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("t", "event_id")
+    val marked = Engine.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"))
+      .withColumn("prev", lag("t", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("t") - col("prev") > lit(1800000000L), 1L)
+          .otherwise(0L))
+    val perUser = marked
+      .withColumn("sid", sum("new_s").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("ne"), (max("t") - min("t")).as("dur_us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("ne").as("n_events"),
+        sum("dur_us").as("dur_us"))
+    perUser.groupBy("n_sessions")
+      .agg(count(lit(1)).as("users"), sum("n_events").as("events"),
+        sum("dur_us").as("dur_us"))
+      .orderBy("n_sessions")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e17_sessions_gap" -> (e17SessionsGap _),
     "e16_max_concurrent" -> (e16MaxConcurrent _),
     "e15_rfm_segmentation" -> (e15RfmSegmentation _),
     "e13_time_to_convert" -> (e13TimeToConvert _),
@@ -352,6 +389,25 @@ object Events {
     "e9_cohort_retention" -> (e9CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "e17_sessions_gap" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+        |m AS (SELECT user_id, t, event_id,
+        |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |sid AS (SELECT user_id, t,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |sess AS (SELECT user_id, sid, count(*) AS ne, max(t) - min(t) AS dur_us
+        |  FROM sid GROUP BY user_id, sid),
+        |pu AS (SELECT user_id, count(*) AS n_sessions,
+        |    CAST(sum(ne) AS BIGINT) AS n_events, CAST(sum(dur_us) AS BIGINT) AS dur_us
+        |  FROM sess GROUP BY user_id)
+        |SELECT n_sessions, count(*) AS users,
+        |  CAST(sum(n_events) AS BIGINT) AS events,
+        |  CAST(sum(dur_us) AS BIGINT) AS dur_us
+        |FROM pu GROUP BY n_sessions ORDER BY n_sessions""".stripMargin,
     "e16_max_concurrent" ->
       """WITH iv AS (SELECT ts AS s,
         |    ts + (60 * (1 + (event_id % 30))) * INTERVAL 1 SECOND AS e FROM events),

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Engine
+import graft.{CH, Engine}
 
 /** LLM-data-pipeline text operators (SURVEY §2.L1/L4/L5 + brief):
   * exact dedup, MinHash+LSH near-dup, text stats, token counting,
@@ -541,6 +541,75 @@ object LlmText {
       .orderBy("doc_id", "rk")
   }
 
+  /** DSIR scoring core (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS): per-document
+    * importance weight log p_target(doc) − log p_raw(doc) under
+    * hashed-bigram unigram models with add-1 smoothing. Factored over
+    * an arbitrary `docs(doc_id, text, …)` frame so `LlmOpsSpec` can
+    * pin the separation property on a PLANTED vocabulary (the sf
+    * corpus draws every lang from one vocabulary, so real langs don't
+    * separate — by construction, not by bug).
+    *
+    * Scale shape: the bigram explode is linear and feeds one bounded
+    * B-bucket aggregation; the model's grand totals are a 1-row
+    * collect (two longs of driver state); the per-bucket log-ratio
+    * table (B rows) broadcasts back into the scoring join, so the
+    * only corpus-sized exchanges are the bucket-count agg and the
+    * per-doc weight sum. */
+  private[graft] def dsirPerDoc(docs: DataFrame, targetCond: Column, B: Int): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), targetCond.as("is_t"), explode(ngrams(toks, 2)).as("bigram"))
+      .withColumn("b", pmod(xxhash64(col("bigram")), lit(B)))
+    val model = bg.groupBy("b").agg(
+      CH.countIf(col("is_t")).as("ct"), count(lit(1)).as("cr"))
+    val tot = model.agg(sum("ct"), sum("cr")).head
+    val (tt, tr) = (tot.getLong(0), tot.getLong(1))
+    val weights = model.select(col("b"),
+      (log((col("ct") + 1).cast("double") / lit((tt + B).toDouble)) -
+        log((col("cr") + 1).cast("double") / lit((tr + B).toDouble))).as("w"))
+    bg.join(broadcast(weights), "b")
+      .groupBy("doc_id")
+      .agg(sum("w").as("dsir_w"), count(lit(1)).as("n_bigrams"))
+  }
+
+  /** L45 (DSIR importance weights over the corpus, target =
+    * `lang = 'en'`): the 100 most target-like documents by hashed
+    * log-ratio weight. No oracle by design — the weights are
+    * transcendental floats whose bucket hash (xxhash64) has no DuckDB
+    * twin; the l45b verdict query replays an integer fixed-point
+    * variant of the same mechanism end-to-end instead, and
+    * `LlmOpsSpec` pins the planted-vocabulary separation property of
+    * THIS scorer. */
+  private def l45DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.t(spark, dir, "documents")
+    dsirPerDoc(docs, col("lang") === "en", 1024)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        round(col("dsir_w"), 6).as("dsir_w"), col("n_bigrams"))
+      .orderBy(col("dsir_w").desc, col("doc_id")).limit(100)
+  }
+
+  /** L45b: the bounded ORACLE twin of l45 — the same
+    * model-build → broadcast → score → elect pipeline with the two
+    * engine-specific pieces swapped for exactly replayable ones: the
+    * hashed bucket becomes the top-64 target bigrams THEMSELVES
+    * (target-count-desc, bigram-asc tiebreak) and the log-ratio
+    * becomes integer fixed-point odds (ct+1)·10⁶ DIV (cr+1). Every
+    * quantity is a BIGINT, so DuckDB replays the model, the scoring
+    * join, and the top-50 election bit-for-bit. */
+  private def l45bDsirVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Engine.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(ngrams(toks, 2)).as("bigram"))
+    val model = bg.groupBy("bigram").agg(
+      CH.countIf(col("lang") === "en").as("ct"), count(lit(1)).as("cr"))
+      .orderBy(col("ct").desc, col("bigram")).limit(64)
+      .select(col("bigram"), expr("(ct + 1) * 1000000 DIV (cr + 1)").as("wt"))
+    bg.join(broadcast(model), "bigram")
+      .groupBy("doc_id")
+      .agg(sum("wt").as("score"), count(lit(1)).as("n_hits"))
+      .orderBy(col("score").desc, col("doc_id")).limit(50)
+  }
+
   /** L34: bigram conditional statistics — the n-gram LM table one
     * level up from l23's unigram scores: for the 20 heaviest anchor
     * words, the most likely next word and P(next|anchor). Corpus
@@ -564,6 +633,8 @@ object LlmText {
   }
 
   val queries: Map[String, Q] = Map(
+    "l45_dsir_weights" -> (l45DsirWeights _),
+    "l45b_dsir_verdict" -> (l45bDsirVerdict _),
     "l41_tfidf_topterms" -> (l41TfidfTopTerms _),
     "l34_bigram_stats" -> (l34BigramStats _),
     "l31_bloom_dedup" -> (l31BloomDedup _),
@@ -583,6 +654,22 @@ object LlmText {
     "l13b_simhash_verdict" -> (l13bSimhashVerdict _))
 
   val oracles: Map[String, String] = Map(
+    // l45b: identical bigram model (top-64 target bigrams, integer
+    // fixed-point odds), scoring join, and top-50 election — all
+    // BIGINT, bit-exact.
+    "l45b_dsir_verdict" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS tk FROM documents),
+        |bg AS (SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+        |      i -> tk[i] || ' ' || tk[i+1])) AS bigram FROM t),
+        |m AS (SELECT bigram,
+        |    count(*) FILTER (WHERE lang = 'en') AS ct, count(*) AS cr
+        |  FROM bg GROUP BY 1 ORDER BY ct DESC, bigram LIMIT 64),
+        |w AS (SELECT bigram, (ct + 1) * 1000000 // (cr + 1) AS wt FROM m)
+        |SELECT bg.doc_id, CAST(sum(w.wt) AS BIGINT) AS score, count(*) AS n_hits
+        |FROM bg JOIN w USING (bigram)
+        |GROUP BY bg.doc_id ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
     // Brute-force replay of l31b: identical md5 bit positions (k=4,
     // m=2^18 — power of two so UBIGINT mod == signed pmod), the
     // existing-corpus bit set, all-bits-present membership, and the

@@ -500,4 +500,34 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(got == reference(docs), s"seed $seed diverged")
     }
   }
+
+  test("l45 DSIR weights separate a planted target vocabulary") {
+    import spark.implicits._
+    // Two disjoint vocabularies: target docs speak A, raw-only docs
+    // speak B. A held-out doc in vocabulary A must outscore every
+    // vocabulary-B doc under log p_target − log p_raw — the DSIR
+    // separation contract. (The sf corpus draws every lang from ONE
+    // vocabulary, so real langs can't separate; the planted frame is
+    // the honest test.)
+    val vocabA = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val vocabB = Seq("omega", "sigma", "kappa", "lambda", "theta")
+    def doc(v: Seq[String], seed: Int, n: Int): String = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(n)(v(rnd.nextInt(v.size))).mkString(" ")
+    }
+    val docs = (
+      (1 to 10).map(i => (i.toLong, doc(vocabA, i, 40), true)) ++    // target
+      (11 to 20).map(i => (i.toLong, doc(vocabB, i, 40), false)) ++  // raw-only
+      Seq((21L, doc(vocabA, 99, 40), false),                         // held-out A
+          (22L, doc(vocabB, 98, 40), false))                         // held-out B
+    ).toDF("doc_id", "text", "is_target")
+    val w = LlmText.dsirPerDoc(docs, col("is_target"), 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w(21L) > w(22L),
+      s"held-out target-vocab doc must outscore raw-vocab doc: $w")
+    val minA = (1 to 10).map(i => w(i.toLong)).min
+    val maxB = (11 to 20).map(i => w(i.toLong)).max
+    assert(minA > maxB, s"vocab-A docs must all outscore vocab-B docs: minA=$minA maxB=$maxB")
+    assert(w(21L) > maxB && w(22L) < minA)
+  }
 }
