@@ -1886,21 +1886,28 @@ object PlanGen {
         val uk = t.unique
         val ukSql = uk.mkString(", ")
         val n = 50 + rnd.nextInt(150)
+        // ORDER BY every output column, not just the key suffix + pos:
+        // the synthetic lineitem has ~20% duplicate (orderkey,
+        // linenumber) pairs (the fzql lesson), so rows tied on
+        // (keys, p) can differ in `part` and the LIMIT cut becomes
+        // engine-dependent; with `part` in the sort, remaining ties
+        // are fully identical rows. The 300-seed closing sweep caught
+        // exactly this (5 seeds diverged at the cut).
         val sparkSql =
           s"SELECT $ukSql, CAST(pos + 1 AS BIGINT) AS p, part FROM ${t.name} " +
             s"LATERAL VIEW posexplode(split($vc, '$sep')) ex AS pos, part " +
-            s"WHERE ${p.sql} ORDER BY $ukSql, p LIMIT $n"
+            s"WHERE ${p.sql} ORDER BY $ukSql, p, part LIMIT $n"
         val duckSql =
           s"SELECT $ukSql, p, part FROM (SELECT $ukSql, " +
             s"CAST(generate_subscripts(string_split($vc, '$sep'), 1) AS BIGINT) AS p, " +
             s"unnest(string_split($vc, '$sep')) AS part FROM ${t.name} WHERE ${p.sql}) " +
-            s"ORDER BY $ukSql, p LIMIT $n"
+            s"ORDER BY $ukSql, p, part LIMIT $n"
         val build = (s: SparkSession, dir: String) =>
           Engine.t(s, dir, t.name).filter(p.cond)
             .select(uk.map(col) :+ posexplode(split(col(vc), sep)): _*)
             .withColumn("p", (col("pos") + 1).cast("long"))
             .select(uk.map(col) :+ col("p") :+ col("col").as("part"): _*)
-            .orderBy((uk :+ "p").map(col): _*).limit(n)
+            .orderBy((uk ++ Seq("p", "part")).map(col): _*).limit(n)
         Generated(seed, "expl_split", build, sparkSql, duckSql)
       }
     }
