@@ -359,7 +359,18 @@ object Differential {
 
   private def exname(s: Long): String = s"fzex${s}_${PlanGen.generateExplode(s).shape}"
 
-  /** The search the two pinned round-15 families were selected by —
+  /** Frozen date-arithmetic seeds (round 15), PINNED as literals:
+    * first seed of each shape (da_shift interval-add month bucket,
+    * da_diff anchored whole-day modulus, da_last month-end) — same
+    * re-search contract in `DifferentialSpec`. */
+  val frozenDateArithSeeds: Seq[Long] = Seq(1L, 3L, 4L)
+
+  private[graft] val dateArithQuota = Map(
+    "da_shift" -> 1, "da_diff" -> 1, "da_last" -> 1)
+
+  private def daname(s: Long): String = s"fzda${s}_${PlanGen.generateDateArith(s).shape}"
+
+  /** The search the pinned round-15 families were selected by —
     * exposed so the spec can re-run it against the literals. */
   private[graft] def searchQuota(quota: Map[String, Int], shapeOf: Long => String): Seq[Long] =
     fillQuota(quota, shapeOf)
@@ -399,7 +410,8 @@ object Differential {
       frozenGsetsSeeds.map(s => gsname(s) -> viaSql(PlanGen.generateGroupingSets(s))).toMap ++
       frozenDistinctSeeds.map(s => dname(s) -> viaSql(PlanGen.generateDistinct(s))).toMap ++
       frozenPivotSeeds.map(s => pvname(s) -> viaSql(PlanGen.generatePivot(s))).toMap ++
-      frozenExplodeSeeds.map(s => exname(s) -> viaSql(PlanGen.generateExplode(s))).toMap
+      frozenExplodeSeeds.map(s => exname(s) -> viaSql(PlanGen.generateExplode(s))).toMap ++
+      frozenDateArithSeeds.map(s => daname(s) -> viaSql(PlanGen.generateDateArith(s))).toMap
 
   /** The DataFrame-API builders for the same frozen rows, keyed by the
     * same names — `DifferentialSpec` pins these equal to the SQL-text
@@ -426,7 +438,8 @@ object Differential {
       frozenGsetsSeeds.map(s => gsname(s) -> PlanGen.generateGroupingSets(s).build).toMap ++
       frozenDistinctSeeds.map(s => dname(s) -> PlanGen.generateDistinct(s).build).toMap ++
       frozenPivotSeeds.map(s => pvname(s) -> PlanGen.generatePivot(s).build).toMap ++
-      frozenExplodeSeeds.map(s => exname(s) -> PlanGen.generateExplode(s).build).toMap
+      frozenExplodeSeeds.map(s => exname(s) -> PlanGen.generateExplode(s).build).toMap ++
+      frozenDateArithSeeds.map(s => daname(s) -> PlanGen.generateDateArith(s).build).toMap
 
   def oracles: Map[String, String] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).duckSql).toMap ++
@@ -450,5 +463,6 @@ object Differential {
       frozenGsetsSeeds.map(s => gsname(s) -> PlanGen.generateGroupingSets(s).duckSql).toMap ++
       frozenDistinctSeeds.map(s => dname(s) -> PlanGen.generateDistinct(s).duckSql).toMap ++
       frozenPivotSeeds.map(s => pvname(s) -> PlanGen.generatePivot(s).duckSql).toMap ++
-      frozenExplodeSeeds.map(s => exname(s) -> PlanGen.generateExplode(s).duckSql).toMap
+      frozenExplodeSeeds.map(s => exname(s) -> PlanGen.generateExplode(s).duckSql).toMap ++
+      frozenDateArithSeeds.map(s => daname(s) -> PlanGen.generateDateArith(s).duckSql).toMap
 }

@@ -46,6 +46,7 @@ object FuzzDump {
       case "arragg"    => PlanGen.generateArrAgg
       case "pivot"     => PlanGen.generatePivot
       case "explode"   => PlanGen.generateExplode
+      case "datearith" => PlanGen.generateDateArith
       case other       => sys.error(s"unknown kind $other")
     }
     val spark = Engine.session()

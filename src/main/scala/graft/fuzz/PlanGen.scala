@@ -1761,6 +1761,68 @@ object PlanGen {
       }
     }
 
+    /** Date-arithmetic plan (round 15) — the calendar-SHIFT surface
+      * the time-bucket family never touches (it only truncates and
+      * extracts the raw column). Cross-engine-stable shapes:
+      *
+      *  - `da_shift`: GROUP BY CAST(date_trunc('month', d + INTERVAL
+      *    k DAY) AS DATE) — both engines take the part first and add
+      *    day intervals identically; the DATE cast normalizes the tz
+      *    story exactly as tb_trunc does;
+      *  - `da_diff`: whole-day difference to a fixed anchor, shifted
+      *    positive before the modulus bucket (Spark and DuckDB both
+      *    truncate integer % toward the dividend's sign — keeping the
+      *    operand non-negative sidesteps the question entirely);
+      *    Spark datediff(end, start) ≡ DuckDB datediff('day', start,
+      *    end), arguments swapped by dialect;
+      *  - `da_last`: GROUP BY last_day(CAST(d AS DATE)) — month-end
+      *    normalization, a DATE on both engines.
+      *
+      * Rollup fingerprint: count + exact BIGINT key sum per bucket,
+      * O(calendar buckets) output at any scale. */
+    def runDateArith(): Generated = {
+      val withDate = singles.filter(_.date.isDefined)
+      val t = pick(withDate)
+      val p = filterFor(t)
+      val d = t.date.get
+      val u1 = t.unique.head
+      def out(bSpark: String, bDuck: String, duck: Boolean) = {
+        val sumS = if (duck) s"CAST(sum($u1) AS BIGINT)" else s"sum($u1)"
+        val b = if (duck) bDuck else bSpark
+        s"SELECT $b AS bkt, count(*) AS n, $sumS AS su " +
+          s"FROM ${t.name} WHERE ${p.sql} GROUP BY $b ORDER BY bkt"
+      }
+      def build(bCol: Column): (SparkSession, String) => DataFrame =
+        (s: SparkSession, dir: String) =>
+          Engine.t(s, dir, t.name).filter(p.cond)
+            .withColumn("bkt", bCol)
+            .groupBy("bkt")
+            .agg(count(lit(1)).as("n"), sum(col(u1)).as("su"))
+            .orderBy("bkt")
+      rnd.nextInt(3) match {
+        case 0 =>
+          val k = 1 + rnd.nextInt(45)
+          val e = s"CAST(date_trunc('month', $d + INTERVAL $k DAY) AS DATE)"
+          Generated(seed, "da_shift", build(
+            date_trunc("month", col(d) + expr(s"INTERVAL $k DAY")).cast("date")),
+            out(e, e, duck = false), out(e, e, duck = true))
+        case 1 =>
+          val m = 3 + rnd.nextInt(8)
+          // anchor predates the data's 1992+ date domain, so the
+          // difference is non-negative before the shift-free modulus
+          val anchor = "1990-01-01"
+          val eS = s"CAST(datediff(CAST($d AS DATE), DATE '$anchor') % $m AS BIGINT)"
+          val eD = s"CAST(datediff('day', DATE '$anchor', CAST($d AS DATE)) % $m AS BIGINT)"
+          Generated(seed, "da_diff", build(
+            (datediff(col(d).cast("date"), lit(anchor).cast("date")) % m).cast("long")),
+            out(eS, eD, duck = false), out(eS, eD, duck = true))
+        case _ =>
+          val e = s"last_day(CAST($d AS DATE))"
+          Generated(seed, "da_last", build(last_day(col(d).cast("date"))),
+            out(e, e, duck = false), out(e, e, duck = true))
+      }
+    }
+
     /** PIVOT plan (round 15) — three genuinely different constructions
       * of one contingency rollup: Spark SQL's PIVOT clause (its own
       * parser + RewritePivot path), `RelationalGroupedDataset.pivot`
@@ -1989,4 +2051,8 @@ object PlanGen {
   /** Row-generator (explode / LATERAL VIEW / unnest) plan — see
     * [[Gen.runExplode]]. */
   def generateExplode(seed: Long): Generated = new Gen(seed).runExplode()
+
+  /** Date-arithmetic plan (interval shift / anchored datediff /
+    * last_day) — see [[Gen.runDateArith]]. */
+  def generateDateArith(seed: Long): Generated = new Gen(seed).runDateArith()
 }

@@ -400,6 +400,26 @@ class DifferentialSpec extends AnyFunSuite {
     assert(nonEmpty >= 50, s"only $nonEmpty/100 explode seeds non-empty")
   }
 
+  test("100 date-arithmetic plans: DataFrame build equals spark.sql rendering") {
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var nonEmpty = 0
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateDateArith(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      if (viaApi.nonEmpty) nonEmpty += 1
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+    assert(Set("da_shift", "da_diff", "da_last").subsetOf(shapes.keySet),
+      s"datearith shape coverage hole: $shapes")
+    assert(nonEmpty >= 50, s"only $nonEmpty/100 datearith seeds non-empty")
+  }
+
   test("frozen round-15 pivot/explode seeds: pinned literals match the search") {
     // the ADVICE r14 pinning contract: the literals in Differential
     // must equal the first-seeds-that-fill search result, re-run here
@@ -411,6 +431,10 @@ class DifferentialSpec extends AnyFunSuite {
       graft.fuzz.Differential.explodeQuota, s => PlanGen.generateExplode(s).shape)
     assert(ex.sorted == graft.fuzz.Differential.frozenExplodeSeeds,
       s"generator moved the frozen explode seeds: search=$ex — re-pin AND rename fzex* rows")
+    val da = graft.fuzz.Differential.searchQuota(
+      graft.fuzz.Differential.dateArithQuota, s => PlanGen.generateDateArith(s).shape)
+    assert(da.sorted == graft.fuzz.Differential.frozenDateArithSeeds,
+      s"generator moved the frozen datearith seeds: search=$da — re-pin AND rename fzda* rows")
   }
 
   test("frozen fz* queries build and their SQL renderings stay stable") {
