@@ -662,6 +662,12 @@ object PlanGen {
         () => { val a = strExpr(t, depth - 1)
           SE(s"CAST(length(${a.sql}) AS BIGINT)", length(a.dfc).cast("long"),
             Some(s"CAST(length(${a.duckSql}) AS BIGINT)")) },
+        () => { val a = strExpr(t, depth - 1); val sub = pick("AEIMORS".toSeq).toString
+          // 1-based first-occurrence position, 0 when absent, on both
+          // engines — Spark spells it instr, DuckDB strpos
+          SE(s"CAST(instr(${a.sql}, '$sub') AS BIGINT)",
+            instr(a.dfc, sub).cast("long"),
+            Some(s"CAST(strpos(${a.duckSql}, '$sub') AS BIGINT)")) },
         () => t.date match {
           case Some(d) => val f = pick(Seq("year", "month", "day"))
             SE(s"CAST($f($d) AS BIGINT)",
@@ -688,7 +694,27 @@ object PlanGen {
             Some(s"concat(${a.duckSql}, '|', ${b.duckSql})")) },
         () => { val a = strExpr(t, depth - 1)
           SE(s"replace(${a.sql}, 'A', '_')", regexp_replace(a.dfc, "A", "_"),
-            Some(s"replace(${a.duckSql}, 'A', '_')")) }))()
+            Some(s"replace(${a.duckSql}, 'A', '_')")) },
+        () => { val a = strExpr(t, depth - 1)
+          val f = pick(Seq("trim", "ltrim", "rtrim", "reverse"))
+          val dfc = f match {
+            case "trim" => trim(a.dfc); case "ltrim" => ltrim(a.dfc)
+            case "rtrim" => rtrim(a.dfc); case _ => reverse(a.dfc)
+          }
+          SE(s"$f(${a.sql})", dfc, Some(s"$f(${a.duckSql})")) },
+        () => { val a = strExpr(t, depth - 1)
+          val n = 3 + rnd.nextInt(10)
+          val f = pick(Seq("lpad", "rpad"))
+          // both engines pad to OR truncate at n with the same rule
+          SE(s"$f(${a.sql}, $n, '.')",
+            if (f == "lpad") lpad(a.dfc, n, ".") else rpad(a.dfc, n, "."),
+            Some(s"$f(${a.duckSql}, $n, '.')")) },
+        () => { val a = strExpr(t, depth - 1); val k = 2 + rnd.nextInt(2)
+          SE(s"repeat(${a.sql}, $k)", repeat(a.dfc, k),
+            Some(s"repeat(${a.duckSql}, $k)")) },
+        () => { val a = strExpr(t, depth - 1)
+          SE(s"translate(${a.sql}, 'AEO', 'aeo')", translate(a.dfc, "AEO", "aeo"),
+            Some(s"translate(${a.duckSql}, 'AEO', 'aeo')")) }))()
     }
 
     /** ROLLUP / CUBE subtotal semantics. The grouping columns are
