@@ -171,6 +171,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"l44 pair stage must equi-join on cluster, plan:\n$plan")
   }
 
+  test("l45 DSIR scoring joins broadcast the bounded model (corpus never shuffles for it)") {
+    // The scale contract of both DSIR variants: the model is a bounded
+    // table (1024 hash buckets / top-64 vocab bigrams) that BROADCASTS
+    // into the corpus-sized scoring join — a shuffled join here would
+    // exchange the full exploded bigram stream per scoring pass.
+    for (q <- Seq("l45_dsir_weights", "l45b_dsir_verdict")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q expected a broadcast scoring join, plan:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q must not plan a cartesian, plan:\n$plan")
+    }
+  }
+
   test("d34/d35/e15 plan no global windows (every WindowExec is partitioned)") {
     // The r13 forms ran Window.orderBy with no partition — a
     // single-task sort of an input that GROWS with the data (distinct
@@ -181,7 +196,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // queryExecution.sparkPlan (pre-AQE) so collect() traverses the
     // whole tree rather than stopping at the adaptive wrapper.
     import org.apache.spark.sql.execution.window.WindowExec
-    for (q <- Seq("d34_mann_whitney", "d35_ks_test", "e15_rfm_segmentation")) {
+    // d36 joins the list in r15: its rank machinery must stay on the
+    // staged __pid windows; e17's windows must stay per-user.
+    for (q <- Seq("d34_mann_whitney", "d35_ks_test", "e15_rfm_segmentation",
+        "d36_spearman", "e17_sessions_gap")) {
       val df = SparkEntry.queries(q)(spark, sf)
       val global = df.queryExecution.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
