@@ -370,6 +370,16 @@ object Differential {
 
   private def daname(s: Long): String = s"fzda${s}_${PlanGen.generateDateArith(s).shape}"
 
+  /** Frozen JOIN USING seeds (round 15), PINNED as literals: first
+    * seed of each shape (inner, left, multi-column self-join) — same
+    * re-search contract in `DifferentialSpec`. */
+  val frozenUsingSeeds: Seq[Long] = Seq(1L, 2L, 6L)
+
+  private[graft] val usingQuota = Map(
+    "using_inner" -> 1, "using_left" -> 1, "using_multi" -> 1)
+
+  private def usname(s: Long): String = s"fzus${s}_${PlanGen.generateUsing(s).shape}"
+
   /** The search the pinned round-15 families were selected by —
     * exposed so the spec can re-run it against the literals. */
   private[graft] def searchQuota(quota: Map[String, Int], shapeOf: Long => String): Seq[Long] =
@@ -411,7 +421,8 @@ object Differential {
       frozenDistinctSeeds.map(s => dname(s) -> viaSql(PlanGen.generateDistinct(s))).toMap ++
       frozenPivotSeeds.map(s => pvname(s) -> viaSql(PlanGen.generatePivot(s))).toMap ++
       frozenExplodeSeeds.map(s => exname(s) -> viaSql(PlanGen.generateExplode(s))).toMap ++
-      frozenDateArithSeeds.map(s => daname(s) -> viaSql(PlanGen.generateDateArith(s))).toMap
+      frozenDateArithSeeds.map(s => daname(s) -> viaSql(PlanGen.generateDateArith(s))).toMap ++
+      frozenUsingSeeds.map(s => usname(s) -> viaSql(PlanGen.generateUsing(s))).toMap
 
   /** The DataFrame-API builders for the same frozen rows, keyed by the
     * same names — `DifferentialSpec` pins these equal to the SQL-text
@@ -439,7 +450,8 @@ object Differential {
       frozenDistinctSeeds.map(s => dname(s) -> PlanGen.generateDistinct(s).build).toMap ++
       frozenPivotSeeds.map(s => pvname(s) -> PlanGen.generatePivot(s).build).toMap ++
       frozenExplodeSeeds.map(s => exname(s) -> PlanGen.generateExplode(s).build).toMap ++
-      frozenDateArithSeeds.map(s => daname(s) -> PlanGen.generateDateArith(s).build).toMap
+      frozenDateArithSeeds.map(s => daname(s) -> PlanGen.generateDateArith(s).build).toMap ++
+      frozenUsingSeeds.map(s => usname(s) -> PlanGen.generateUsing(s).build).toMap
 
   def oracles: Map[String, String] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).duckSql).toMap ++
@@ -464,5 +476,6 @@ object Differential {
       frozenDistinctSeeds.map(s => dname(s) -> PlanGen.generateDistinct(s).duckSql).toMap ++
       frozenPivotSeeds.map(s => pvname(s) -> PlanGen.generatePivot(s).duckSql).toMap ++
       frozenExplodeSeeds.map(s => exname(s) -> PlanGen.generateExplode(s).duckSql).toMap ++
-      frozenDateArithSeeds.map(s => daname(s) -> PlanGen.generateDateArith(s).duckSql).toMap
+      frozenDateArithSeeds.map(s => daname(s) -> PlanGen.generateDateArith(s).duckSql).toMap ++
+      frozenUsingSeeds.map(s => usname(s) -> PlanGen.generateUsing(s).duckSql).toMap
 }

@@ -47,6 +47,7 @@ object FuzzDump {
       case "pivot"     => PlanGen.generatePivot
       case "explode"   => PlanGen.generateExplode
       case "datearith" => PlanGen.generateDateArith
+      case "using"     => PlanGen.generateUsing
       case other       => sys.error(s"unknown kind $other")
     }
     val spark = Engine.session()

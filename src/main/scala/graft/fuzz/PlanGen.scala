@@ -1787,6 +1787,81 @@ object PlanGen {
       }
     }
 
+    /** JOIN USING plan (round 15) — the duplicate-column-elimination
+      * resolution path no ON-clause family touches: USING (k) emits a
+      * SINGLE k column, and the DataFrame build goes through the
+      * usingColumns overload (`join(b, Seq("k"), how)`), Spark SQL
+      * through the parser's UsingJoin, DuckDB through its own USING —
+      * three distinct front doors to the same join.
+      *
+      *  - `using_inner` / `using_left`: an equi-edge with both keys
+      *    RENAMED to the common name in subqueries; LEFT keeps k from
+      *    the non-null probe side on all three paths, and the right
+      *    payload flows through the established null-safe aggregates;
+      *  - `using_multi`: a lineitem self-join USING BOTH "unique"
+      *    columns — the synthetic data duplicates ~20% of
+      *    (l_orderkey, l_linenumber) pairs, so multi-column USING
+      *    multiplicities are exercised for real. */
+    def runUsing(): Generated = {
+      // first-draw seed bias (the runChain3 note): maybe()'s first
+      // nextDouble on a fresh Random is nearly constant across
+      // sequential seeds — 100 seeds all landed on one branch. A
+      // non-power-of-2 nextInt mixes.
+      if (rnd.nextInt(6) < 4) {
+        val (l, r, lk, rk) = pick(joinEdges)
+        val (pl, pr) = (filterFor(l), filterFor(r))
+        val left = maybe(0.5)
+        val jt = if (left) "LEFT JOIN" else "JOIN"
+        val (gSql, gCol) =
+          if (l.cats.nonEmpty) { val c = pick(l.cats.keys.toSeq.sorted); (c, col(c)) }
+          else { val c = pick(l.ints); val m = 3 + rnd.nextInt(8)
+            (s"CAST($c % $m AS BIGINT)", (col(c) % m).cast("long")) }
+        val rnum = pick(r.nums)
+        val agg = nullAggFor(rnum, "agg0")
+        def sql(duck: Boolean) =
+          s"SELECT g, count(*) AS cnt, ${if (duck) agg.duckSql else agg.sparkSql} FROM " +
+            s"(SELECT $lk AS k, $gSql AS g FROM ${l.name} WHERE ${pl.sql}) la " +
+            s"$jt (SELECT $rk AS k, $rnum FROM ${r.name} WHERE ${pr.sql}) ra USING (k) " +
+            s"GROUP BY g ORDER BY g"
+        val build = (s: SparkSession, dir: String) => {
+          val la = Engine.t(s, dir, l.name).filter(pl.cond)
+            .select(col(lk).as("k"), gCol.as("g"))
+          val ra = Engine.t(s, dir, r.name).filter(pr.cond)
+            .select(col(rk).as("k"), col(rnum))
+          la.join(ra, Seq("k"), if (left) "left" else "inner")
+            .groupBy("g").agg(count(lit(1)).as("cnt"), agg.dfCol)
+            .orderBy("g")
+        }
+        Generated(seed, if (left) "using_left" else "using_inner",
+          build, sql(false), sql(true))
+      } else {
+        val (p1, p2) = (filterFor(lineitem), filterFor(lineitem))
+        val gSql = "l_returnflag"
+        def sql(duck: Boolean) = {
+          val sumS =
+            if (duck) "CAST(CAST(sum(CAST(q2 AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
+            else "CAST(sum(CAST(q2 AS DECIMAL(18,2))) AS DOUBLE)"
+          s"SELECT $gSql, count(*) AS cnt, $sumS AS agg0 FROM " +
+            s"(SELECT l_orderkey, l_linenumber, $gSql FROM lineitem WHERE ${p1.sql}) la " +
+            s"JOIN (SELECT l_orderkey, l_linenumber, l_quantity AS q2 FROM lineitem " +
+            s"WHERE ${p2.sql}) lb USING (l_orderkey, l_linenumber) " +
+            s"GROUP BY $gSql ORDER BY $gSql"
+        }
+        val build = (s: SparkSession, dir: String) => {
+          val la = Engine.t(s, dir, "lineitem").filter(p1.cond)
+            .select(col("l_orderkey"), col("l_linenumber"), col(gSql))
+          val lb = Engine.t(s, dir, "lineitem").filter(p2.cond)
+            .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity").as("q2"))
+          la.join(lb, Seq("l_orderkey", "l_linenumber"), "inner")
+            .groupBy(gSql)
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("q2").cast("decimal(18,2)")).cast("double").as("agg0"))
+            .orderBy(gSql)
+        }
+        Generated(seed, "using_multi", build, sql(false), sql(true))
+      }
+    }
+
     /** Date-arithmetic plan (round 15) — the calendar-SHIFT surface
       * the time-bucket family never touches (it only truncates and
       * extracts the raw column). Cross-engine-stable shapes:
@@ -2081,4 +2156,8 @@ object PlanGen {
   /** Date-arithmetic plan (interval shift / anchored datediff /
     * last_day) — see [[Gen.runDateArith]]. */
   def generateDateArith(seed: Long): Generated = new Gen(seed).runDateArith()
+
+  /** JOIN USING plan (usingColumns / parser UsingJoin / DuckDB USING)
+    * — see [[Gen.runUsing]]. */
+  def generateUsing(seed: Long): Generated = new Gen(seed).runUsing()
 }

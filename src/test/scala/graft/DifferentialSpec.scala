@@ -420,6 +420,26 @@ class DifferentialSpec extends AnyFunSuite {
     assert(nonEmpty >= 50, s"only $nonEmpty/100 datearith seeds non-empty")
   }
 
+  test("100 JOIN USING plans: usingColumns build equals USING-clause sql") {
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var nonEmpty = 0
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateUsing(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      if (viaApi.nonEmpty) nonEmpty += 1
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+    assert(Set("using_inner", "using_left", "using_multi").subsetOf(shapes.keySet),
+      s"using shape coverage hole: $shapes")
+    assert(nonEmpty >= 50, s"only $nonEmpty/100 using seeds non-empty")
+  }
+
   test("frozen round-15 pivot/explode seeds: pinned literals match the search") {
     // the ADVICE r14 pinning contract: the literals in Differential
     // must equal the first-seeds-that-fill search result, re-run here
@@ -435,6 +455,10 @@ class DifferentialSpec extends AnyFunSuite {
       graft.fuzz.Differential.dateArithQuota, s => PlanGen.generateDateArith(s).shape)
     assert(da.sorted == graft.fuzz.Differential.frozenDateArithSeeds,
       s"generator moved the frozen datearith seeds: search=$da — re-pin AND rename fzda* rows")
+    val us = graft.fuzz.Differential.searchQuota(
+      graft.fuzz.Differential.usingQuota, s => PlanGen.generateUsing(s).shape)
+    assert(us.sorted == graft.fuzz.Differential.frozenUsingSeeds,
+      s"generator moved the frozen using seeds: search=$us — re-pin AND rename fzus* rows")
   }
 
   test("frozen fz* queries build and their SQL renderings stay stable") {
