@@ -50,22 +50,36 @@ object Bench {
     // /tmp/graft_io scratch tree — replaced by placeholders. Stored
     // alongside the times in BENCH_FULL.json; a changed fingerprint
     // auto-resets that query's record to THIS run's time.
-    // Beyond paths, strip every token that varies across IDENTICAL
-    // code (measured by diffing two same-tree runs): JVM object
-    // identities (Aggregator instances print `@hex`), lambda class
-    // names/addresses (MapPartitions functions), the random seed the
-    // analyzer assigns to uuid(), and — for the query that embeds an
-    // explain STRING as data — plan_ids and raw exprIds inside string
-    // literals (canonicalization only normalizes the plan's own ids).
+    // The fingerprint hashes the RAW analyzed plan, NOT .canonicalized:
+    // Spark 4's canonicalization sorts commutative chains
+    // (multiCommutativeOp) by the operands' canonicalized hashCodes,
+    // which depend on RAW exprIds — so the printed operand ORDER
+    // varies run-to-run on filter-heavy plans (measured: fz8/fzq2's
+    // And-chains flipped between identical sf0.1 runs). The raw
+    // analyzed text keeps the source's operand order; exprIds are
+    // normalized here by regex instead. Beyond ids, strip every token
+    // that varies across IDENTICAL code (measured by diffing same-tree
+    // runs): run-varying paths, JVM object identities (Aggregator
+    // instances print `@hex`), lambda class names/addresses
+    // (MapPartitions functions), the random seed the analyzer assigns
+    // to uuid(), plan_ids inside an embedded explain STRING, and CTE
+    // definition ids.
     def normalizedPlan(df: org.apache.spark.sql.DataFrame): String =
-      df.queryExecution.analyzed.canonicalized.toString
+      df.queryExecution.analyzed.toString
         .replace(sfDir, "SF")
         .replaceAll("/tmp/graft_io/\\S*", "TMP")
         .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "LambdaN")
         .replaceAll("@[0-9a-f]+", "@X")
         .replaceAll("plan_id=\\d+", "plan_id=N")
         .replaceAll("uuid\\(Some\\(-?\\d+\\)\\)", "uuid(SEED)")
+        .replaceAll("(CTERelationDef|CTERelationRef) \\d+", "$1 N")
         .replaceAll("#\\d+", "#N")
+    // Fingerprint FORMAT version: stored fps are only trusted for
+    // auto-reset when they were computed by the same normalization.
+    // Bumping this makes the next run refresh every fp WITHOUT
+    // resetting any time — a normalization change must never cause a
+    // whole-record reset to a possibly-contended run.
+    val FPV = 2
     def fingerprint(df: org.apache.spark.sql.DataFrame): String = {
       val s = normalizedPlan(df)
       "h" + java.security.MessageDigest.getInstance("MD5")
@@ -176,10 +190,14 @@ object Bench {
         try {
           val txt = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(target)), java.nio.charset.StandardCharsets.UTF_8)
+          val oldFpv = """"fpv":(\d+)""".r.findFirstMatchIn(txt)
+            .map(_.group(1).toInt).getOrElse(1)
           (""""([a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(txt)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap,
-           """"([a-z0-9_]+)":"(h[0-9a-f]{16})"""".r.findAllMatchIn(txt)
-            .map(m => m.group(1) -> m.group(2)).toMap)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filter(_._1 != "fpv").toMap,
+           if (oldFpv != FPV) Map.empty[String, String]
+           else """"([a-z0-9_]+)":"(h[0-9a-f]{16})"""".r.findAllMatchIn(txt)
+             .map(m => m.group(1) -> m.group(2)).toMap)
         } catch { case _: Throwable => (Map.empty[String, Double], Map.empty[String, String]) }
       val failedSet = failed.toSet
       // ADVICE r14: a query whose plan fingerprint changed takes its
@@ -213,7 +231,7 @@ object Bench {
         .mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(target),
-        s"""{"metric":"total","value":$mtotal,"unit":"sec","queries":${qjson(merged)},"fps":$fpsJson,"failed":$failedJson,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$mtotal,"unit":"sec","fpv":$FPV,"queries":${qjson(merged)},"fps":$fpsJson,"failed":$failedJson,"sf":"$sfDir"}"""
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(head)},"n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
