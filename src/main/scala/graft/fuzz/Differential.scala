@@ -380,6 +380,34 @@ object Differential {
 
   private def usname(s: Long): String = s"fzus${s}_${PlanGen.generateUsing(s).shape}"
 
+  /** Frozen FILTER-clause aggregate seeds (round 16), PINNED as
+    * literals: first seed of each shape (grouped, global) — same
+    * re-search contract in `DifferentialSpec`. */
+  val frozenFilterAggSeeds: Seq[Long] = Seq(1L, 8L)
+
+  private[graft] val filterAggQuota = Map("fa_grouped" -> 1, "fa_global" -> 1)
+
+  private def faname(s: Long): String = s"fzfa${s}_${PlanGen.generateFilterAgg(s).shape}"
+
+  /** Frozen ordered string-aggregation seeds (round 16), PINNED as
+    * literals: first seed of each shape (cat, int-as-varchar,
+    * distinct) — same re-search contract in `DifferentialSpec`. */
+  val frozenStrAggSeeds: Seq[Long] = Seq(1L, 2L, 7L)
+
+  private[graft] val strAggQuota = Map(
+    "sg_cat" -> 1, "sg_int" -> 1, "sg_distinct" -> 1)
+
+  private def sgname(s: Long): String = s"fzsg${s}_${PlanGen.generateStrAgg(s).shape}"
+
+  /** Frozen VALUES inline-table seeds (round 16), PINNED as literals:
+    * first seed of each shape (inner, left-from-values) — same
+    * re-search contract in `DifferentialSpec`. */
+  val frozenValuesSeeds: Seq[Long] = Seq(1L, 2L)
+
+  private[graft] val valuesQuota = Map("vl_inner" -> 1, "vl_left" -> 1)
+
+  private def vlname(s: Long): String = s"fzvl${s}_${PlanGen.generateValues(s).shape}"
+
   /** The search the pinned round-15 families were selected by —
     * exposed so the spec can re-run it against the literals. */
   private[graft] def searchQuota(quota: Map[String, Int], shapeOf: Long => String): Seq[Long] =
@@ -422,7 +450,10 @@ object Differential {
       frozenPivotSeeds.map(s => pvname(s) -> viaSql(PlanGen.generatePivot(s))).toMap ++
       frozenExplodeSeeds.map(s => exname(s) -> viaSql(PlanGen.generateExplode(s))).toMap ++
       frozenDateArithSeeds.map(s => daname(s) -> viaSql(PlanGen.generateDateArith(s))).toMap ++
-      frozenUsingSeeds.map(s => usname(s) -> viaSql(PlanGen.generateUsing(s))).toMap
+      frozenUsingSeeds.map(s => usname(s) -> viaSql(PlanGen.generateUsing(s))).toMap ++
+      frozenValuesSeeds.map(s => vlname(s) -> viaSql(PlanGen.generateValues(s))).toMap ++
+      frozenStrAggSeeds.map(s => sgname(s) -> viaSql(PlanGen.generateStrAgg(s))).toMap ++
+      frozenFilterAggSeeds.map(s => faname(s) -> viaSql(PlanGen.generateFilterAgg(s))).toMap
 
   /** The DataFrame-API builders for the same frozen rows, keyed by the
     * same names — `DifferentialSpec` pins these equal to the SQL-text
@@ -451,7 +482,10 @@ object Differential {
       frozenPivotSeeds.map(s => pvname(s) -> PlanGen.generatePivot(s).build).toMap ++
       frozenExplodeSeeds.map(s => exname(s) -> PlanGen.generateExplode(s).build).toMap ++
       frozenDateArithSeeds.map(s => daname(s) -> PlanGen.generateDateArith(s).build).toMap ++
-      frozenUsingSeeds.map(s => usname(s) -> PlanGen.generateUsing(s).build).toMap
+      frozenUsingSeeds.map(s => usname(s) -> PlanGen.generateUsing(s).build).toMap ++
+      frozenValuesSeeds.map(s => vlname(s) -> PlanGen.generateValues(s).build).toMap ++
+      frozenStrAggSeeds.map(s => sgname(s) -> PlanGen.generateStrAgg(s).build).toMap ++
+      frozenFilterAggSeeds.map(s => faname(s) -> PlanGen.generateFilterAgg(s).build).toMap
 
   def oracles: Map[String, String] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).duckSql).toMap ++
@@ -477,5 +511,8 @@ object Differential {
       frozenPivotSeeds.map(s => pvname(s) -> PlanGen.generatePivot(s).duckSql).toMap ++
       frozenExplodeSeeds.map(s => exname(s) -> PlanGen.generateExplode(s).duckSql).toMap ++
       frozenDateArithSeeds.map(s => daname(s) -> PlanGen.generateDateArith(s).duckSql).toMap ++
-      frozenUsingSeeds.map(s => usname(s) -> PlanGen.generateUsing(s).duckSql).toMap
+      frozenUsingSeeds.map(s => usname(s) -> PlanGen.generateUsing(s).duckSql).toMap ++
+      frozenValuesSeeds.map(s => vlname(s) -> PlanGen.generateValues(s).duckSql).toMap ++
+      frozenStrAggSeeds.map(s => sgname(s) -> PlanGen.generateStrAgg(s).duckSql).toMap ++
+      frozenFilterAggSeeds.map(s => faname(s) -> PlanGen.generateFilterAgg(s).duckSql).toMap
 }

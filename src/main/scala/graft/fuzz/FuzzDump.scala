@@ -48,6 +48,9 @@ object FuzzDump {
       case "explode"   => PlanGen.generateExplode
       case "datearith" => PlanGen.generateDateArith
       case "using"     => PlanGen.generateUsing
+      case "filteragg" => PlanGen.generateFilterAgg
+      case "stragg"    => PlanGen.generateStrAgg
+      case "values"    => PlanGen.generateValues
       case other       => sys.error(s"unknown kind $other")
     }
     val spark = Engine.session()

@@ -2074,6 +2074,186 @@ object PlanGen {
         Generated(seed, "expl_split", build, sparkSql, duckSql)
       }
     }
+
+    /** FILTER-clause aggregate plan (round 16) — the per-aggregate
+      * predicate surface (`agg(x) FILTER (WHERE p)`), a genuinely
+      * separate analyzer path from CASE-folded inputs: Spark parses
+      * the clause into `AggregateExpression.filter`, while the
+      * DataFrame leg builds the classical `agg(CASE WHEN p THEN x
+      * END)` equivalence — the differential pins the two paths equal
+      * row-for-row, and DuckDB's native FILTER is the cross-engine
+      * oracle. Null discipline: a filtered sum/min over zero matching
+      * rows is NULL on every engine (count is 0); sums ride the
+      * DECIMAL(18,2)→(VARCHAR→)DOUBLE bridge as always.
+      *
+      * Shapes: `fa_grouped` (cat GROUP BY, mixed filtered + plain
+      * aggs) and `fa_global` (no GROUP BY — the one-row path where
+      * all-rows-excluded NULLs actually surface in output). */
+    def runFilterAgg(): Generated = {
+      val t = pick(singles.filter(_.cats.nonEmpty))
+      val p = filterFor(t)
+      def filtAgg(alias: String): Agg = {
+        val fp = onePred(t)
+        rnd.nextInt(3) match {
+          case 0 =>
+            Agg(s"count(*) FILTER (WHERE ${fp.sql}) AS $alias",
+              s"count(*) FILTER (WHERE ${fp.sql}) AS $alias",
+              count(when(fp.cond, lit(1))).as(alias))
+          case 1 =>
+            val c = pick(t.nums)
+            Agg(
+              s"CAST(sum(CAST($c AS DECIMAL(18,2))) FILTER (WHERE ${fp.sql}) AS DOUBLE) AS $alias",
+              s"CAST(CAST(sum(CAST($c AS DECIMAL(18,2))) FILTER (WHERE ${fp.sql}) AS VARCHAR) AS DOUBLE) AS $alias",
+              sum(when(fp.cond, col(c).cast("decimal(18,2)"))).cast("double").as(alias))
+          case _ =>
+            val c = pick(t.ints)
+            val f = pick(Seq("min", "max"))
+            Agg(s"$f($c) FILTER (WHERE ${fp.sql}) AS $alias",
+              s"$f($c) FILTER (WHERE ${fp.sql}) AS $alias",
+              (if (f == "min") min(when(fp.cond, col(c)))
+               else max(when(fp.cond, col(c)))).as(alias))
+        }
+      }
+      val aggs = (0 until 2 + rnd.nextInt(2)).map(i => filtAgg(s"agg$i")) :+
+        Agg("count(*) AS cnt", "count(*) AS cnt", count(lit(1)).as("cnt"))
+      // non-power-of-2 draw (the runUsing first-draw-bias note)
+      val grouped = rnd.nextInt(6) < 4
+      if (grouped) {
+        val gcol = pick(t.cats.keys.toSeq.sorted)
+        def sql(duck: Boolean) =
+          s"SELECT $gcol, ${aggs.map(a => if (duck) a.duckSql else a.sparkSql).mkString(", ")} " +
+            s"FROM ${t.name} WHERE ${p.sql} GROUP BY $gcol ORDER BY $gcol"
+        val build = (s: SparkSession, dir: String) =>
+          Engine.t(s, dir, t.name).filter(p.cond)
+            .groupBy(gcol).agg(aggs.head.dfCol, aggs.tail.map(_.dfCol): _*)
+            .orderBy(gcol)
+        Generated(seed, "fa_grouped", build, sql(false), sql(true))
+      } else {
+        def sql(duck: Boolean) =
+          s"SELECT ${aggs.map(a => if (duck) a.duckSql else a.sparkSql).mkString(", ")} " +
+            s"FROM ${t.name} WHERE ${p.sql}"
+        val build = (s: SparkSession, dir: String) =>
+          Engine.t(s, dir, t.name).filter(p.cond)
+            .agg(aggs.head.dfCol, aggs.tail.map(_.dfCol): _*)
+        Generated(seed, "fa_global", build, sql(false), sql(true))
+      }
+    }
+
+    /** Ordered string-aggregation plan (round 16) — the LISTAGG /
+      * string_agg surface through three genuinely different front
+      * doors: Spark SQL's `listagg(v, ',') WITHIN GROUP (ORDER BY v)`
+      * (the 4.0 parser + ListAgg aggregate), the DataFrame leg's
+      * `array_join(array_sort(collect_list(v)), ',')` (the d9
+      * canonical-presentation rule), and DuckDB's `string_agg(v, ','
+      * ORDER BY v)`. Ordering by the aggregated VALUE itself is what
+      * makes the concatenation deterministic at any scale: rows tied
+      * on v are interchangeable in the output string, so no unique-key
+      * tiebreak is needed — a total order on the multiset, not the
+      * rows.
+      *
+      * Shapes: `sg_cat` (category values), `sg_int` (ints cast to
+      * VARCHAR — lexicographic on BOTH engines, same strings same
+      * order), `sg_distinct` (DISTINCT de-dup before the ordered
+      * concat — collect_set on the DataFrame leg). */
+    def runStrAgg(): Generated = {
+      val t = pick(singles.filter(_.cats.nonEmpty))
+      val p = filterFor(t)
+      val gi = pick(t.ints)
+      val m = 3 + rnd.nextInt(8)
+      val gSql = s"CAST($gi % $m AS BIGINT)"
+      val gCol = (col(gi) % m).cast("long")
+      val shape = rnd.nextInt(3)
+      // vSql is dialect-split: Spark spells the string type STRING,
+      // DuckDB VARCHAR (a bare un-lengthed VARCHAR fails Spark's parser)
+      val (vSqlSpark, vSqlDuck, vCol) = shape match {
+        case 1 =>
+          val c = pick(t.ints.filter(_ != gi) match {
+            case Seq() => t.ints; case xs => xs })
+          val mm = 5 + rnd.nextInt(95)
+          (s"CAST($c % $mm AS STRING)", s"CAST($c % $mm AS VARCHAR)",
+            (col(c) % mm).cast("string"))
+        case _ =>
+          val c = pick(t.cats.keys.toSeq.sorted)
+          (c, c, col(c))
+      }
+      val distinct = shape == 2
+      val (sparkAgg, duckAgg, dfAgg) =
+        if (distinct)
+          (s"listagg(DISTINCT v, ',') WITHIN GROUP (ORDER BY v) AS vs",
+            s"string_agg(DISTINCT v, ',' ORDER BY v) AS vs",
+            array_join(array_sort(collect_set(col("v"))), ",").as("vs"))
+        else
+          (s"listagg(v, ',') WITHIN GROUP (ORDER BY v) AS vs",
+            s"string_agg(v, ',' ORDER BY v) AS vs",
+            array_join(array_sort(collect_list(col("v"))), ",").as("vs"))
+      def sql(duck: Boolean) =
+        s"SELECT g, count(*) AS cnt, ${if (duck) duckAgg else sparkAgg} FROM " +
+          s"(SELECT $gSql AS g, ${if (duck) vSqlDuck else vSqlSpark} AS v " +
+          s"FROM ${t.name} WHERE ${p.sql}) GROUP BY g ORDER BY g"
+      val build = (s: SparkSession, dir: String) =>
+        Engine.t(s, dir, t.name).filter(p.cond)
+          .select(gCol.as("g"), vCol.as("v"))
+          .groupBy("g").agg(count(lit(1)).as("cnt"), dfAgg)
+          .orderBy("g")
+      Generated(seed,
+        shape match { case 1 => "sg_int"; case 2 => "sg_distinct"; case _ => "sg_cat" },
+        build, sql(false), sql(true))
+    }
+
+    /** VALUES inline-table plan (round 16) — the literal-relation
+      * front door: a seeded inline dimension (residue → label) joined
+      * to a fact table on a modulus key. Three constructions: Spark
+      * SQL's `(VALUES (…), (…)) AS d(k, lbl)` (parser inline-table →
+      * LocalRelation), the DataFrame leg's `createDataFrame` local
+      * relation, and DuckDB's `(VALUES …) d(k, lbl)`. The scale note
+      * IS the point: a literal relation broadcasts — the fact side
+      * never shuffles for the lookup, the same shape as c8's dictGet.
+      *
+      * Shapes: `vl_inner` (labels partition the matched residues),
+      * `vl_left` (LEFT FROM THE VALUES SIDE — dim keys drawn past the
+      * modulus range produce unmatched labels whose count(k) is 0 and
+      * whose sum is NULL on every engine). */
+    def runValues(): Generated = {
+      val t = pick(singles)
+      val p = filterFor(t)
+      val kc = pick(t.ints)
+      val u1 = t.unique.head
+      val m = 4 + rnd.nextInt(6)
+      val nDim = 2 + rnd.nextInt(m)
+      // draw residues from [0, m+2): values ≥ m never match — the
+      // LEFT shape's null-producing rows
+      val residues = rnd.shuffle((0 until m + 2).toList).take(nDim).sorted
+      val dimRows = residues.map(r => (r, s"d$r"))
+      val valuesSql = dimRows.map { case (k, l) => s"($k, '$l')" }.mkString(", ")
+      val left = rnd.nextInt(6) < 3
+      val sumS = (duck: Boolean) => s"CAST(sum($u1) AS BIGINT) AS su"
+      def sql(duck: Boolean) = {
+        val dim = s"(VALUES $valuesSql) AS d(k, lbl)"
+        val dimDuck = s"(VALUES $valuesSql) d(k, lbl)"
+        val fact = s"(SELECT $u1, CAST($kc % $m AS BIGINT) AS k FROM ${t.name} WHERE ${p.sql}) f"
+        if (left)
+          s"SELECT lbl, count($u1) AS cnt, ${sumS(duck)} FROM ${if (duck) dimDuck else dim} " +
+            s"LEFT JOIN $fact ON d.k = f.k GROUP BY lbl ORDER BY lbl"
+        else
+          s"SELECT lbl, count(*) AS cnt, ${sumS(duck)} FROM $fact " +
+            s"JOIN ${if (duck) dimDuck else dim} ON f.k = d.k GROUP BY lbl ORDER BY lbl"
+      }
+      val build = (s: SparkSession, dir: String) => {
+        val dim = s.createDataFrame(dimRows).toDF("k", "lbl")
+          .select(col("k").cast("long").as("k"), col("lbl"))
+        val fact = Engine.t(s, dir, t.name).filter(p.cond)
+          .select(col(u1), (col(kc) % m).cast("long").as("k"))
+        val joined =
+          if (left) dim.join(fact, Seq("k"), "left")
+          else fact.join(dim, Seq("k"), "inner")
+        joined.groupBy("lbl")
+          .agg((if (left) count(col(u1)) else count(lit(1))).as("cnt"),
+            sum(col(u1)).cast("long").as("su"))
+          .orderBy("lbl")
+      }
+      Generated(seed, if (left) "vl_left" else "vl_inner",
+        build, sql(false), sql(true))
+    }
   }
 
   /** Composite window→agg plan for the same seed space — see
@@ -2160,4 +2340,18 @@ object PlanGen {
   /** JOIN USING plan (usingColumns / parser UsingJoin / DuckDB USING)
     * — see [[Gen.runUsing]]. */
   def generateUsing(seed: Long): Generated = new Gen(seed).runUsing()
+
+  /** FILTER-clause aggregate plan (AggregateExpression.filter vs
+    * CASE-folded inputs vs DuckDB native FILTER) — see
+    * [[Gen.runFilterAgg]]. */
+  def generateFilterAgg(seed: Long): Generated = new Gen(seed).runFilterAgg()
+
+  /** Ordered string-aggregation plan (listagg WITHIN GROUP /
+    * sorted collect_list / DuckDB string_agg ORDER BY) — see
+    * [[Gen.runStrAgg]]. */
+  def generateStrAgg(seed: Long): Generated = new Gen(seed).runStrAgg()
+
+  /** VALUES inline-table plan (parser inline table / createDataFrame
+    * LocalRelation / DuckDB VALUES) — see [[Gen.runValues]]. */
+  def generateValues(seed: Long): Generated = new Gen(seed).runValues()
 }

@@ -914,14 +914,33 @@ object Aggregates {
     * expression order on both engines (DuckDB mirrors the u identity
     * with flat rank()/count() windows and exits each sum through the
     * VARCHAR→DOUBLE bridge).
+    *
+    * Shape (r16): the five sufficient sums only need PER-VALUE-PAIR
+    * weights, never the raw rows — so the table is scanned ONCE into a
+    * staged (x, y, cnt) rollup (the l41/l24b staging rule: it feeds
+    * both marginal rank maps and the final moment pass, and without
+    * the materialization Catalyst recomputes the full-table groupBy
+    * per consumer). Both rank-map joins then run against the rollup,
+    * whose row count is the DISTINCT pair count ≤ n; the x-side map is
+    * value-bounded here (50 quantity levels) so AQE broadcasts it at
+    * runtime, while the declared plan stays a plain scale-safe
+    * equi-join for the continuous case. The earlier form joined both
+    * maps back to every raw row — two full-table shuffle joins and
+    * three lineitem scans; this one pays one scan + one rollup
+    * shuffle, and the weighted sums Σ cnt·u, Σ cnt·u² are the same
+    * exact integers.
     * Ref: DanielCasali/clickhouseocp pins ClickHouse v25.7
     * (`rankCorr`), Dockerfile:102-126. */
   private def d36Spearman(spark: SparkSession, dir: String): DataFrame = {
-    val rows = Engine.t(spark, dir, "lineitem")
+    val pairPath = Engine.scratch(spark, dir, "d36_pairs")
+    Engine.t(spark, dir, "lineitem")
       .select(CH.dec(col("l_quantity")).as("x"),
         CH.dec(col("l_extendedprice")).as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(pairPath)
+    val pairs = spark.read.parquet(pairPath)
     def uMap(vc: String, stage: String): DataFrame = {
-      val byVal = rows.groupBy(col(vc).as("v")).agg(count(lit(1)).as("cnt"))
+      val byVal = pairs.groupBy(col(vc).as("v")).agg(sum("cnt").as("cnt"))
       val (staged, _) = stagedCumOffsets(spark, dir, stage, byVal, "v", Seq("cnt"))
       val w = Window.partitionBy("__pid").orderBy("v")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -930,15 +949,16 @@ object Aggregates {
         .select(col("v").as(vc),
           (lit(2) * col("off") + col("cnt") + 1).cast("decimal(19,0)").as(s"u$vc"))
     }
-    val withU = rows
+    val withU = pairs
       .join(uMap("x", "d36_rx"), "x")
       .join(uMap("y", "d36_ry"), "y")
+    val cd = col("cnt").cast("decimal(19,0)")
     val s = withU.agg(
-      count(lit(1)).as("n"),
-      sum(col("ux")).as("su"), sum(col("uy")).as("sv"),
-      sum(col("ux") * col("ux")).as("suu"),
-      sum(col("uy") * col("uy")).as("svv"),
-      sum(col("ux") * col("uy")).as("suv"))
+      sum(col("cnt")).as("n"),
+      sum(cd * col("ux")).as("su"), sum(cd * col("uy")).as("sv"),
+      sum(cd * col("ux") * col("ux")).as("suu"),
+      sum(cd * col("uy") * col("uy")).as("svv"),
+      sum(cd * col("ux") * col("uy")).as("suv"))
     val nd = col("n").cast("double")
     def d(c: String) = col(c).cast("double")
     val num = nd * d("suv") - d("su") * d("sv")

@@ -672,6 +672,89 @@ object LlmPipeline {
       .orderBy("source")
   }
 
+  /** L46 (CCNet's head/middle/tail split — Wenzek et al. 2020,
+    * public): rank every document WITHIN ITS LANGUAGE by a language-
+    * model quality score and cut each language into perplexity
+    * terciles; downstream mixtures then oversample "head" and drop or
+    * down-weight "tail". The score is l23's unigram-LM commonness
+    * proxy (mean corpus frequency of the doc's tokens — the plumbing
+    * of a KenLM perplexity without the model), held EXACT as the
+    * fixed-point integer (sum_freq·10⁶) div n_toks so the ranking key
+    * is bit-identical across engines and partitionings; doc_id breaks
+    * ties into a total order.
+    *
+    * Scale shape: the naive form is `ntile(3) OVER (PARTITION BY
+    * lang ORDER BY score)` — but a per-language window puts each
+    * LANGUAGE on one task, and one language owning most of a 100 TB
+    * corpus is a single-task sort (the e15 problem with skew instead
+    * of globality). [[DistRank.groupedNtile]] spreads every language
+    * across the full 32-partition range exchange and reconstructs the
+    * exact per-language ntile from broadcast per-(lang, partition)
+    * offsets — driver state is n_langs × 32 rows. The frequency table
+    * is vocabulary-sized and broadcasts (l23). DuckDB's flat
+    * partitioned ntile is the oracle that pins the decomposition. */
+  private def l46CcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Engine.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(toks).as("t"))
+    val freq = tok.groupBy("t").agg(count(lit(1)).as("f"))
+    val perDoc = tok
+      .join(broadcast(freq), Seq("t"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_toks"), sum(col("f")).as("sum_freq"))
+      .withColumn("score_fp", expr(
+        "CAST(CAST(sum_freq AS DECIMAL(38,0)) * 1000000 div n_toks AS BIGINT)"))
+    val bucketed = DistRank.groupedNtile(spark, dir, "l46_buckets", perDoc,
+      Seq("lang"), Seq(col("score_fp").desc, col("doc_id")), 3, "bkt")
+    bucketed.groupBy("lang", "bkt")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).cast("long").as("n_tokens"),
+        min(col("score_fp")).as("min_score"),
+        max(col("score_fp")).as("max_score"))
+      .select(col("lang"),
+        when(col("bkt") === 1, lit("head"))
+          .when(col("bkt") === 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"),
+        col("n_docs"), col("n_tokens"), col("min_score"), col("max_score"))
+      .orderBy("lang", "bucket")
+  }
+
+  /** L47 (Gopher quality rules — Rae et al. 2021 table A1, public):
+    * the rule-based document filter battery applied per doc and
+    * reported as a per-source scorecard. Four of the published rules
+    * fit a whitespace-token corpus (the newline- and symbol-dependent
+    * rules are vacuous on single-line synthetic text): word count in
+    * [50, 100 000]; mean word length in [3, 10]; ≥ 80 % of words
+    * contain an alphabetic character; at least 2 DISTINCT stop words
+    * from the published 8-word list. Every rule is EXACT INTEGER
+    * arithmetic on the (doc, token, count) rollup (3n ≤ chars ≤ 10n
+    * instead of a float mean — l26's discipline), so the verdict is
+    * bit-identical across engines and partitionings. One token
+    * explode, two-level hash agg, one rollup on source — l26's
+    * shuffle budget exactly. */
+  private def l47GopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val cnt = Engine.t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), explode(toks).as("t"))
+      .groupBy("doc_id", "source", "t").agg(count(lit(1)).as("c"))
+    val per = cnt.groupBy("doc_id", "source").agg(
+      sum(col("c")).as("n"),
+      sum(col("c") * length(col("t"))).as("chars"),
+      sum(when(col("t").rlike("[a-z]"), col("c")).otherwise(0L)).as("n_alpha"),
+      CH.countIf(col("t").isin(stop: _*)).as("n_stop_distinct"))
+    val rWords = col("n").between(50, 100000)
+    val rWordLen = lit(3) * col("n") <= col("chars") && col("chars") <= lit(10) * col("n")
+    val rAlpha = lit(5) * col("n_alpha") >= lit(4) * col("n")
+    val rStop = col("n_stop_distinct") >= 2
+    per.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        CH.countIf(!rWords).as("fail_words"),
+        CH.countIf(!rWordLen).as("fail_wordlen"),
+        CH.countIf(!rAlpha).as("fail_alpha"),
+        CH.countIf(!rStop).as("fail_stop"),
+        CH.countIf(rWords && rWordLen && rAlpha && rStop).as("n_pass"))
+      .orderBy("source")
+  }
+
   /** L29: temperature-based source re-sampling (the mT5/XLM-R mixture
     * rule, public): sample source s with probability ∝ p_s^α, realized
     * as a per-doc deterministic keep test with rate r_s ∝ p_s^(α−1),
@@ -805,6 +888,8 @@ object LlmPipeline {
     "l32_model_quality_score" -> (l32ModelQualityScore _),
     "l29_temperature_mix" -> (l29TemperatureMix _),
     "l26_curation_pipeline" -> (l26CurationPipeline _),
+    "l46_ccnet_buckets" -> (l46CcnetBuckets _),
+    "l47_gopher_rules" -> (l47GopherRules _),
     "l20_decontaminate" -> (l20Decontaminate _),
     "l21_repetition_filter" -> (l21RepetitionFilter _),
     "l22_chunk_dedup" -> (l22ChunkDedup _),
@@ -973,6 +1058,49 @@ object LlmPipeline {
         |  CAST(count(CASE WHEN u < floor(r * 65536) THEN 1 END) AS BIGINT) AS n_kept,
         |  round(min(r), 6) AS target_rate
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DuckDB's flat `ntile(3) OVER (PARTITION BY lang ...)` pins the
+    // groupedNtile decomposition; the ranking key is the exact
+    // fixed-point (sum_freq·10⁶) div n_toks on both engines.
+    "l46_ccnet_buckets" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
+        |  FROM documents),
+        |freq AS (SELECT t, count(*) AS f FROM tok GROUP BY 1),
+        |per AS (SELECT tok.doc_id, tok.lang, count(*) AS n_toks, sum(freq.f) AS sum_freq
+        |  FROM tok JOIN freq ON tok.t = freq.t GROUP BY tok.doc_id, tok.lang),
+        |sc AS (SELECT doc_id, lang, n_toks,
+        |    CAST((CAST(sum_freq AS HUGEINT) * 1000000) // n_toks AS BIGINT) AS score_fp
+        |  FROM per),
+        |bk AS (SELECT lang, n_toks, score_fp,
+        |    ntile(3) OVER (PARTITION BY lang ORDER BY score_fp DESC, doc_id) AS bkt
+        |  FROM sc)
+        |SELECT lang,
+        |  CASE bkt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  min(score_fp) AS min_score, max(score_fp) AS max_score
+        |FROM bk GROUP BY lang, bkt ORDER BY lang, bucket""".stripMargin,
+    "l47_gopher_rules" ->
+      """WITH tok AS (SELECT doc_id, source, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, source, t, count(*) AS c FROM tok GROUP BY 1, 2, 3),
+        |per AS (SELECT doc_id, source,
+        |    CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(c * length(t)) AS BIGINT) AS chars,
+        |    CAST(sum(CASE WHEN regexp_matches(t, '[a-z]') THEN c ELSE 0 END) AS BIGINT) AS n_alpha,
+        |    count(CASE WHEN t IN ('the','be','to','of','and','that','have','with') THEN 1 END) AS n_stop_distinct
+        |  FROM cnt GROUP BY 1, 2),
+        |g AS (SELECT source,
+        |    (n BETWEEN 50 AND 100000) AS r_words,
+        |    (3 * n <= chars AND chars <= 10 * n) AS r_wordlen,
+        |    (5 * n_alpha >= 4 * n) AS r_alpha,
+        |    (n_stop_distinct >= 2) AS r_stop
+        |  FROM per)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(count(CASE WHEN NOT r_words THEN 1 END) AS BIGINT) AS fail_words,
+        |  CAST(count(CASE WHEN NOT r_wordlen THEN 1 END) AS BIGINT) AS fail_wordlen,
+        |  CAST(count(CASE WHEN NOT r_alpha THEN 1 END) AS BIGINT) AS fail_alpha,
+        |  CAST(count(CASE WHEN NOT r_stop THEN 1 END) AS BIGINT) AS fail_stop,
+        |  CAST(count(CASE WHEN r_words AND r_wordlen AND r_alpha AND r_stop THEN 1 END) AS BIGINT) AS n_pass
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "l26_curation_pipeline" ->
       """WITH tok AS (SELECT doc_id, source, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
         |  FROM documents),

@@ -440,6 +440,81 @@ class DifferentialSpec extends AnyFunSuite {
     assert(nonEmpty >= 50, s"only $nonEmpty/100 using seeds non-empty")
   }
 
+  test("100 FILTER-clause aggregate plans: CASE-folded build equals FILTER sql") {
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var nonEmpty = 0
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateFilterAgg(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      if (viaApi.nonEmpty) nonEmpty += 1
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+    assert(Set("fa_grouped", "fa_global").subsetOf(shapes.keySet),
+      s"filteragg shape coverage hole: $shapes")
+    assert(nonEmpty >= 50, s"only $nonEmpty/100 filteragg seeds non-empty")
+  }
+
+  test("100 ordered string-agg plans: sorted collect build equals listagg sql") {
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var nonEmpty = 0
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateStrAgg(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      if (viaApi.nonEmpty) nonEmpty += 1
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+    assert(Set("sg_cat", "sg_int", "sg_distinct").subsetOf(shapes.keySet),
+      s"stragg shape coverage hole: $shapes")
+    assert(nonEmpty >= 50, s"only $nonEmpty/100 stragg seeds non-empty")
+  }
+
+  test("100 VALUES inline-table plans: createDataFrame build equals VALUES sql") {
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var nonEmpty = 0
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateValues(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      if (viaApi.nonEmpty) nonEmpty += 1
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+    assert(Set("vl_inner", "vl_left").subsetOf(shapes.keySet),
+      s"values shape coverage hole: $shapes")
+    assert(nonEmpty >= 50, s"only $nonEmpty/100 values seeds non-empty")
+  }
+
+  test("frozen round-16 filteragg/stragg/values seeds: pinned literals match the search") {
+    val fa = graft.fuzz.Differential.searchQuota(
+      graft.fuzz.Differential.filterAggQuota, s => PlanGen.generateFilterAgg(s).shape)
+    assert(fa.sorted == graft.fuzz.Differential.frozenFilterAggSeeds,
+      s"generator moved the frozen filteragg seeds: search=$fa — re-pin AND rename fzfa* rows")
+    val sg = graft.fuzz.Differential.searchQuota(
+      graft.fuzz.Differential.strAggQuota, s => PlanGen.generateStrAgg(s).shape)
+    assert(sg.sorted == graft.fuzz.Differential.frozenStrAggSeeds,
+      s"generator moved the frozen stragg seeds: search=$sg — re-pin AND rename fzsg* rows")
+    val vl = graft.fuzz.Differential.searchQuota(
+      graft.fuzz.Differential.valuesQuota, s => PlanGen.generateValues(s).shape)
+    assert(vl.sorted == graft.fuzz.Differential.frozenValuesSeeds,
+      s"generator moved the frozen values seeds: search=$vl — re-pin AND rename fzvl* rows")
+  }
+
   test("frozen round-15 pivot/explode seeds: pinned literals match the search") {
     // the ADVICE r14 pinning contract: the literals in Differential
     // must equal the first-seeds-that-fill search result, re-run here

@@ -45,4 +45,53 @@ class DistRankSpec extends AnyFunSuite {
   test("distributed ntile is independent of input partitioning") {
     for (p <- Seq(1, 17, 64)) check(977, 4, inputParts = p, distinctVals = 3)
   }
+
+  private def checkGrouped(n: Int, k: Int, nGroups: Int, inputParts: Int,
+      distinctVals: Int): Unit = {
+    import spark.implicits._
+    val rnd = new java.util.Random(n * 1000 + k * 100 + nGroups * 10 + inputParts)
+    val rows = (0 until n).map(i =>
+      (i.toLong, s"g${rnd.nextInt(nGroups)}", rnd.nextInt(distinctVals).toLong))
+    val df = rows.toDF("id", "g", "v").repartition(inputParts)
+    val got = DistRank
+      .groupedNtile(spark, TestSpark.sf,
+        s"test_gntile_${n}_${k}_${nGroups}_$inputParts",
+        df, Seq("g"), Seq(col("v"), col("id")), k, "b")
+      .select("id", "b").as[(Long, Int)].collect().toMap
+    val want = df
+      .withColumn("b", ntile(k).over(
+        Window.partitionBy("g").orderBy(col("v"), col("id"))))
+      .select("id", "b").as[(Long, Int)].collect().toMap
+    assert(got == want, s"n=$n k=$k groups=$nGroups parts=$inputParts")
+  }
+
+  test("grouped ntile equals builtin partitioned ntile across group mixes") {
+    // group sizes land all over the n%k remainder space; ties straddle
+    // both range-partition AND group boundaries
+    for {
+      n <- Seq(1, 37, 1000)
+      k <- Seq(2, 3, 50)
+      g <- Seq(1, 4)
+    } checkGrouped(n, k, nGroups = g, inputParts = 4, distinctVals = 3)
+  }
+
+  test("grouped ntile is independent of input partitioning") {
+    for (p <- Seq(1, 17, 64))
+      checkGrouped(977, 3, nGroups = 5, inputParts = p, distinctVals = 2)
+  }
+
+  test("grouped ntile with descending sort matches builtin") {
+    import spark.implicits._
+    val rows = (0 until 500).map(i => (i.toLong, s"g${i % 3}", (i * 7 % 41).toLong))
+    val df = rows.toDF("id", "g", "v")
+    val got = DistRank
+      .groupedNtile(spark, TestSpark.sf, "test_gntile_desc",
+        df, Seq("g"), Seq(col("v").desc, col("id")), 3, "b")
+      .select("id", "b").as[(Long, Int)].collect().toMap
+    val want = df
+      .withColumn("b", ntile(3).over(
+        Window.partitionBy("g").orderBy(col("v").desc, col("id"))))
+      .select("id", "b").as[(Long, Int)].collect().toMap
+    assert(got == want)
+  }
 }

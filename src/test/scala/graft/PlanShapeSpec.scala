@@ -198,8 +198,10 @@ class PlanShapeSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.window.WindowExec
     // d36 joins the list in r15: its rank machinery must stay on the
     // staged __pid windows; e17's windows must stay per-user.
+    // l46 joins in r16: groupedNtile's windows must stay partitioned
+    // by (lang, __pid), never a bare per-language partition.
     for (q <- Seq("d34_mann_whitney", "d35_ks_test", "e15_rfm_segmentation",
-        "d36_spearman", "e17_sessions_gap")) {
+        "d36_spearman", "e17_sessions_gap", "l46_ccnet_buckets")) {
       val df = SparkEntry.queries(q)(spark, sf)
       val global = df.queryExecution.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
