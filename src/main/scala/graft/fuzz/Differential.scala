@@ -408,6 +408,15 @@ object Differential {
 
   private def vlname(s: Long): String = s"fzvl${s}_${PlanGen.generateValues(s).shape}"
 
+  /** Frozen SELECT-sugar seeds (round 16), PINNED as literals: first
+    * seed of each shape (lateral alias chain, GROUP BY ordinals) —
+    * same re-search contract in `DifferentialSpec`. */
+  val frozenSugarSeeds: Seq[Long] = Seq(1L, 2L)
+
+  private[graft] val sugarQuota = Map("su_lateral" -> 1, "su_ordinal" -> 1)
+
+  private def suname(s: Long): String = s"fzsu${s}_${PlanGen.generateSugar(s).shape}"
+
   /** The search the pinned round-15 families were selected by —
     * exposed so the spec can re-run it against the literals. */
   private[graft] def searchQuota(quota: Map[String, Int], shapeOf: Long => String): Seq[Long] =
@@ -453,7 +462,8 @@ object Differential {
       frozenUsingSeeds.map(s => usname(s) -> viaSql(PlanGen.generateUsing(s))).toMap ++
       frozenValuesSeeds.map(s => vlname(s) -> viaSql(PlanGen.generateValues(s))).toMap ++
       frozenStrAggSeeds.map(s => sgname(s) -> viaSql(PlanGen.generateStrAgg(s))).toMap ++
-      frozenFilterAggSeeds.map(s => faname(s) -> viaSql(PlanGen.generateFilterAgg(s))).toMap
+      frozenFilterAggSeeds.map(s => faname(s) -> viaSql(PlanGen.generateFilterAgg(s))).toMap ++
+      frozenSugarSeeds.map(s => suname(s) -> viaSql(PlanGen.generateSugar(s))).toMap
 
   /** The DataFrame-API builders for the same frozen rows, keyed by the
     * same names — `DifferentialSpec` pins these equal to the SQL-text
@@ -485,7 +495,8 @@ object Differential {
       frozenUsingSeeds.map(s => usname(s) -> PlanGen.generateUsing(s).build).toMap ++
       frozenValuesSeeds.map(s => vlname(s) -> PlanGen.generateValues(s).build).toMap ++
       frozenStrAggSeeds.map(s => sgname(s) -> PlanGen.generateStrAgg(s).build).toMap ++
-      frozenFilterAggSeeds.map(s => faname(s) -> PlanGen.generateFilterAgg(s).build).toMap
+      frozenFilterAggSeeds.map(s => faname(s) -> PlanGen.generateFilterAgg(s).build).toMap ++
+      frozenSugarSeeds.map(s => suname(s) -> PlanGen.generateSugar(s).build).toMap
 
   def oracles: Map[String, String] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).duckSql).toMap ++
@@ -514,5 +525,6 @@ object Differential {
       frozenUsingSeeds.map(s => usname(s) -> PlanGen.generateUsing(s).duckSql).toMap ++
       frozenValuesSeeds.map(s => vlname(s) -> PlanGen.generateValues(s).duckSql).toMap ++
       frozenStrAggSeeds.map(s => sgname(s) -> PlanGen.generateStrAgg(s).duckSql).toMap ++
-      frozenFilterAggSeeds.map(s => faname(s) -> PlanGen.generateFilterAgg(s).duckSql).toMap
+      frozenFilterAggSeeds.map(s => faname(s) -> PlanGen.generateFilterAgg(s).duckSql).toMap ++
+      frozenSugarSeeds.map(s => suname(s) -> PlanGen.generateSugar(s).duckSql).toMap
 }

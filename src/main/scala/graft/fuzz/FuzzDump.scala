@@ -51,6 +51,7 @@ object FuzzDump {
       case "filteragg" => PlanGen.generateFilterAgg
       case "stragg"    => PlanGen.generateStrAgg
       case "values"    => PlanGen.generateValues
+      case "sugar"     => PlanGen.generateSugar
       case other       => sys.error(s"unknown kind $other")
     }
     val spark = Engine.session()

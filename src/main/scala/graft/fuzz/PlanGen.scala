@@ -2254,6 +2254,62 @@ object PlanGen {
       Generated(seed, if (left) "vl_left" else "vl_inner",
         build, sql(false), sql(true))
     }
+
+    /** SELECT-sugar plan (round 16) — two resolution paths that are
+      * pure analyzer/parser surface, with no DataFrame spelling at
+      * all (the API can't even express them, so the build leg is the
+      * desugared form and the differential pins the sugar ≡ desugar):
+      *
+      *  - `su_lateral`: lateral column aliases — a SELECT item
+      *    referencing a PRIOR item's alias (`a + 1 AS b, b * 2 AS c`).
+      *    Spark resolves via LateralColumnAliasReference (3.4+),
+      *    DuckDB binds select aliases natively; the DataFrame leg is
+      *    the chained-withColumn desugar. Exact integer arithmetic
+      *    only; ORDER BY the unique key, LIMIT for a bounded row set.
+      *  - `su_ordinal`: GROUP BY 1, 2 + ORDER BY ordinals — the
+      *    positional-reference parser rule (spark.sql.groupByOrdinal,
+      *    on by default) vs DuckDB's native ordinals; the DataFrame
+      *    leg groups by the named columns. */
+    def runSugar(): Generated = {
+      val t = pick(singles.filter(_.cats.nonEmpty))
+      val p = filterFor(t)
+      if (rnd.nextInt(6) < 3) {
+        val c = pick(t.ints)
+        val k1 = 1 + rnd.nextInt(9)
+        val k2 = 2 + rnd.nextInt(5)
+        val uks = t.unique
+        val n = 40 + rnd.nextInt(160)
+        val ukSql = uks.mkString(", ")
+        val sql =
+          s"SELECT $ukSql, $c + $k1 AS a, a * $k2 AS b, b - $c AS d " +
+            s"FROM ${t.name} WHERE ${p.sql} ORDER BY $ukSql LIMIT $n"
+        val build = (s: SparkSession, dir: String) =>
+          Engine.t(s, dir, t.name).filter(p.cond)
+            .withColumn("a", col(c) + k1)
+            .withColumn("b", col("a") * k2)
+            .withColumn("d", col("b") - col(c))
+            .select((uks ++ Seq("a", "b", "d")).map(col): _*)
+            .orderBy(uks.map(col): _*).limit(n)
+        Generated(seed, "su_lateral", build, sql, sql)
+      } else {
+        val gc = pick(t.cats.keys.toSeq.sorted)
+        val gi = pick(t.ints)
+        val m = 3 + rnd.nextInt(8)
+        val u1 = t.unique.head
+        def sql(duck: Boolean) = {
+          val sumS = if (duck) s"CAST(sum($u1) AS BIGINT)" else s"sum($u1)"
+          s"SELECT $gc, CAST($gi % $m AS BIGINT) AS g2, count(*) AS n, $sumS AS su " +
+            s"FROM ${t.name} WHERE ${p.sql} GROUP BY 1, 2 ORDER BY 1, 2"
+        }
+        val build = (s: SparkSession, dir: String) =>
+          Engine.t(s, dir, t.name).filter(p.cond)
+            .withColumn("g2", (col(gi) % m).cast("long"))
+            .groupBy(gc, "g2")
+            .agg(count(lit(1)).as("n"), sum(col(u1)).as("su"))
+            .orderBy(gc, "g2")
+        Generated(seed, "su_ordinal", build, sql(false), sql(true))
+      }
+    }
   }
 
   /** Composite window→agg plan for the same seed space — see
@@ -2354,4 +2410,8 @@ object PlanGen {
   /** VALUES inline-table plan (parser inline table / createDataFrame
     * LocalRelation / DuckDB VALUES) — see [[Gen.runValues]]. */
   def generateValues(seed: Long): Generated = new Gen(seed).runValues()
+
+  /** SELECT-sugar plan (lateral column aliases / GROUP BY ordinals vs
+    * their desugared DataFrame forms) — see [[Gen.runSugar]]. */
+  def generateSugar(seed: Long): Generated = new Gen(seed).runSugar()
 }

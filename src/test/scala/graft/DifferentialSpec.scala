@@ -500,6 +500,26 @@ class DifferentialSpec extends AnyFunSuite {
     assert(nonEmpty >= 50, s"only $nonEmpty/100 values seeds non-empty")
   }
 
+  test("100 SELECT-sugar plans: desugared build equals lateral-alias/ordinal sql") {
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var nonEmpty = 0
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateSugar(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      if (viaApi.nonEmpty) nonEmpty += 1
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+    assert(Set("su_lateral", "su_ordinal").subsetOf(shapes.keySet),
+      s"sugar shape coverage hole: $shapes")
+    assert(nonEmpty >= 50, s"only $nonEmpty/100 sugar seeds non-empty")
+  }
+
   test("frozen round-16 filteragg/stragg/values seeds: pinned literals match the search") {
     val fa = graft.fuzz.Differential.searchQuota(
       graft.fuzz.Differential.filterAggQuota, s => PlanGen.generateFilterAgg(s).shape)
@@ -513,6 +533,10 @@ class DifferentialSpec extends AnyFunSuite {
       graft.fuzz.Differential.valuesQuota, s => PlanGen.generateValues(s).shape)
     assert(vl.sorted == graft.fuzz.Differential.frozenValuesSeeds,
       s"generator moved the frozen values seeds: search=$vl — re-pin AND rename fzvl* rows")
+    val su = graft.fuzz.Differential.searchQuota(
+      graft.fuzz.Differential.sugarQuota, s => PlanGen.generateSugar(s).shape)
+    assert(su.sorted == graft.fuzz.Differential.frozenSugarSeeds,
+      s"generator moved the frozen sugar seeds: search=$su — re-pin AND rename fzsu* rows")
   }
 
   test("frozen round-15 pivot/explode seeds: pinned literals match the search") {
