@@ -417,6 +417,16 @@ object Differential {
 
   private def suname(s: Long): String = s"fzsu${s}_${PlanGen.generateSugar(s).shape}"
 
+  /** Frozen conditional-function seeds (round 16), PINNED as
+    * literals: first seed of each shape (clamp, nullif, chain) —
+    * same re-search contract in `DifferentialSpec`. */
+  val frozenCondFnSeeds: Seq[Long] = Seq(1L, 3L, 15L)
+
+  private[graft] val condFnQuota = Map(
+    "cf_clamp" -> 1, "cf_nullif" -> 1, "cf_chain" -> 1)
+
+  private def cfname(s: Long): String = s"fzcf${s}_${PlanGen.generateCondFn(s).shape}"
+
   /** The search the pinned round-15 families were selected by —
     * exposed so the spec can re-run it against the literals. */
   private[graft] def searchQuota(quota: Map[String, Int], shapeOf: Long => String): Seq[Long] =
@@ -463,7 +473,8 @@ object Differential {
       frozenValuesSeeds.map(s => vlname(s) -> viaSql(PlanGen.generateValues(s))).toMap ++
       frozenStrAggSeeds.map(s => sgname(s) -> viaSql(PlanGen.generateStrAgg(s))).toMap ++
       frozenFilterAggSeeds.map(s => faname(s) -> viaSql(PlanGen.generateFilterAgg(s))).toMap ++
-      frozenSugarSeeds.map(s => suname(s) -> viaSql(PlanGen.generateSugar(s))).toMap
+      frozenSugarSeeds.map(s => suname(s) -> viaSql(PlanGen.generateSugar(s))).toMap ++
+      frozenCondFnSeeds.map(s => cfname(s) -> viaSql(PlanGen.generateCondFn(s))).toMap
 
   /** The DataFrame-API builders for the same frozen rows, keyed by the
     * same names — `DifferentialSpec` pins these equal to the SQL-text
@@ -496,7 +507,8 @@ object Differential {
       frozenValuesSeeds.map(s => vlname(s) -> PlanGen.generateValues(s).build).toMap ++
       frozenStrAggSeeds.map(s => sgname(s) -> PlanGen.generateStrAgg(s).build).toMap ++
       frozenFilterAggSeeds.map(s => faname(s) -> PlanGen.generateFilterAgg(s).build).toMap ++
-      frozenSugarSeeds.map(s => suname(s) -> PlanGen.generateSugar(s).build).toMap
+      frozenSugarSeeds.map(s => suname(s) -> PlanGen.generateSugar(s).build).toMap ++
+      frozenCondFnSeeds.map(s => cfname(s) -> PlanGen.generateCondFn(s).build).toMap
 
   def oracles: Map[String, String] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).duckSql).toMap ++
@@ -526,5 +538,6 @@ object Differential {
       frozenValuesSeeds.map(s => vlname(s) -> PlanGen.generateValues(s).duckSql).toMap ++
       frozenStrAggSeeds.map(s => sgname(s) -> PlanGen.generateStrAgg(s).duckSql).toMap ++
       frozenFilterAggSeeds.map(s => faname(s) -> PlanGen.generateFilterAgg(s).duckSql).toMap ++
-      frozenSugarSeeds.map(s => suname(s) -> PlanGen.generateSugar(s).duckSql).toMap
+      frozenSugarSeeds.map(s => suname(s) -> PlanGen.generateSugar(s).duckSql).toMap ++
+      frozenCondFnSeeds.map(s => cfname(s) -> PlanGen.generateCondFn(s).duckSql).toMap
 }

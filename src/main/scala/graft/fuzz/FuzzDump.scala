@@ -52,6 +52,7 @@ object FuzzDump {
       case "stragg"    => PlanGen.generateStrAgg
       case "values"    => PlanGen.generateValues
       case "sugar"     => PlanGen.generateSugar
+      case "condfn"    => PlanGen.generateCondFn
       case other       => sys.error(s"unknown kind $other")
     }
     val spark = Engine.session()

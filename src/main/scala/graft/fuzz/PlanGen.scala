@@ -2310,6 +2310,56 @@ object PlanGen {
         Generated(seed, "su_ordinal", build, sql(false), sql(true))
       }
     }
+
+    /** Conditional-function plan (round 16) — the NULL-introducing /
+      * NULL-eliminating scalar trio the CASE-based scalar family never
+      * renders directly: greatest/least clamps, NULLIF, COALESCE
+      * chains, grouped into a count + exact BIGINT key-sum rollup.
+      * Dialect care: greatest/least receive only NON-NULL integer
+      * arguments (engines have historically diverged on their NULL
+      * treatment — Spark skips NULLs, older DuckDB propagated them —
+      * so the generator keeps that corner out of scope and pins the
+      * total-function surface instead); NULLIF/COALESCE are
+      * ANSI-identical everywhere. All arithmetic stays integral. */
+    def runCondFn(): Generated = {
+      val t = pick(singles.filter(_.ints.size >= 2))
+      val p = filterFor(t)
+      val u1 = t.unique.head
+      val c1 = pick(t.ints)
+      val c2 = pick(t.ints.filterNot(_ == c1))
+      val m1 = 3 + rnd.nextInt(10)
+      val m2 = 3 + rnd.nextInt(10)
+      val r1 = rnd.nextInt(m1)
+      val r2 = rnd.nextInt(m2)
+      val (shape, bSql, bCol) = rnd.nextInt(3) match {
+        case 0 =>
+          val k = 1 + rnd.nextInt(5)
+          (s"cf_clamp",
+            s"least(greatest($c1 % $m1, $c2 % $m2), $k)",
+            least(greatest(col(c1) % m1, col(c2) % m2), lit(k)))
+        case 1 =>
+          (s"cf_nullif",
+            s"COALESCE(NULLIF($c1 % $m1, $r1), -1)",
+            coalesce(nullif(col(c1) % m1, lit(r1)), lit(-1)))
+        case _ =>
+          (s"cf_chain",
+            s"COALESCE(NULLIF($c1 % $m1, $r1), NULLIF($c2 % $m2, $r2), -1)",
+            coalesce(nullif(col(c1) % m1, lit(r1)),
+              nullif(col(c2) % m2, lit(r2)), lit(-1)))
+      }
+      def sql(duck: Boolean) = {
+        val sumS = if (duck) s"CAST(sum($u1) AS BIGINT)" else s"sum($u1)"
+        s"SELECT CAST($bSql AS BIGINT) AS bkt, count(*) AS n, $sumS AS su " +
+          s"FROM ${t.name} WHERE ${p.sql} GROUP BY 1 ORDER BY bkt"
+      }
+      val build = (s: SparkSession, dir: String) =>
+        Engine.t(s, dir, t.name).filter(p.cond)
+          .withColumn("bkt", bCol.cast("long"))
+          .groupBy("bkt")
+          .agg(count(lit(1)).as("n"), sum(col(u1)).as("su"))
+          .orderBy("bkt")
+      Generated(seed, shape, build, sql(false), sql(true))
+    }
   }
 
   /** Composite window→agg plan for the same seed space — see
@@ -2414,4 +2464,8 @@ object PlanGen {
   /** SELECT-sugar plan (lateral column aliases / GROUP BY ordinals vs
     * their desugared DataFrame forms) — see [[Gen.runSugar]]. */
   def generateSugar(seed: Long): Generated = new Gen(seed).runSugar()
+
+  /** Conditional-function plan (greatest/least clamps, NULLIF,
+    * COALESCE chains) — see [[Gen.runCondFn]]. */
+  def generateCondFn(seed: Long): Generated = new Gen(seed).runCondFn()
 }

@@ -520,6 +520,26 @@ class DifferentialSpec extends AnyFunSuite {
     assert(nonEmpty >= 50, s"only $nonEmpty/100 sugar seeds non-empty")
   }
 
+  test("100 conditional-function plans: DataFrame build equals spark.sql rendering") {
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var nonEmpty = 0
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateCondFn(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      if (viaApi.nonEmpty) nonEmpty += 1
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+    assert(Set("cf_clamp", "cf_nullif", "cf_chain").subsetOf(shapes.keySet),
+      s"condfn shape coverage hole: $shapes")
+    assert(nonEmpty >= 50, s"only $nonEmpty/100 condfn seeds non-empty")
+  }
+
   test("frozen round-16 filteragg/stragg/values seeds: pinned literals match the search") {
     val fa = graft.fuzz.Differential.searchQuota(
       graft.fuzz.Differential.filterAggQuota, s => PlanGen.generateFilterAgg(s).shape)
@@ -537,6 +557,10 @@ class DifferentialSpec extends AnyFunSuite {
       graft.fuzz.Differential.sugarQuota, s => PlanGen.generateSugar(s).shape)
     assert(su.sorted == graft.fuzz.Differential.frozenSugarSeeds,
       s"generator moved the frozen sugar seeds: search=$su — re-pin AND rename fzsu* rows")
+    val cf = graft.fuzz.Differential.searchQuota(
+      graft.fuzz.Differential.condFnQuota, s => PlanGen.generateCondFn(s).shape)
+    assert(cf.sorted == graft.fuzz.Differential.frozenCondFnSeeds,
+      s"generator moved the frozen condfn seeds: search=$cf — re-pin AND rename fzcf* rows")
   }
 
   test("frozen round-15 pivot/explode seeds: pinned literals match the search") {
