@@ -427,6 +427,27 @@ object Differential {
 
   private def cfname(s: Long): String = s"fzcf${s}_${PlanGen.generateCondFn(s).shape}"
 
+  /** Frozen array-function seeds (round 16), PINNED as literals:
+    * first seed of each shape (element access, contains, min/max
+    * spread, sort+join) — same re-search contract in
+    * `DifferentialSpec`. */
+  val frozenArrFnSeeds: Seq[Long] = Seq(1L, 2L, 5L, 11L)
+
+  private[graft] val arrFnQuota = Map(
+    "ar_elem" -> 1, "ar_contains" -> 1, "ar_minmax" -> 1, "ar_sortjoin" -> 1)
+
+  private def arfname(s: Long): String = s"fzar${s}_${PlanGen.generateArrFn(s).shape}"
+
+  /** Frozen UNPIVOT seeds (round 16), PINNED as literals: first seed
+    * of each shape (exclude-nulls rollup, INCLUDE NULLS rollup,
+    * row-level melt) — same re-search contract in `DifferentialSpec`. */
+  val frozenUnpivotSeeds: Seq[Long] = Seq(1L, 3L, 15L)
+
+  private[graft] val unpivotQuota = Map(
+    "up_rollup" -> 1, "up_incl" -> 1, "up_row" -> 1)
+
+  private def upname(s: Long): String = s"fzup${s}_${PlanGen.generateUnpivot(s).shape}"
+
   /** The search the pinned round-15 families were selected by —
     * exposed so the spec can re-run it against the literals. */
   private[graft] def searchQuota(quota: Map[String, Int], shapeOf: Long => String): Seq[Long] =
@@ -474,7 +495,9 @@ object Differential {
       frozenStrAggSeeds.map(s => sgname(s) -> viaSql(PlanGen.generateStrAgg(s))).toMap ++
       frozenFilterAggSeeds.map(s => faname(s) -> viaSql(PlanGen.generateFilterAgg(s))).toMap ++
       frozenSugarSeeds.map(s => suname(s) -> viaSql(PlanGen.generateSugar(s))).toMap ++
-      frozenCondFnSeeds.map(s => cfname(s) -> viaSql(PlanGen.generateCondFn(s))).toMap
+      frozenCondFnSeeds.map(s => cfname(s) -> viaSql(PlanGen.generateCondFn(s))).toMap ++
+      frozenArrFnSeeds.map(s => arfname(s) -> viaSql(PlanGen.generateArrFn(s))).toMap ++
+      frozenUnpivotSeeds.map(s => upname(s) -> viaSql(PlanGen.generateUnpivot(s))).toMap
 
   /** The DataFrame-API builders for the same frozen rows, keyed by the
     * same names — `DifferentialSpec` pins these equal to the SQL-text
@@ -508,7 +531,9 @@ object Differential {
       frozenStrAggSeeds.map(s => sgname(s) -> PlanGen.generateStrAgg(s).build).toMap ++
       frozenFilterAggSeeds.map(s => faname(s) -> PlanGen.generateFilterAgg(s).build).toMap ++
       frozenSugarSeeds.map(s => suname(s) -> PlanGen.generateSugar(s).build).toMap ++
-      frozenCondFnSeeds.map(s => cfname(s) -> PlanGen.generateCondFn(s).build).toMap
+      frozenCondFnSeeds.map(s => cfname(s) -> PlanGen.generateCondFn(s).build).toMap ++
+      frozenArrFnSeeds.map(s => arfname(s) -> PlanGen.generateArrFn(s).build).toMap ++
+      frozenUnpivotSeeds.map(s => upname(s) -> PlanGen.generateUnpivot(s).build).toMap
 
   def oracles: Map[String, String] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).duckSql).toMap ++
@@ -539,5 +564,7 @@ object Differential {
       frozenStrAggSeeds.map(s => sgname(s) -> PlanGen.generateStrAgg(s).duckSql).toMap ++
       frozenFilterAggSeeds.map(s => faname(s) -> PlanGen.generateFilterAgg(s).duckSql).toMap ++
       frozenSugarSeeds.map(s => suname(s) -> PlanGen.generateSugar(s).duckSql).toMap ++
-      frozenCondFnSeeds.map(s => cfname(s) -> PlanGen.generateCondFn(s).duckSql).toMap
+      frozenCondFnSeeds.map(s => cfname(s) -> PlanGen.generateCondFn(s).duckSql).toMap ++
+      frozenArrFnSeeds.map(s => arfname(s) -> PlanGen.generateArrFn(s).duckSql).toMap ++
+      frozenUnpivotSeeds.map(s => upname(s) -> PlanGen.generateUnpivot(s).duckSql).toMap
 }

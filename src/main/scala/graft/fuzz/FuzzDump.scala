@@ -53,6 +53,8 @@ object FuzzDump {
       case "values"    => PlanGen.generateValues
       case "sugar"     => PlanGen.generateSugar
       case "condfn"    => PlanGen.generateCondFn
+      case "arrfn"     => PlanGen.generateArrFn
+      case "unpivot"   => PlanGen.generateUnpivot
       case other       => sys.error(s"unknown kind $other")
     }
     val spark = Engine.session()

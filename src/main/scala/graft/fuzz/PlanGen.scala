@@ -2360,6 +2360,177 @@ object PlanGen {
           .orderBy("bkt")
       Generated(seed, shape, build, sql(false), sql(true))
     }
+
+    /** Array-function plan (round 16) — the scalar array surface as a
+      * DIALECT-MAPPING differential: Spark's `array_*` family against
+      * DuckDB's `list_*` family over a constructed 3-element integer
+      * array (`array(c1 % m1, c2 % m2, k)` vs `[...]`), where the
+      * names — and historically the semantics (0- vs 1-based access,
+      * NULL element handling) — diverge per function. Pinned mappings:
+      * `element_at` ≡ list 1-based subscript `l[i]`, `array_contains`
+      * ≡ `list_contains`, `array_join∘array_sort` ≡
+      * `array_to_string∘list_sort`, `array_max`/`array_min` ≡
+      * `list_max`/`list_min` (DuckDB also aliases the `array_*`
+      * spellings; the generator deliberately emits `list_*` so the
+      * sweep pins the MAPPING, not a shared alias). All elements are
+      * non-null integers (the NULL-element corner is a real dialect
+      * divergence — Spark's array_sort places NULLs last, DuckDB's
+      * list_sort defaults NULLS FIRST — so it stays out of scope the
+      * condfn way), and every shape ends in the standard count +
+      * exact BIGINT key-sum rollup keyed by the array-derived value.
+      *
+      * Two deliberate choices, both verified against a REAL Spark 4.1
+      * codegen defect this family's first smoke run found: `ElementAt`
+      * (and `TryElementAt`) with a FOLDABLE index that lands on a
+      * non-nullable `CreateArray` element constant-folds `ev.isNull`
+      * to the literal `false` and then emits an assignment into it —
+      * janino "Expression isNull_N is not an rvalue" — which disables
+      * whole-stage codegen for the entire scan→filter→agg stage and
+      * drops the projection to the interpreter (correct results, big
+      * perf cliff). So (a) every array element is data-dependent and
+      * therefore nullable — the third is `(c1 + c2) % (k + 2)`, not a
+      * bare literal — which keeps `isNull` a real variable; and (b)
+      * element access goes through `try_element_at`, whose
+      * NULL-on-out-of-bounds contract is what DuckDB's 1-based
+      * subscript actually implements. */
+    def runArrFn(): Generated = {
+      val t = pick(singles.filter(_.ints.size >= 2))
+      val p = filterFor(t)
+      val u1 = t.unique.head
+      val c1 = pick(t.ints)
+      val c2 = pick(t.ints.filterNot(_ == c1))
+      val m1 = 3 + rnd.nextInt(8)
+      val m2 = 3 + rnd.nextInt(8)
+      val k = rnd.nextInt(10)
+      val m3 = k + 2
+      val e3S = s"($c1 + $c2) % $m3"
+      val arrS = s"array($c1 % $m1, $c2 % $m2, $e3S)"
+      val arrD = s"[$c1 % $m1, $c2 % $m2, $e3S]"
+      val arrC = array(col(c1) % m1, col(c2) % m2,
+        (col(c1) + col(c2)) % m3)
+      val (shape, bS, bD, bCol) = rnd.nextInt(4) match {
+        case 0 =>
+          val i = 1 + rnd.nextInt(3)
+          ("ar_elem", s"try_element_at($arrS, $i)", s"$arrD[$i]",
+            try_element_at(arrC, lit(i)))
+        case 1 =>
+          val v = rnd.nextInt(10)
+          ("ar_contains",
+            s"CASE WHEN array_contains($arrS, $v) THEN 1 ELSE 0 END",
+            s"CASE WHEN list_contains($arrD, $v) THEN 1 ELSE 0 END",
+            when(array_contains(arrC, lit(v)), 1).otherwise(0))
+        case 2 =>
+          ("ar_minmax",
+            s"array_max($arrS) - array_min($arrS)",
+            s"list_max($arrD) - list_min($arrD)",
+            array_max(arrC) - array_min(arrC))
+        case _ =>
+          ("ar_sortjoin",
+            s"array_join(array_sort($arrS), ',')",
+            s"array_to_string(list_sort($arrD), ',')",
+            array_join(array_sort(arrC), ","))
+      }
+      def sql(duck: Boolean) = {
+        val sumS = if (duck) s"CAST(sum($u1) AS BIGINT)" else s"sum($u1)"
+        val b = if (duck) bD else bS
+        val bkt = if (shape == "ar_sortjoin") s"$b AS bkt" else s"CAST($b AS BIGINT) AS bkt"
+        s"SELECT $bkt, count(*) AS n, $sumS AS su " +
+          s"FROM ${t.name} WHERE ${p.sql} GROUP BY 1 ORDER BY bkt"
+      }
+      val build = (s: SparkSession, dir: String) =>
+        Engine.t(s, dir, t.name).filter(p.cond)
+          .withColumn("bkt",
+            if (shape == "ar_sortjoin") bCol else bCol.cast("long"))
+          .groupBy("bkt")
+          .agg(count(lit(1)).as("n"), sum(col(u1)).as("su"))
+          .orderBy("bkt")
+      Generated(seed, shape, build, sql(false), sql(true))
+    }
+
+    /** UNPIVOT plan (round 16) — the melt/wide-to-long relational
+      * shape, the inverse of the PIVOT family, through three front
+      * doors: Spark's `UNPIVOT` table clause (parser path), the
+      * `Dataset.unpivot` API (Unpivot logical node), and DuckDB's
+      * SQL-standard `UNPIVOT` clause. The value columns are three
+      * DERIVED bigints (`c1 % m1`, `NULLIF(c2 % m2, r)` — the
+      * null-bearing one — and `(c1 + c2) % m3`), built in a subquery
+      * so both engines unpivot expressions, not raw columns.
+      *
+      * The family exists for a REAL default divergence this design
+      * pins on every row: Spark's SQL `UNPIVOT` clause defaults to
+      * EXCLUDE NULLS (SQL-standard, same as DuckDB), but
+      * `Dataset.unpivot` KEEPS null values — the API has no
+      * include/exclude knob at all. So the `up_rollup`/`up_row` build
+      * legs must add `.filter($"val".isNotNull)` to match their own
+      * engine's SQL rendering, and `up_incl` pins the reverse
+      * equivalence: bare `Dataset.unpivot` ≡ `UNPIVOT INCLUDE NULLS`
+      * ≡ DuckDB `UNPIVOT INCLUDE NULLS`, with `count(*)` vs
+      * `count(val)` splitting the null rows back out. */
+    def runUnpivot(): Generated = {
+      val t = pick(singles.filter(_.ints.size >= 2))
+      val p = filterFor(t)
+      val u1 = t.unique.head
+      val c1 = pick(t.ints)
+      val c2 = pick(t.ints.filterNot(_ == c1))
+      val m1 = 3 + rnd.nextInt(8)
+      val m2 = 3 + rnd.nextInt(8)
+      val r = rnd.nextInt(m2)
+      val m3 = 2 + rnd.nextInt(9)
+      val subSql =
+        s"SELECT $u1, CAST($c1 % $m1 AS BIGINT) AS a, " +
+          s"CAST(NULLIF($c2 % $m2, $r) AS BIGINT) AS b, " +
+          s"CAST(($c1 + $c2) % $m3 AS BIGINT) AS c " +
+          s"FROM ${t.name} WHERE ${p.sql}"
+      def sub(s: SparkSession, dir: String) =
+        Engine.t(s, dir, t.name).filter(p.cond).select(
+          col(u1),
+          (col(c1) % m1).cast("long").as("a"),
+          nullif(col(c2) % m2, lit(r)).cast("long").as("b"),
+          ((col(c1) + col(c2)) % m3).cast("long").as("c"))
+      def melted(s: SparkSession, dir: String) =
+        sub(s, dir).unpivot(Array(col(u1)),
+          Array(col("a"), col("b"), col("c")), "name", "val")
+      val shape = rnd.nextInt(3) match {
+        case 0 => "up_rollup"
+        case 1 => "up_incl"
+        case _ => "up_row"
+      }
+      val n = 40 + rnd.nextInt(160)
+      val sqlText = shape match {
+        case "up_rollup" =>
+          s"SELECT name, count(*) AS n, CAST(sum(val) AS BIGINT) AS su " +
+            s"FROM ($subSql) UNPIVOT (val FOR name IN (a, b, c)) " +
+            s"GROUP BY name ORDER BY name"
+        case "up_incl" =>
+          s"SELECT name, count(*) AS n, count(val) AS nv, " +
+            s"CAST(sum(val) AS BIGINT) AS su " +
+            s"FROM ($subSql) UNPIVOT INCLUDE NULLS (val FOR name IN (a, b, c)) " +
+            s"GROUP BY name ORDER BY name"
+        case _ =>
+          s"SELECT $u1, name, val " +
+            s"FROM ($subSql) UNPIVOT (val FOR name IN (a, b, c)) " +
+            s"ORDER BY $u1, name, val LIMIT $n"
+      }
+      val build = (s: SparkSession, dir: String) => shape match {
+        case "up_rollup" =>
+          melted(s, dir).filter(col("val").isNotNull)
+            .groupBy("name")
+            .agg(count(lit(1)).as("n"), sum("val").cast("long").as("su"))
+            .orderBy("name")
+        case "up_incl" =>
+          melted(s, dir)
+            .groupBy("name")
+            .agg(count(lit(1)).as("n"), count(col("val")).as("nv"),
+              sum("val").cast("long").as("su"))
+            .orderBy("name")
+        case _ =>
+          melted(s, dir).filter(col("val").isNotNull)
+            .select(col(u1), col("name"), col("val"))
+            .orderBy(col(u1), col("name"), col("val")).limit(n)
+      }
+      Generated(seed, shape, build, sqlText, sqlText)
+    }
+
   }
 
   /** Composite window→agg plan for the same seed space — see
@@ -2468,4 +2639,13 @@ object PlanGen {
   /** Conditional-function plan (greatest/least clamps, NULLIF,
     * COALESCE chains) — see [[Gen.runCondFn]]. */
   def generateCondFn(seed: Long): Generated = new Gen(seed).runCondFn()
+
+  /** Array-function plan (Spark `array_*` vs DuckDB `list_*` dialect
+    * mapping) — see [[Gen.runArrFn]]. */
+  def generateArrFn(seed: Long): Generated = new Gen(seed).runArrFn()
+
+  /** UNPIVOT/melt plan (UNPIVOT clause / Dataset.unpivot / DuckDB
+    * UNPIVOT, EXCLUDE- vs INCLUDE-NULLS defaults) — see
+    * [[Gen.runUnpivot]]. */
+  def generateUnpivot(seed: Long): Generated = new Gen(seed).runUnpivot()
 }

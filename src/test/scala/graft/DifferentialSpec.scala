@@ -540,6 +540,46 @@ class DifferentialSpec extends AnyFunSuite {
     assert(nonEmpty >= 50, s"only $nonEmpty/100 condfn seeds non-empty")
   }
 
+  test("100 array-function plans: DataFrame build equals spark.sql rendering") {
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var nonEmpty = 0
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateArrFn(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      if (viaApi.nonEmpty) nonEmpty += 1
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+    assert(Set("ar_elem", "ar_contains", "ar_minmax", "ar_sortjoin")
+      .subsetOf(shapes.keySet), s"arrfn shape coverage hole: $shapes")
+    assert(nonEmpty >= 50, s"only $nonEmpty/100 arrfn seeds non-empty")
+  }
+
+  test("100 UNPIVOT plans: Dataset.unpivot build equals UNPIVOT-clause sql") {
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var nonEmpty = 0
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateUnpivot(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      if (viaApi.nonEmpty) nonEmpty += 1
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+    assert(Set("up_rollup", "up_incl", "up_row").subsetOf(shapes.keySet),
+      s"unpivot shape coverage hole: $shapes")
+    assert(nonEmpty >= 50, s"only $nonEmpty/100 unpivot seeds non-empty")
+  }
+
   test("frozen round-16 filteragg/stragg/values seeds: pinned literals match the search") {
     val fa = graft.fuzz.Differential.searchQuota(
       graft.fuzz.Differential.filterAggQuota, s => PlanGen.generateFilterAgg(s).shape)
@@ -561,6 +601,14 @@ class DifferentialSpec extends AnyFunSuite {
       graft.fuzz.Differential.condFnQuota, s => PlanGen.generateCondFn(s).shape)
     assert(cf.sorted == graft.fuzz.Differential.frozenCondFnSeeds,
       s"generator moved the frozen condfn seeds: search=$cf — re-pin AND rename fzcf* rows")
+    val ar = graft.fuzz.Differential.searchQuota(
+      graft.fuzz.Differential.arrFnQuota, s => PlanGen.generateArrFn(s).shape)
+    assert(ar.sorted == graft.fuzz.Differential.frozenArrFnSeeds,
+      s"generator moved the frozen arrfn seeds: search=$ar — re-pin AND rename fzar* rows")
+    val up = graft.fuzz.Differential.searchQuota(
+      graft.fuzz.Differential.unpivotQuota, s => PlanGen.generateUnpivot(s).shape)
+    assert(up.sorted == graft.fuzz.Differential.frozenUnpivotSeeds,
+      s"generator moved the frozen unpivot seeds: search=$up — re-pin AND rename fzup* rows")
   }
 
   test("frozen round-15 pivot/explode seeds: pinned literals match the search") {
