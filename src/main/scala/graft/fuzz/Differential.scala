@@ -448,6 +448,17 @@ object Differential {
 
   private def upname(s: Long): String = s"fzup${s}_${PlanGen.generateUnpivot(s).shape}"
 
+  /** Frozen LATERAL-join seeds (round 16), PINNED as literals: first
+    * seed of each shape (per-row top-k, LEFT-lateral null-fill,
+    * correlated scalar aggregate) — same re-search contract in
+    * `DifferentialSpec`. */
+  val frozenLateralSeeds: Seq[Long] = Seq(1L, 2L, 8L)
+
+  private[graft] val lateralQuota = Map(
+    "lt_topn" -> 1, "lt_left" -> 1, "lt_agg" -> 1)
+
+  private def ltname(s: Long): String = s"fzlt${s}_${PlanGen.generateLateral(s).shape}"
+
   /** The search the pinned round-15 families were selected by —
     * exposed so the spec can re-run it against the literals. */
   private[graft] def searchQuota(quota: Map[String, Int], shapeOf: Long => String): Seq[Long] =
@@ -497,7 +508,8 @@ object Differential {
       frozenSugarSeeds.map(s => suname(s) -> viaSql(PlanGen.generateSugar(s))).toMap ++
       frozenCondFnSeeds.map(s => cfname(s) -> viaSql(PlanGen.generateCondFn(s))).toMap ++
       frozenArrFnSeeds.map(s => arfname(s) -> viaSql(PlanGen.generateArrFn(s))).toMap ++
-      frozenUnpivotSeeds.map(s => upname(s) -> viaSql(PlanGen.generateUnpivot(s))).toMap
+      frozenUnpivotSeeds.map(s => upname(s) -> viaSql(PlanGen.generateUnpivot(s))).toMap ++
+      frozenLateralSeeds.map(s => ltname(s) -> viaSql(PlanGen.generateLateral(s))).toMap
 
   /** The DataFrame-API builders for the same frozen rows, keyed by the
     * same names — `DifferentialSpec` pins these equal to the SQL-text
@@ -533,7 +545,8 @@ object Differential {
       frozenSugarSeeds.map(s => suname(s) -> PlanGen.generateSugar(s).build).toMap ++
       frozenCondFnSeeds.map(s => cfname(s) -> PlanGen.generateCondFn(s).build).toMap ++
       frozenArrFnSeeds.map(s => arfname(s) -> PlanGen.generateArrFn(s).build).toMap ++
-      frozenUnpivotSeeds.map(s => upname(s) -> PlanGen.generateUnpivot(s).build).toMap
+      frozenUnpivotSeeds.map(s => upname(s) -> PlanGen.generateUnpivot(s).build).toMap ++
+      frozenLateralSeeds.map(s => ltname(s) -> PlanGen.generateLateral(s).build).toMap
 
   def oracles: Map[String, String] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).duckSql).toMap ++
@@ -566,5 +579,6 @@ object Differential {
       frozenSugarSeeds.map(s => suname(s) -> PlanGen.generateSugar(s).duckSql).toMap ++
       frozenCondFnSeeds.map(s => cfname(s) -> PlanGen.generateCondFn(s).duckSql).toMap ++
       frozenArrFnSeeds.map(s => arfname(s) -> PlanGen.generateArrFn(s).duckSql).toMap ++
-      frozenUnpivotSeeds.map(s => upname(s) -> PlanGen.generateUnpivot(s).duckSql).toMap
+      frozenUnpivotSeeds.map(s => upname(s) -> PlanGen.generateUnpivot(s).duckSql).toMap ++
+      frozenLateralSeeds.map(s => ltname(s) -> PlanGen.generateLateral(s).duckSql).toMap
 }

@@ -55,6 +55,7 @@ object FuzzDump {
       case "condfn"    => PlanGen.generateCondFn
       case "arrfn"     => PlanGen.generateArrFn
       case "unpivot"   => PlanGen.generateUnpivot
+      case "lateral"   => PlanGen.generateLateral
       case other       => sys.error(s"unknown kind $other")
     }
     val spark = Engine.session()

@@ -2531,6 +2531,133 @@ object PlanGen {
       Generated(seed, shape, build, sqlText, sqlText)
     }
 
+    /** LATERAL-join plan (round 16) — the correlated-subquery-in-FROM
+      * surface through three front doors: Spark's `LATERAL` table
+      * clause (parser + DecorrelateInnerQuery path), the Spark 4.x
+      * `Dataset.lateralJoin` API with `Column.outer()` references
+      * (the LateralJoin logical node built directly), and DuckDB's
+      * LATERAL join. The differential matters because LATERAL is pure
+      * REWRITE machinery — Catalyst decorrelates the per-row subquery
+      * into an ordinary aggregate/window + equi-join, so a bug here is
+      * a silent wrong-answer across a whole query class, and the
+      * DataFrame spelling exercises resolution rules (outer-reference
+      * marking) the SQL path never touches.
+      *
+      * Three shapes over the standard `joinEdges`:
+      *  - `lt_agg`: CROSS `, LATERAL (SELECT count/sum FROM s WHERE
+      *    sk = outer tk AND ps)` — a correlated SCALAR aggregate; the
+      *    ungrouped aggregate emits exactly one row even for an empty
+      *    group (count 0 / sum NULL), so the cross lateral never drops
+      *    left rows and the NULL-group corner rides every seed.
+      *  - `lt_topn`: per-left-row top-k — `LATERAL (… ORDER BY sv
+      *    DESC, uk LIMIT k)` — the correlated-LIMIT decorrelation
+      *    (Spark rewrites through a per-key row_number). The subquery
+      *    orders by a non-unique value with the build table's unique
+      *    key as tiebreak, so the k-cut is total and both engines
+      *    must agree row-for-row.
+      *  - `lt_left`: LEFT JOIN LATERAL `… LIMIT 1` ON TRUE with an
+      *    extra value predicate — the subquery CAN be empty, and the
+      *    left join must null-fill rather than drop; count(val) vs
+      *    count(*) in the rollup splits the null-filled rows out.
+      *
+      * All three end in exact-integer rollups (BIGINT casts on the
+      * modulus values) or a totally-ordered LIMIT cut, the family's
+      * standard determinism contract. */
+    def runLateral(): Generated = {
+      val (lt, st, lk, sk) = pick(joinEdges)
+      val p = filterFor(lt)
+      // lineitem's unique key is COMPOSITE — carry every unique column
+      // so the final ORDER BY + LIMIT cut is total (the explode-family
+      // lesson: a LIMIT over a non-total order diverges cross-engine).
+      val uCols = lt.unique
+      val su = st.unique.head
+      val sc = pick(st.ints)
+      val m = 3 + rnd.nextInt(10)
+      val n = 40 + rnd.nextInt(160)
+      val leftCols = (uCols ++ (if (uCols.contains(lk)) Nil else Seq(lk)))
+      def leftDf(s: SparkSession, dir: String) =
+        Engine.t(s, dir, lt.name).filter(p.cond)
+          .select(leftCols.map(col): _*)
+      val leftSql =
+        s"SELECT ${leftCols.mkString(", ")} FROM ${lt.name} WHERE ${p.sql}"
+      val uSel = uCols.mkString(", ")
+      rnd.nextInt(3) match {
+        case 0 =>
+          val shape = "lt_agg"
+          val ps = onePred(st)
+          // ORDER BY must extend past `uCols` to the aggregate outputs:
+          // lineitem's (l_orderkey, l_linenumber) is NOT unique in the
+          // synthetic data (the qualify_lag pitfall), and tied left
+          // rows carry DIFFERENT join keys, hence different (c, sv) —
+          // a LIMIT cut ordered on uCols alone picked different tied
+          // rows per engine (seed 8 diverged by exactly one such row).
+          // With (c, sv NULLS FIRST) appended, remaining ties are
+          // identical output rows, so the cut is output-invariant.
+          // NULLS FIRST is explicit because sv is NULL for empty
+          // groups and the engines' default null order differs.
+          val sqlText =
+            s"SELECT $uSel, c, sv FROM ($leftSql) t, " +
+              s"LATERAL (SELECT count(*) AS c, CAST(sum($sc % $m) AS BIGINT) AS sv " +
+              s"FROM ${st.name} WHERE $sk = t.$lk AND ${ps.sql}) l " +
+              s"ORDER BY $uSel, c, sv NULLS FIRST LIMIT $n"
+          // The scalar aggregate MUST go through `.select(count(…))`
+          // (aggregate-in-project): `.agg(…)` / `.groupBy().agg(…)` on
+          // a Dataset whose filter holds an un-nested outer reference
+          // fails EAGER analysis with UNRESOLVED_COLUMN before
+          // lateralJoin ever sees the plan — a real Spark 4.1 API
+          // asymmetry this family documents (select-path defers, agg
+          // path checks).
+          val build = (s: SparkSession, dir: String) =>
+            leftDf(s, dir).lateralJoin(
+              Engine.t(s, dir, st.name)
+                .filter(col(sk) === col(lk).outer() && ps.cond)
+                .select(count(lit(1)).as("c"),
+                  sum(col(sc) % m).cast("long").as("sv")))
+              .select((uCols.map(col) ++ Seq(col("c"), col("sv"))): _*)
+              .orderBy(uCols.map(col) ++
+                Seq(col("c"), col("sv").asc_nulls_first): _*).limit(n)
+          Generated(seed, shape, build, sqlText, sqlText)
+        case 1 =>
+          val shape = "lt_topn"
+          val k = 1 + rnd.nextInt(3)
+          val sqlText =
+            s"SELECT $uSel, sv, uk FROM ($leftSql) t, " +
+              s"LATERAL (SELECT CAST($sc % $m AS BIGINT) AS sv, $su AS uk " +
+              s"FROM ${st.name} WHERE $sk = t.$lk " +
+              s"ORDER BY sv DESC, uk LIMIT $k) l " +
+              s"ORDER BY $uSel, sv DESC, uk LIMIT $n"
+          val build = (s: SparkSession, dir: String) =>
+            leftDf(s, dir).lateralJoin(
+              Engine.t(s, dir, st.name)
+                .filter(col(sk) === col(lk).outer())
+                .select((col(sc) % m).cast("long").as("sv"), col(su).as("uk"))
+                .orderBy(col("sv").desc, col("uk")).limit(k))
+              .select((uCols.map(col) ++ Seq(col("sv"), col("uk"))): _*)
+              .orderBy((uCols.map(col) :+ col("sv").desc) :+ col("uk"): _*)
+              .limit(n)
+          Generated(seed, shape, build, sqlText, sqlText)
+        case _ =>
+          val shape = "lt_left"
+          val ps = numPred(st)
+          val sqlText =
+            s"SELECT count(*) AS n, count(sv) AS nv, CAST(sum(sv) AS BIGINT) AS su " +
+              s"FROM ($leftSql) t LEFT JOIN " +
+              s"LATERAL (SELECT CAST($sc % $m AS BIGINT) AS sv " +
+              s"FROM ${st.name} WHERE $sk = t.$lk AND ${ps.sql} " +
+              s"ORDER BY sv, $su LIMIT 1) l ON TRUE"
+          val build = (s: SparkSession, dir: String) =>
+            leftDf(s, dir).lateralJoin(
+              Engine.t(s, dir, st.name)
+                .filter(col(sk) === col(lk).outer() && ps.cond)
+                .select((col(sc) % m).cast("long").as("sv"), col(su))
+                .orderBy(col("sv"), col(su)).limit(1)
+                .select(col("sv")),
+              lit(true), "left")
+              .agg(count(lit(1)).as("n"), count(col("sv")).as("nv"),
+                sum("sv").cast("long").as("su"))
+          Generated(seed, shape, build, sqlText, sqlText)
+      }
+    }
   }
 
   /** Composite window→agg plan for the same seed space — see
@@ -2648,4 +2775,8 @@ object PlanGen {
     * UNPIVOT, EXCLUDE- vs INCLUDE-NULLS defaults) — see
     * [[Gen.runUnpivot]]. */
   def generateUnpivot(seed: Long): Generated = new Gen(seed).runUnpivot()
+
+  /** LATERAL-join plan (LATERAL clause / Dataset.lateralJoin with
+    * Column.outer() / DuckDB LATERAL) — see [[Gen.runLateral]]. */
+  def generateLateral(seed: Long): Generated = new Gen(seed).runLateral()
 }

@@ -580,6 +580,26 @@ class DifferentialSpec extends AnyFunSuite {
     assert(nonEmpty >= 50, s"only $nonEmpty/100 unpivot seeds non-empty")
   }
 
+  test("100 LATERAL plans: Dataset.lateralJoin build equals LATERAL-clause sql") {
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var nonEmpty = 0
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateLateral(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      if (viaApi.nonEmpty) nonEmpty += 1
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+    assert(Set("lt_agg", "lt_topn", "lt_left").subsetOf(shapes.keySet),
+      s"lateral shape coverage hole: $shapes")
+    assert(nonEmpty >= 50, s"only $nonEmpty/100 lateral seeds non-empty")
+  }
+
   test("frozen round-16 filteragg/stragg/values seeds: pinned literals match the search") {
     val fa = graft.fuzz.Differential.searchQuota(
       graft.fuzz.Differential.filterAggQuota, s => PlanGen.generateFilterAgg(s).shape)
@@ -609,6 +629,10 @@ class DifferentialSpec extends AnyFunSuite {
       graft.fuzz.Differential.unpivotQuota, s => PlanGen.generateUnpivot(s).shape)
     assert(up.sorted == graft.fuzz.Differential.frozenUnpivotSeeds,
       s"generator moved the frozen unpivot seeds: search=$up — re-pin AND rename fzup* rows")
+    val lt = graft.fuzz.Differential.searchQuota(
+      graft.fuzz.Differential.lateralQuota, s => PlanGen.generateLateral(s).shape)
+    assert(lt.sorted == graft.fuzz.Differential.frozenLateralSeeds,
+      s"generator moved the frozen lateral seeds: search=$lt — re-pin AND rename fzlt* rows")
   }
 
   test("frozen round-15 pivot/explode seeds: pinned literals match the search") {
