@@ -459,6 +459,27 @@ object Differential {
 
   private def ltname(s: Long): String = s"fzlt${s}_${PlanGen.generateLateral(s).shape}"
 
+  /** Frozen set-operation seeds (round 16), PINNED as literals: first
+    * seed of each shape (no-paren precedence, EXCEPT ALL,
+    * INTERSECT ALL, union-all→except mix) — same re-search contract
+    * in `DifferentialSpec`. */
+  val frozenSetOpSeeds: Seq[Long] = Seq(1L, 2L, 4L, 6L)
+
+  private[graft] val setOpQuota = Map(
+    "so_prec" -> 1, "so_exc" -> 1, "so_int" -> 1, "so_mix" -> 1)
+
+  private def soname(s: Long): String = s"fzso${s}_${PlanGen.generateSetOp(s).shape}"
+
+  /** Frozen IGNORE-NULLS window seeds (round 16), PINNED as literals:
+    * first seed of each shape (first_value, last_value forward-fill,
+    * lag, nth_value) — same re-search contract in `DifferentialSpec`. */
+  val frozenIgnulSeeds: Seq[Long] = Seq(1L, 2L, 4L, 7L)
+
+  private[graft] val ignulQuota = Map(
+    "in_first" -> 1, "in_last" -> 1, "in_lag" -> 1, "in_nth" -> 1)
+
+  private def inname(s: Long): String = s"fzin${s}_${PlanGen.generateIgnoreNulls(s).shape}"
+
   /** The search the pinned round-15 families were selected by —
     * exposed so the spec can re-run it against the literals. */
   private[graft] def searchQuota(quota: Map[String, Int], shapeOf: Long => String): Seq[Long] =
@@ -509,7 +530,9 @@ object Differential {
       frozenCondFnSeeds.map(s => cfname(s) -> viaSql(PlanGen.generateCondFn(s))).toMap ++
       frozenArrFnSeeds.map(s => arfname(s) -> viaSql(PlanGen.generateArrFn(s))).toMap ++
       frozenUnpivotSeeds.map(s => upname(s) -> viaSql(PlanGen.generateUnpivot(s))).toMap ++
-      frozenLateralSeeds.map(s => ltname(s) -> viaSql(PlanGen.generateLateral(s))).toMap
+      frozenLateralSeeds.map(s => ltname(s) -> viaSql(PlanGen.generateLateral(s))).toMap ++
+      frozenSetOpSeeds.map(s => soname(s) -> viaSql(PlanGen.generateSetOp(s))).toMap ++
+      frozenIgnulSeeds.map(s => inname(s) -> viaSql(PlanGen.generateIgnoreNulls(s))).toMap
 
   /** The DataFrame-API builders for the same frozen rows, keyed by the
     * same names — `DifferentialSpec` pins these equal to the SQL-text
@@ -546,7 +569,9 @@ object Differential {
       frozenCondFnSeeds.map(s => cfname(s) -> PlanGen.generateCondFn(s).build).toMap ++
       frozenArrFnSeeds.map(s => arfname(s) -> PlanGen.generateArrFn(s).build).toMap ++
       frozenUnpivotSeeds.map(s => upname(s) -> PlanGen.generateUnpivot(s).build).toMap ++
-      frozenLateralSeeds.map(s => ltname(s) -> PlanGen.generateLateral(s).build).toMap
+      frozenLateralSeeds.map(s => ltname(s) -> PlanGen.generateLateral(s).build).toMap ++
+      frozenSetOpSeeds.map(s => soname(s) -> PlanGen.generateSetOp(s).build).toMap ++
+      frozenIgnulSeeds.map(s => inname(s) -> PlanGen.generateIgnoreNulls(s).build).toMap
 
   def oracles: Map[String, String] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).duckSql).toMap ++
@@ -580,5 +605,7 @@ object Differential {
       frozenCondFnSeeds.map(s => cfname(s) -> PlanGen.generateCondFn(s).duckSql).toMap ++
       frozenArrFnSeeds.map(s => arfname(s) -> PlanGen.generateArrFn(s).duckSql).toMap ++
       frozenUnpivotSeeds.map(s => upname(s) -> PlanGen.generateUnpivot(s).duckSql).toMap ++
-      frozenLateralSeeds.map(s => ltname(s) -> PlanGen.generateLateral(s).duckSql).toMap
+      frozenLateralSeeds.map(s => ltname(s) -> PlanGen.generateLateral(s).duckSql).toMap ++
+      frozenSetOpSeeds.map(s => soname(s) -> PlanGen.generateSetOp(s).duckSql).toMap ++
+      frozenIgnulSeeds.map(s => inname(s) -> PlanGen.generateIgnoreNulls(s).duckSql).toMap
 }

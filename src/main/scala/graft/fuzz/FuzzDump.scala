@@ -56,6 +56,8 @@ object FuzzDump {
       case "arrfn"     => PlanGen.generateArrFn
       case "unpivot"   => PlanGen.generateUnpivot
       case "lateral"   => PlanGen.generateLateral
+      case "setop"     => PlanGen.generateSetOp
+      case "ignul"     => PlanGen.generateIgnoreNulls
       case other       => sys.error(s"unknown kind $other")
     }
     val spark = Engine.session()

@@ -2658,6 +2658,156 @@ object PlanGen {
           Generated(seed, shape, build, sqlText, sqlText)
       }
     }
+
+    /** Set-operation plan (round 16) — UNION/INTERSECT/EXCEPT with
+      * DISTINCT and ALL variants over schema-aligned projections of
+      * different base tables, pinning three independently buggy
+      * surfaces at once:
+      *  - PRECEDENCE: `so_prec` renders `A UNION B INTERSECT C` with
+      *    NO parentheses — the SQL standard binds INTERSECT tighter,
+      *    so both engines must parse it as `A ∪ (B ∩ C)`; the build
+      *    leg composes that grouping explicitly, so a parser that
+      *    associates left-to-right diverges immediately.
+      *  - BAG SEMANTICS: `so_exc`/`so_int` use EXCEPT ALL /
+      *    INTERSECT ALL (multiplicity arithmetic: max(m−n, 0) /
+      *    min(m, n) per row), rendered via `Dataset.exceptAll` /
+      *    `intersectAll` — Spark implements these as a replicated
+      *    row_number rewrite, DuckDB natively; the per-row COUNT in
+      *    the closing rollup pins the multiplicities exactly.
+      *  - NULL EQUALITY: every source key runs through NULLIF, and
+      *    set operations compare NULLs as EQUAL (IS NOT DISTINCT
+      *    FROM semantics, unlike `=`) in both engines — the NULL
+      *    group rides every seed and its multiplicity is checked
+      *    like any other row's.
+      * Key domains are small moduli, so results are bounded and the
+      * closing `GROUP BY k, j ORDER BY k, j` rollup needs no LIMIT —
+      * no tie-cut analysis at all. */
+    def runSetOp(): Generated = {
+      def src(): (String, (SparkSession, String) => DataFrame) = {
+        val t = pick(singles.filter(_.ints.size >= 2))
+        val p = filterFor(t)
+        val c1 = pick(t.ints)
+        val c2 = pick(t.ints.filterNot(_ == c1))
+        val m1 = 3 + rnd.nextInt(5)
+        val m2 = 2 + rnd.nextInt(4)
+        val r = rnd.nextInt(m1)
+        val sql =
+          s"SELECT CAST(NULLIF($c1 % $m1, $r) AS BIGINT) AS k, " +
+            s"CAST($c2 % $m2 AS BIGINT) AS j FROM ${t.name} WHERE ${p.sql}"
+        val df = (s: SparkSession, dir: String) =>
+          Engine.t(s, dir, t.name).filter(p.cond).select(
+            nullif(col(c1) % m1, lit(r)).cast("long").as("k"),
+            (col(c2) % m2).cast("long").as("j"))
+        (sql, df)
+      }
+      val (aS, aD) = src(); val (bS, bD) = src(); val (cS, cD) = src()
+      // k is nullable (NULLIF) and the engines' default null order
+      // differs — the close's ORDER BY pins it explicitly, both legs.
+      val close = "SELECT k, j, count(*) AS n FROM (%s) " +
+        "GROUP BY k, j ORDER BY k ASC NULLS FIRST, j"
+      def closeDf(df: DataFrame) =
+        df.groupBy("k", "j").agg(count(lit(1)).as("n"))
+          .orderBy(col("k").asc_nulls_first, col("j"))
+      rnd.nextInt(4) match {
+        case 0 =>
+          val sqlText = close.format(s"($aS) UNION ($bS) INTERSECT ($cS)")
+          val build = (s: SparkSession, dir: String) =>
+            closeDf(aD(s, dir).union(bD(s, dir).intersect(cD(s, dir))).distinct())
+          Generated(seed, "so_prec", build, sqlText, sqlText)
+        case 1 =>
+          val sqlText = close.format(s"($aS) EXCEPT ALL ($bS)")
+          val build = (s: SparkSession, dir: String) =>
+            closeDf(aD(s, dir).exceptAll(bD(s, dir)))
+          Generated(seed, "so_exc", build, sqlText, sqlText)
+        case 2 =>
+          val sqlText = close.format(s"($aS) INTERSECT ALL ($bS)")
+          val build = (s: SparkSession, dir: String) =>
+            closeDf(aD(s, dir).intersectAll(bD(s, dir)))
+          Generated(seed, "so_int", build, sqlText, sqlText)
+        case _ =>
+          val sqlText = close.format(s"(($aS) UNION ALL ($bS)) EXCEPT ($cS)")
+          val build = (s: SparkSession, dir: String) =>
+            closeDf(aD(s, dir).union(bD(s, dir)).except(cD(s, dir)))
+          Generated(seed, "so_mix", build, sqlText, sqlText)
+      }
+    }
+
+    /** IGNORE-NULLS window plan (round 16) — the null-skipping
+      * offset/frame window functions (first_value, last_value
+      * forward-fill, lag, nth_value), a surface where the DIALECTS
+      * literally disagree on where the modifier goes: Spark renders
+      * `f(v, k) IGNORE NULLS OVER …` (postfix), DuckDB `f(v, k
+      * IGNORE NULLS) OVER …` (inside the call), and the DataFrame leg
+      * passes `ignoreNulls = true` parameters — three spellings of
+      * one semantic that each engine parses differently.
+      *
+      * The null-bearer is `NULLIF(c2 % m, r)`, the window orders by
+      * (unique key, v NULLS FIRST) with the null order EXPLICIT in
+      * both dialects because their ASC defaults differ (Spark NULLS
+      * FIRST, DuckDB NULLS LAST). Determinism under lineitem's
+      * duplicated "unique" key: tied rows are identical in the full
+      * (partition, order, v) tuple, so for the frame functions the
+      * skipped-null scan sees the same prefix either way, and for lag
+      * the per-tie-group OUTPUT MULTISET is permutation-invariant
+      * (swapping identical rows permutes which of them receives which
+      * lagged value but not the multiset) — the closing ORDER BY over
+      * ALL output columns incl. w then makes the LIMIT cut
+      * output-invariant. */
+    def runIgnoreNulls(): Generated = {
+      val t = pick(singles.filter(_.ints.size >= 2))
+      val p = filterFor(t)
+      val uCols = t.unique
+      val gc = pick(t.ints)
+      val vc = pick(t.ints.filterNot(_ == gc))
+      val mg = 2 + rnd.nextInt(5)
+      val mv = 3 + rnd.nextInt(8)
+      val r = rnd.nextInt(mv)
+      val n = 40 + rnd.nextInt(160)
+      val uSql = uCols.map(c => s"$c ASC").mkString(", ")
+      val ordSql = s"PARTITION BY g ORDER BY $uSql, v ASC NULLS FIRST"
+      val frameSql = " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+      val subSql =
+        s"SELECT ${uCols.mkString(", ")}, CAST($gc % $mg AS BIGINT) AS g, " +
+          s"CAST(NULLIF($vc % $mv, $r) AS BIGINT) AS v " +
+          s"FROM ${t.name} WHERE ${p.sql}"
+      val k = 1 + rnd.nextInt(3)
+      // (sparkCall, duckCall, apiColumn)
+      val w = Window.partitionBy(col("g"))
+        .orderBy((uCols.map(col(_).asc) :+ col("v").asc_nulls_first): _*)
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val (shape, sparkW, duckW, apiW) = rnd.nextInt(4) match {
+        case 0 => ("in_first",
+          s"first_value(v) IGNORE NULLS OVER ($ordSql$frameSql)",
+          s"first_value(v IGNORE NULLS) OVER ($ordSql$frameSql)",
+          first(col("v"), ignoreNulls = true).over(wf))
+        case 1 => ("in_last",
+          s"last_value(v) IGNORE NULLS OVER ($ordSql$frameSql)",
+          s"last_value(v IGNORE NULLS) OVER ($ordSql$frameSql)",
+          last(col("v"), ignoreNulls = true).over(wf))
+        case 2 => ("in_lag",
+          s"lag(v, $k) IGNORE NULLS OVER ($ordSql)",
+          s"lag(v, $k IGNORE NULLS) OVER ($ordSql)",
+          lag(col("v"), k, null, ignoreNulls = true).over(w))
+        case _ => ("in_nth",
+          s"nth_value(v, $k) IGNORE NULLS OVER ($ordSql$frameSql)",
+          s"nth_value(v, $k IGNORE NULLS) OVER ($ordSql$frameSql)",
+          nth_value(col("v"), k, ignoreNulls = true).over(wf))
+      }
+      val outOrd = s"${uCols.mkString(", ")}, g, v ASC NULLS FIRST, w ASC NULLS FIRST"
+      def sql(duck: Boolean) =
+        s"SELECT ${uCols.mkString(", ")}, g, v, ${if (duck) duckW else sparkW} AS w " +
+          s"FROM ($subSql) ORDER BY $outOrd LIMIT $n"
+      val build = (s: SparkSession, dir: String) =>
+        Engine.t(s, dir, t.name).filter(p.cond)
+          .select((uCols.map(col) ++ Seq(
+            (col(gc) % mg).cast("long").as("g"),
+            nullif(col(vc) % mv, lit(r)).cast("long").as("v"))): _*)
+          .withColumn("w", apiW)
+          .orderBy((uCols.map(col) ++ Seq(col("g"),
+            col("v").asc_nulls_first, col("w").asc_nulls_first)): _*)
+          .limit(n)
+      Generated(seed, shape, build, sql(false), sql(true))
+    }
   }
 
   /** Composite window→agg plan for the same seed space — see
@@ -2779,4 +2929,12 @@ object PlanGen {
   /** LATERAL-join plan (LATERAL clause / Dataset.lateralJoin with
     * Column.outer() / DuckDB LATERAL) — see [[Gen.runLateral]]. */
   def generateLateral(seed: Long): Generated = new Gen(seed).runLateral()
+
+  /** Set-operation plan (UNION/INTERSECT/EXCEPT precedence, ALL-variant
+    * bag semantics, set-op NULL equality) — see [[Gen.runSetOp]]. */
+  def generateSetOp(seed: Long): Generated = new Gen(seed).runSetOp()
+
+  /** IGNORE-NULLS window plan (first/last/lag/nth_value null-skipping,
+    * three modifier spellings) — see [[Gen.runIgnoreNulls]]. */
+  def generateIgnoreNulls(seed: Long): Generated = new Gen(seed).runIgnoreNulls()
 }

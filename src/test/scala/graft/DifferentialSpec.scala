@@ -600,6 +600,46 @@ class DifferentialSpec extends AnyFunSuite {
     assert(nonEmpty >= 50, s"only $nonEmpty/100 lateral seeds non-empty")
   }
 
+  test("100 set-operation plans: exceptAll/intersectAll build equals set-op sql") {
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var nonEmpty = 0
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateSetOp(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      if (viaApi.nonEmpty) nonEmpty += 1
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+    assert(Set("so_prec", "so_exc", "so_int", "so_mix").subsetOf(shapes.keySet),
+      s"setop shape coverage hole: $shapes")
+    assert(nonEmpty >= 50, s"only $nonEmpty/100 setop seeds non-empty")
+  }
+
+  test("100 IGNORE-NULLS window plans: ignoreNulls build equals postfix sql") {
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var nonEmpty = 0
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateIgnoreNulls(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      if (viaApi.nonEmpty) nonEmpty += 1
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+    assert(Set("in_first", "in_last", "in_lag", "in_nth").subsetOf(shapes.keySet),
+      s"ignul shape coverage hole: $shapes")
+    assert(nonEmpty >= 50, s"only $nonEmpty/100 ignul seeds non-empty")
+  }
+
   test("frozen round-16 filteragg/stragg/values seeds: pinned literals match the search") {
     val fa = graft.fuzz.Differential.searchQuota(
       graft.fuzz.Differential.filterAggQuota, s => PlanGen.generateFilterAgg(s).shape)
@@ -633,6 +673,14 @@ class DifferentialSpec extends AnyFunSuite {
       graft.fuzz.Differential.lateralQuota, s => PlanGen.generateLateral(s).shape)
     assert(lt.sorted == graft.fuzz.Differential.frozenLateralSeeds,
       s"generator moved the frozen lateral seeds: search=$lt — re-pin AND rename fzlt* rows")
+    val so = graft.fuzz.Differential.searchQuota(
+      graft.fuzz.Differential.setOpQuota, s => PlanGen.generateSetOp(s).shape)
+    assert(so.sorted == graft.fuzz.Differential.frozenSetOpSeeds,
+      s"generator moved the frozen setop seeds: search=$so — re-pin AND rename fzso* rows")
+    val in = graft.fuzz.Differential.searchQuota(
+      graft.fuzz.Differential.ignulQuota, s => PlanGen.generateIgnoreNulls(s).shape)
+    assert(in.sorted == graft.fuzz.Differential.frozenIgnulSeeds,
+      s"generator moved the frozen ignul seeds: search=$in — re-pin AND rename fzin* rows")
   }
 
   test("frozen round-15 pivot/explode seeds: pinned literals match the search") {
