@@ -74,12 +74,17 @@ object Bench {
         .replaceAll("uuid\\(Some\\(-?\\d+\\)\\)", "uuid(SEED)")
         .replaceAll("(CTERelationDef|CTERelationRef) \\d+", "$1 N")
         .replaceAll("#\\d+", "#N")
+        // per-run UUID-suffixed temp view names (streaming sinks
+        // register `jN_sink_<hex32>` per invocation — measured: j2's
+        // SubqueryAlias/View name flipped between identical runs and
+        // auto-reset its record to whatever window the run landed on)
+        .replaceAll("_[0-9a-f]{32}", "_UUID")
     // Fingerprint FORMAT version: stored fps are only trusted for
     // auto-reset when they were computed by the same normalization.
     // Bumping this makes the next run refresh every fp WITHOUT
     // resetting any time — a normalization change must never cause a
     // whole-record reset to a possibly-contended run.
-    val FPV = 2
+    val FPV = 3
     def fingerprint(df: org.apache.spark.sql.DataFrame): String = {
       val s = normalizedPlan(df)
       "h" + java.security.MessageDigest.getInstance("MD5")
