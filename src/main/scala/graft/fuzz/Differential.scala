@@ -480,6 +480,17 @@ object Differential {
 
   private def inname(s: Long): String = s"fzin${s}_${PlanGen.generateIgnoreNulls(s).shape}"
 
+  /** Frozen TRY-arithmetic seeds (round 16), PINNED as literals: first
+    * seed of each shape (overflow→NULL multiply/add/subtract, zero- and
+    * overflow-guarded divide) — same re-search contract in
+    * `DifferentialSpec`. */
+  val frozenTryArithSeeds: Seq[Long] = Seq(1L, 2L, 4L, 6L)
+
+  private[graft] val tryArithQuota = Map(
+    "ta_mul" -> 1, "ta_add" -> 1, "ta_sub" -> 1, "ta_div" -> 1)
+
+  private def taname(s: Long): String = s"fzta${s}_${PlanGen.generateTryArith(s).shape}"
+
   /** The search the pinned round-15 families were selected by —
     * exposed so the spec can re-run it against the literals. */
   private[graft] def searchQuota(quota: Map[String, Int], shapeOf: Long => String): Seq[Long] =
@@ -532,7 +543,8 @@ object Differential {
       frozenUnpivotSeeds.map(s => upname(s) -> viaSql(PlanGen.generateUnpivot(s))).toMap ++
       frozenLateralSeeds.map(s => ltname(s) -> viaSql(PlanGen.generateLateral(s))).toMap ++
       frozenSetOpSeeds.map(s => soname(s) -> viaSql(PlanGen.generateSetOp(s))).toMap ++
-      frozenIgnulSeeds.map(s => inname(s) -> viaSql(PlanGen.generateIgnoreNulls(s))).toMap
+      frozenIgnulSeeds.map(s => inname(s) -> viaSql(PlanGen.generateIgnoreNulls(s))).toMap ++
+      frozenTryArithSeeds.map(s => taname(s) -> viaSql(PlanGen.generateTryArith(s))).toMap
 
   /** The DataFrame-API builders for the same frozen rows, keyed by the
     * same names — `DifferentialSpec` pins these equal to the SQL-text
@@ -571,7 +583,8 @@ object Differential {
       frozenUnpivotSeeds.map(s => upname(s) -> PlanGen.generateUnpivot(s).build).toMap ++
       frozenLateralSeeds.map(s => ltname(s) -> PlanGen.generateLateral(s).build).toMap ++
       frozenSetOpSeeds.map(s => soname(s) -> PlanGen.generateSetOp(s).build).toMap ++
-      frozenIgnulSeeds.map(s => inname(s) -> PlanGen.generateIgnoreNulls(s).build).toMap
+      frozenIgnulSeeds.map(s => inname(s) -> PlanGen.generateIgnoreNulls(s).build).toMap ++
+      frozenTryArithSeeds.map(s => taname(s) -> PlanGen.generateTryArith(s).build).toMap
 
   def oracles: Map[String, String] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).duckSql).toMap ++
@@ -607,5 +620,6 @@ object Differential {
       frozenUnpivotSeeds.map(s => upname(s) -> PlanGen.generateUnpivot(s).duckSql).toMap ++
       frozenLateralSeeds.map(s => ltname(s) -> PlanGen.generateLateral(s).duckSql).toMap ++
       frozenSetOpSeeds.map(s => soname(s) -> PlanGen.generateSetOp(s).duckSql).toMap ++
-      frozenIgnulSeeds.map(s => inname(s) -> PlanGen.generateIgnoreNulls(s).duckSql).toMap
+      frozenIgnulSeeds.map(s => inname(s) -> PlanGen.generateIgnoreNulls(s).duckSql).toMap ++
+      frozenTryArithSeeds.map(s => taname(s) -> PlanGen.generateTryArith(s).duckSql).toMap
 }

@@ -58,6 +58,7 @@ object FuzzDump {
       case "lateral"   => PlanGen.generateLateral
       case "setop"     => PlanGen.generateSetOp
       case "ignul"     => PlanGen.generateIgnoreNulls
+      case "tryar"     => PlanGen.generateTryArith
       case other       => sys.error(s"unknown kind $other")
     }
     val spark = Engine.session()

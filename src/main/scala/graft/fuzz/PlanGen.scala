@@ -2808,6 +2808,102 @@ object PlanGen {
           .limit(n)
       Generated(seed, shape, build, sql(false), sql(true))
     }
+
+    /** TRY-arithmetic plan (round 16) — Spark's `try_add` /
+      * `try_subtract` / `try_multiply` / `try_divide` overflow→NULL
+      * semantics, differentially pinned against a DuckDB oracle that
+      * has NO try functions at all: DuckDB evaluates the operation in
+      * HUGEINT (exact INT128), range-checks the result against the
+      * BIGINT domain in a CASE, and only then casts back — so Spark's
+      * checked 64-bit arithmetic is validated against genuine 128-bit
+      * arithmetic, two entirely different mechanisms. (Plain BIGINT
+      * overflow is a hard ERROR in DuckDB and a silent wrap in
+      * non-ANSI Spark — try_* is the only spelling with comparable
+      * cross-engine semantics, which is exactly why it deserves a
+      * generated family.)
+      *
+      * Operands are scaled into overflow territory (key × 2^58..2^61
+      * style constants) so that BOTH regimes — in-range results and
+      * overflow NULLs — ride every seed; `count(*)` vs `count(w)` in
+      * the closing rollup pins the NULL count exactly, and the summed
+      * value goes through `% 9973` first so the verification sum
+      * cannot itself overflow. Operands are kept non-negative to stay
+      * out of the C-style negative-modulo corner (a separate dialect
+      * concern, out of scope the condfn way). try_divide additionally
+      * pins divide-by-zero→NULL (vs NULLIF on the DuckDB side) and
+      * exits in DOUBLE (both engines do correctly-rounded int→double
+      * division, so the bits agree). */
+    def runTryArith(): Generated = {
+      val t = pick(singles.filter(_.ints.size >= 2))
+      val p = filterFor(t)
+      val c1 = pick(t.ints)
+      val c2 = pick(t.ints.filterNot(_ == c1))
+      val mg = 3 + rnd.nextInt(5)
+      val lo = "-9223372036854775808"
+      val hi = "9223372036854775807"
+      // Operand construction MUST stay inside int64 — only the TRY op
+      // may overflow (a wrapped intermediate would silently diverge:
+      // non-ANSI Spark wraps plain arithmetic, DuckDB computes it
+      // exactly). (c1 % 16) * 2^55..58 ≤ 15 * 2^58 ≈ 4.3e18 < 2^63.
+      val sh = 55 + rnd.nextInt(4)
+      val aS = s"(CAST($c1 % 16 AS BIGINT) * ${1L << sh} + $c2)"
+      val aC = (col(c1) % 16).cast("long") * (1L << sh) + col(c2)
+      def close(sel: String, wExpr: String) =
+        (s"SELECT g, count(*) AS n, count(w) AS nw, $sel " +
+          s"FROM (SELECT CAST($c2 % $mg AS BIGINT) AS g, __W__ AS w " +
+          s"FROM ${t.name} WHERE ${p.sql}) GROUP BY g ORDER BY g")
+          .replace("__W__", wExpr)
+      val sumSel = "CAST(sum(w % 9973) AS BIGINT) AS sw"
+      def closeDf(w: Column, agg: Seq[Column]) = (s: SparkSession, dir: String) =>
+        Engine.t(s, dir, t.name).filter(p.cond)
+          .select((col(c2) % mg).cast("long").as("g"), w.as("w"))
+          .groupBy("g")
+          .agg(count(lit(1)).as("n"),
+            (count(col("w")).as("nw") +: agg): _*)
+          .orderBy("g")
+      val sumAgg = Seq(sum(col("w") % 9973).cast("long").as("sw"))
+      def duckGuard(hug: String) =
+        s"(CASE WHEN $hug BETWEEN $lo AND $hi THEN CAST($hug AS BIGINT) ELSE NULL END)"
+      rnd.nextInt(4) match {
+        case 0 =>
+          // a ≤ 4.3e18, b ∈ 2..15 → a*b straddles 2^63 on real rows
+          val b = 2 + rnd.nextInt(14)
+          Generated(seed, "ta_mul", closeDf(try_multiply(aC, lit(b)), sumAgg),
+            close(sumSel, s"try_multiply($aS, $b)"),
+            close(sumSel, duckGuard(s"CAST($aS AS HUGEINT) * $b")))
+        case 1 =>
+          // two 0..3 × 2^61 terms (each ≤ 6.9e18): the sum overflows
+          // exactly when the quarter-weights total ≥ 4 — both regimes
+          // ride every seed
+          val a2S = s"(CAST($c1 % 4 AS BIGINT) * ${1L << 61} + $c2)"
+          val a2C = (col(c1) % 4).cast("long") * (1L << 61) + col(c2)
+          val b2S = s"(CAST($c2 % 4 AS BIGINT) * ${1L << 61})"
+          val b2C = (col(c2) % 4).cast("long") * (1L << 61)
+          Generated(seed, "ta_add", closeDf(try_add(a2C, b2C), sumAgg),
+            close(sumSel, s"try_add($a2S, $b2S)"),
+            close(sumSel, duckGuard(s"CAST($a2S AS HUGEINT) + $b2S")))
+        case 2 =>
+          // 0 - a2 - b2 goes below -2^63 on the same ≥4 quarter-weight
+          // rows; negative results also pin the C-style `% 9973` on a
+          // negative dividend, which both engines share
+          val a2S = s"(CAST($c1 % 4 AS BIGINT) * ${1L << 61} + $c2)"
+          val a2C = (col(c1) % 4).cast("long") * (1L << 61) + col(c2)
+          val b2S = s"(CAST($c2 % 4 AS BIGINT) * ${1L << 61})"
+          val b2C = (col(c2) % 4).cast("long") * (1L << 61)
+          Generated(seed, "ta_sub",
+            closeDf(try_subtract(b2C * -1, a2C), sumAgg),
+            close(sumSel, s"try_subtract($b2S * -1, $a2S)"),
+            close(sumSel, duckGuard(s"CAST($b2S AS HUGEINT) * -1 - $a2S")))
+        case _ =>
+          val md = 4 + rnd.nextInt(8)
+          val minmax = "min(w) AS mn, max(w) AS mx"
+          Generated(seed, "ta_div",
+            closeDf(try_divide(aC, col(c1) % md),
+              Seq(min(col("w")).as("mn"), max(col("w")).as("mx"))),
+            close(minmax, s"try_divide($aS, $c1 % $md)"),
+            close(minmax, s"($aS / NULLIF($c1 % $md, 0))"))
+      }
+    }
   }
 
   /** Composite window→agg plan for the same seed space — see
@@ -2937,4 +3033,8 @@ object PlanGen {
   /** IGNORE-NULLS window plan (first/last/lag/nth_value null-skipping,
     * three modifier spellings) — see [[Gen.runIgnoreNulls]]. */
   def generateIgnoreNulls(seed: Long): Generated = new Gen(seed).runIgnoreNulls()
+
+  /** TRY-arithmetic plan (checked 64-bit overflow→NULL vs a DuckDB
+    * HUGEINT range-check oracle) — see [[Gen.runTryArith]]. */
+  def generateTryArith(seed: Long): Generated = new Gen(seed).runTryArith()
 }

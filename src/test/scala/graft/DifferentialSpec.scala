@@ -640,6 +640,26 @@ class DifferentialSpec extends AnyFunSuite {
     assert(nonEmpty >= 50, s"only $nonEmpty/100 ignul seeds non-empty")
   }
 
+  test("100 TRY-arithmetic plans: try_* build equals try_* sql") {
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var nonEmpty = 0
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateTryArith(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      if (viaApi.nonEmpty) nonEmpty += 1
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+    assert(Set("ta_mul", "ta_add", "ta_sub", "ta_div").subsetOf(shapes.keySet),
+      s"tryar shape coverage hole: $shapes")
+    assert(nonEmpty >= 50, s"only $nonEmpty/100 tryar seeds non-empty")
+  }
+
   test("frozen round-16 filteragg/stragg/values seeds: pinned literals match the search") {
     val fa = graft.fuzz.Differential.searchQuota(
       graft.fuzz.Differential.filterAggQuota, s => PlanGen.generateFilterAgg(s).shape)
@@ -681,6 +701,10 @@ class DifferentialSpec extends AnyFunSuite {
       graft.fuzz.Differential.ignulQuota, s => PlanGen.generateIgnoreNulls(s).shape)
     assert(in.sorted == graft.fuzz.Differential.frozenIgnulSeeds,
       s"generator moved the frozen ignul seeds: search=$in — re-pin AND rename fzin* rows")
+    val ta = graft.fuzz.Differential.searchQuota(
+      graft.fuzz.Differential.tryArithQuota, s => PlanGen.generateTryArith(s).shape)
+    assert(ta.sorted == graft.fuzz.Differential.frozenTryArithSeeds,
+      s"generator moved the frozen tryar seeds: search=$ta — re-pin AND rename fzta* rows")
   }
 
   test("frozen round-15 pivot/explode seeds: pinned literals match the search") {
