@@ -491,6 +491,17 @@ object Differential {
 
   private def taname(s: Long): String = s"fzta${s}_${PlanGen.generateTryArith(s).shape}"
 
+  /** Frozen storage-roundtrip seeds (round 16), PINNED as literals:
+    * first seed of each shape (partitioned write + pruned read-back,
+    * CSV roundtrip, append mode) — same re-search contract in
+    * `DifferentialSpec`. */
+  val frozenStorageSeeds: Seq[Long] = Seq(1L, 3L, 4L)
+
+  private[graft] val storageQuota = Map(
+    "st_part" -> 1, "st_csv" -> 1, "st_app" -> 1)
+
+  private def stname(s: Long): String = s"fzst${s}_${PlanGen.generateStorage(s).shape}"
+
   /** The search the pinned round-15 families were selected by —
     * exposed so the spec can re-run it against the literals. */
   private[graft] def searchQuota(quota: Map[String, Int], shapeOf: Long => String): Seq[Long] =
@@ -544,7 +555,12 @@ object Differential {
       frozenLateralSeeds.map(s => ltname(s) -> viaSql(PlanGen.generateLateral(s))).toMap ++
       frozenSetOpSeeds.map(s => soname(s) -> viaSql(PlanGen.generateSetOp(s))).toMap ++
       frozenIgnulSeeds.map(s => inname(s) -> viaSql(PlanGen.generateIgnoreNulls(s))).toMap ++
-      frozenTryArithSeeds.map(s => taname(s) -> viaSql(PlanGen.generateTryArith(s))).toMap
+      frozenTryArithSeeds.map(s => taname(s) -> viaSql(PlanGen.generateTryArith(s))).toMap ++
+      // storage rows deliberately route the driver gate through the
+      // BUILD leg (the write→layout→read roundtrip) rather than the
+      // SQL front door: the roundtrip IS the surface under test, and
+      // DuckDB replays the pure relational equivalent as the oracle.
+      frozenStorageSeeds.map(s => stname(s) -> PlanGen.generateStorage(s).build).toMap
 
   /** The DataFrame-API builders for the same frozen rows, keyed by the
     * same names — `DifferentialSpec` pins these equal to the SQL-text
@@ -584,7 +600,8 @@ object Differential {
       frozenLateralSeeds.map(s => ltname(s) -> PlanGen.generateLateral(s).build).toMap ++
       frozenSetOpSeeds.map(s => soname(s) -> PlanGen.generateSetOp(s).build).toMap ++
       frozenIgnulSeeds.map(s => inname(s) -> PlanGen.generateIgnoreNulls(s).build).toMap ++
-      frozenTryArithSeeds.map(s => taname(s) -> PlanGen.generateTryArith(s).build).toMap
+      frozenTryArithSeeds.map(s => taname(s) -> PlanGen.generateTryArith(s).build).toMap ++
+      frozenStorageSeeds.map(s => stname(s) -> PlanGen.generateStorage(s).build).toMap
 
   def oracles: Map[String, String] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).duckSql).toMap ++
@@ -621,5 +638,6 @@ object Differential {
       frozenLateralSeeds.map(s => ltname(s) -> PlanGen.generateLateral(s).duckSql).toMap ++
       frozenSetOpSeeds.map(s => soname(s) -> PlanGen.generateSetOp(s).duckSql).toMap ++
       frozenIgnulSeeds.map(s => inname(s) -> PlanGen.generateIgnoreNulls(s).duckSql).toMap ++
-      frozenTryArithSeeds.map(s => taname(s) -> PlanGen.generateTryArith(s).duckSql).toMap
+      frozenTryArithSeeds.map(s => taname(s) -> PlanGen.generateTryArith(s).duckSql).toMap ++
+      frozenStorageSeeds.map(s => stname(s) -> PlanGen.generateStorage(s).duckSql).toMap
 }

@@ -59,6 +59,7 @@ object FuzzDump {
       case "setop"     => PlanGen.generateSetOp
       case "ignul"     => PlanGen.generateIgnoreNulls
       case "tryar"     => PlanGen.generateTryArith
+      case "storage"   => PlanGen.generateStorage
       case other       => sys.error(s"unknown kind $other")
     }
     val spark = Engine.session()

@@ -2904,6 +2904,112 @@ object PlanGen {
             close(minmax, s"($aS / NULLIF($c1 % $md, 0))"))
       }
     }
+
+    /** Storage-roundtrip plan (round 16) — the first GENERATIVE
+      * coverage of the write path: each seed writes a derived frame to
+      * scratch through a randomized layout and reads it back, and the
+      * oracle is the equivalent pure query over the BASE table — so a
+      * value changed, dropped, or duplicated anywhere in
+      * write→layout→read is a hash mismatch. (The declared k-family
+      * pins specific layouts; this family varies them per seed.)
+      *
+      * Shapes:
+      *  - `st_part`: parquet write `partitionBy(k)` → read back with a
+      *    point filter on the partition column → rollup. Pins
+      *    directory-encoding roundtrip of the partition value and
+      *    partition pruning (the read's filter prunes to one
+      *    directory); k is re-cast on read because partition-column
+      *    type inference (dir names are strings) must not leak into
+      *    the compared schema.
+      *  - `st_csv`: CSV roundtrip with header through scratch,
+      *    explicit read schema (no inference drift), integer + string
+      *    columns — pins the text encode/decode path generatively.
+      *  - `st_app`: two overlapping filtered writes, the second in
+      *    append mode → read → rollup; the oracle is the UNION ALL of
+      *    the same two subqueries, so dropped-or-doubled appends (and
+      *    overwrite-vs-append mode bugs) surface as count drift.
+      *
+      * The build leg is the only one that touches storage; sparkSql /
+      * duckSql render the pure relational equivalent, which is the
+      * invariant the family asserts: STORAGE IS SEMANTICALLY
+      * INVISIBLE. Writes go to `Engine.scratch` (per-app tree, shutdown
+      * hook cleans up). */
+    def runStorage(): Generated = {
+      val t = pick(singles.filter(_.ints.size >= 2))
+      val p = filterFor(t)
+      val c1 = pick(t.ints)
+      val c2 = pick(t.ints.filterNot(_ == c1))
+      val m = 3 + rnd.nextInt(6)
+      val m2 = 3 + rnd.nextInt(8)
+      val kS = s"CAST($c1 % $m AS BIGINT)"
+      val jS = s"CAST($c2 % $m2 AS BIGINT)"
+      def kC = (col(c1) % m).cast("long")
+      def jC = (col(c2) % m2).cast("long")
+      rnd.nextInt(3) match {
+        case 0 =>
+          val r = rnd.nextInt(m)
+          val sqlText =
+            s"SELECT k, count(*) AS n, CAST(sum(j) AS BIGINT) AS sj FROM " +
+              s"(SELECT $kS AS k, $jS AS j FROM ${t.name} WHERE ${p.sql}) " +
+              s"WHERE k = $r GROUP BY k ORDER BY k"
+          val build = (s: SparkSession, dir: String) => {
+            val path = Engine.scratch(s, dir, s"fzst_part_$seed")
+            Engine.t(s, dir, t.name).filter(p.cond)
+              .select(kC.as("k"), jC.as("j"))
+              .write.mode("overwrite").partitionBy("k").parquet(path)
+            // explicit schema: an empty filtered write leaves only
+            // _SUCCESS and schema inference fails (found by the 300
+            // sweep on 4 empty-source seeds); it also pins the
+            // partition column back to LONG instead of the dir-name
+            // inference's INT
+            s.read.schema("j LONG, k LONG").parquet(path)
+              .filter(col("k") === r)
+              .select(col("k"), col("j"))
+              .groupBy("k")
+              .agg(count(lit(1)).as("n"), sum("j").cast("long").as("sj"))
+              .orderBy("k")
+          }
+          Generated(seed, "st_part", build, sqlText, sqlText)
+        case 1 =>
+          val catOpt = if (t.cats.nonEmpty) Some(pick(t.cats.keys.toSeq.sorted)) else None
+          val cSel = catOpt.map(c => s", $c AS c").getOrElse(", 'x' AS c")
+          val sqlText =
+            s"SELECT k, c, count(*) AS n, CAST(sum(j) AS BIGINT) AS sj FROM " +
+              s"(SELECT $kS AS k, $jS AS j$cSel FROM ${t.name} WHERE ${p.sql}) " +
+              s"GROUP BY k, c ORDER BY k, c"
+          val build = (s: SparkSession, dir: String) => {
+            val path = Engine.scratch(s, dir, s"fzst_csv_$seed")
+            Engine.t(s, dir, t.name).filter(p.cond)
+              .select(kC.as("k"), jC.as("j"),
+                catOpt.map(col).getOrElse(lit("x")).as("c"))
+              .write.mode("overwrite").option("header", "true").csv(path)
+            s.read.schema("k LONG, j LONG, c STRING")
+              .option("header", "true").csv(path)
+              .groupBy("k", "c")
+              .agg(count(lit(1)).as("n"), sum("j").cast("long").as("sj"))
+              .orderBy("k", "c")
+          }
+          Generated(seed, "st_csv", build, sqlText, sqlText)
+        case _ =>
+          val p2 = filterFor(t)
+          def leg(pred: Pred) = s"SELECT $kS AS k, $jS AS j FROM ${t.name} WHERE ${pred.sql}"
+          val sqlText =
+            s"SELECT k, count(*) AS n, CAST(sum(j) AS BIGINT) AS sj FROM " +
+              s"(${leg(p)} UNION ALL ${leg(p2)}) GROUP BY k ORDER BY k"
+          val build = (s: SparkSession, dir: String) => {
+            val path = Engine.scratch(s, dir, s"fzst_app_$seed")
+            def proj(pred: Column) = Engine.t(s, dir, t.name).filter(pred)
+              .select(kC.as("k"), jC.as("j"))
+            proj(p.cond).write.mode("overwrite").parquet(path)
+            proj(p2.cond).write.mode("append").parquet(path)
+            s.read.schema("k LONG, j LONG").parquet(path)
+              .groupBy("k")
+              .agg(count(lit(1)).as("n"), sum("j").cast("long").as("sj"))
+              .orderBy("k")
+          }
+          Generated(seed, "st_app", build, sqlText, sqlText)
+      }
+    }
   }
 
   /** Composite window→agg plan for the same seed space — see
@@ -3037,4 +3143,9 @@ object PlanGen {
   /** TRY-arithmetic plan (checked 64-bit overflow→NULL vs a DuckDB
     * HUGEINT range-check oracle) — see [[Gen.runTryArith]]. */
   def generateTryArith(seed: Long): Generated = new Gen(seed).runTryArith()
+
+  /** Storage-roundtrip plan (randomized write layout → read-back ≡
+    * pure query; storage is semantically invisible) — see
+    * [[Gen.runStorage]]. */
+  def generateStorage(seed: Long): Generated = new Gen(seed).runStorage()
 }

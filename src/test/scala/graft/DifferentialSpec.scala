@@ -660,6 +660,26 @@ class DifferentialSpec extends AnyFunSuite {
     assert(nonEmpty >= 50, s"only $nonEmpty/100 tryar seeds non-empty")
   }
 
+  test("100 storage-roundtrip plans: write->read build equals pure sql") {
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var nonEmpty = 0
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateStorage(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      if (viaApi.nonEmpty) nonEmpty += 1
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED (storage NOT invisible)" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+    assert(Set("st_part", "st_csv", "st_app").subsetOf(shapes.keySet),
+      s"storage shape coverage hole: $shapes")
+    assert(nonEmpty >= 50, s"only $nonEmpty/100 storage seeds non-empty")
+  }
+
   test("frozen round-16 filteragg/stragg/values seeds: pinned literals match the search") {
     val fa = graft.fuzz.Differential.searchQuota(
       graft.fuzz.Differential.filterAggQuota, s => PlanGen.generateFilterAgg(s).shape)
@@ -705,6 +725,10 @@ class DifferentialSpec extends AnyFunSuite {
       graft.fuzz.Differential.tryArithQuota, s => PlanGen.generateTryArith(s).shape)
     assert(ta.sorted == graft.fuzz.Differential.frozenTryArithSeeds,
       s"generator moved the frozen tryar seeds: search=$ta — re-pin AND rename fzta* rows")
+    val st = graft.fuzz.Differential.searchQuota(
+      graft.fuzz.Differential.storageQuota, s => PlanGen.generateStorage(s).shape)
+    assert(st.sorted == graft.fuzz.Differential.frozenStorageSeeds,
+      s"generator moved the frozen storage seeds: search=$st — re-pin AND rename fzst* rows")
   }
 
   test("frozen round-15 pivot/explode seeds: pinned literals match the search") {
