@@ -502,6 +502,17 @@ object Differential {
 
   private def stname(s: Long): String = s"fzst${s}_${PlanGen.generateStorage(s).shape}"
 
+  /** Frozen map-function seeds (round 16), PINNED as literals: first
+    * seed of each shape (positional values, cardinality, key order,
+    * keyed extraction incl. absent-key NULL) — same re-search contract
+    * in `DifferentialSpec`. */
+  val frozenMapFnSeeds: Seq[Long] = Seq(1L, 2L, 4L, 6L)
+
+  private[graft] val mapFnQuota = Map(
+    "mp_get" -> 1, "mp_card" -> 1, "mp_keys" -> 1, "mp_vals" -> 1)
+
+  private def mpname(s: Long): String = s"fzmp${s}_${PlanGen.generateMapFn(s).shape}"
+
   /** The search the pinned round-15 families were selected by —
     * exposed so the spec can re-run it against the literals. */
   private[graft] def searchQuota(quota: Map[String, Int], shapeOf: Long => String): Seq[Long] =
@@ -560,7 +571,8 @@ object Differential {
       // BUILD leg (the write→layout→read roundtrip) rather than the
       // SQL front door: the roundtrip IS the surface under test, and
       // DuckDB replays the pure relational equivalent as the oracle.
-      frozenStorageSeeds.map(s => stname(s) -> PlanGen.generateStorage(s).build).toMap
+      frozenStorageSeeds.map(s => stname(s) -> PlanGen.generateStorage(s).build).toMap ++
+      frozenMapFnSeeds.map(s => mpname(s) -> viaSql(PlanGen.generateMapFn(s))).toMap
 
   /** The DataFrame-API builders for the same frozen rows, keyed by the
     * same names — `DifferentialSpec` pins these equal to the SQL-text
@@ -601,7 +613,8 @@ object Differential {
       frozenSetOpSeeds.map(s => soname(s) -> PlanGen.generateSetOp(s).build).toMap ++
       frozenIgnulSeeds.map(s => inname(s) -> PlanGen.generateIgnoreNulls(s).build).toMap ++
       frozenTryArithSeeds.map(s => taname(s) -> PlanGen.generateTryArith(s).build).toMap ++
-      frozenStorageSeeds.map(s => stname(s) -> PlanGen.generateStorage(s).build).toMap
+      frozenStorageSeeds.map(s => stname(s) -> PlanGen.generateStorage(s).build).toMap ++
+      frozenMapFnSeeds.map(s => mpname(s) -> PlanGen.generateMapFn(s).build).toMap
 
   def oracles: Map[String, String] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).duckSql).toMap ++
@@ -639,5 +652,6 @@ object Differential {
       frozenSetOpSeeds.map(s => soname(s) -> PlanGen.generateSetOp(s).duckSql).toMap ++
       frozenIgnulSeeds.map(s => inname(s) -> PlanGen.generateIgnoreNulls(s).duckSql).toMap ++
       frozenTryArithSeeds.map(s => taname(s) -> PlanGen.generateTryArith(s).duckSql).toMap ++
-      frozenStorageSeeds.map(s => stname(s) -> PlanGen.generateStorage(s).duckSql).toMap
+      frozenStorageSeeds.map(s => stname(s) -> PlanGen.generateStorage(s).duckSql).toMap ++
+      frozenMapFnSeeds.map(s => mpname(s) -> PlanGen.generateMapFn(s).duckSql).toMap
 }

@@ -60,6 +60,7 @@ object FuzzDump {
       case "ignul"     => PlanGen.generateIgnoreNulls
       case "tryar"     => PlanGen.generateTryArith
       case "storage"   => PlanGen.generateStorage
+      case "mapfn"     => PlanGen.generateMapFn
       case other       => sys.error(s"unknown kind $other")
     }
     val spark = Engine.session()

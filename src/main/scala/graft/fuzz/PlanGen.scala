@@ -3010,6 +3010,91 @@ object PlanGen {
           Generated(seed, "st_app", build, sqlText, sqlText)
       }
     }
+
+    /** Map-function plan (round 16) — the MAP scalar surface as a
+      * dialect mapping with a genuinely different TYPE CONTRACT on the
+      * other side: Spark's `element_at(map, k)` returns the VALUE (or
+      * NULL when absent), DuckDB's map extraction `m[k]` returns a
+      * LIST (empty when absent), so the oracle rendering bridges with
+      * a 1-based list subscript `m[k][1]` — absent key ⇒ empty list ⇒
+      * NULL, which is exactly `try_element_at`'s contract. Maps are
+      * built from derived entries with STRUCTURALLY DISTINCT keys
+      * (k, k+m, k+2m) because BOTH engines reject duplicate map keys
+      * at runtime, and both preserve construction order in
+      * `map_keys`/`map_values` (pinned by the join shape). Array
+      * subscripting inside the shapes pins the 0-based (Spark) vs
+      * 1-based (DuckDB) divergence explicitly.
+      *
+      * Shapes: `mp_get` keyed extraction incl. the absent-key NULL
+      * (count(*) vs count(w) splits it), `mp_card` cardinality,
+      * `mp_keys` construction-order key join, `mp_vals` positional
+      * value access. All end in the standard exact rollup. */
+    def runMapFn(): Generated = {
+      val t = pick(singles.filter(_.ints.size >= 2))
+      val p = filterFor(t)
+      val c1 = pick(t.ints)
+      val c2 = pick(t.ints.filterNot(_ == c1))
+      val m = 3 + rnd.nextInt(6)
+      val m2 = 4 + rnd.nextInt(9)
+      // three distinct keys k, k+m, k+2m; values are small derived ints
+      val kS = s"CAST($c1 % $m AS BIGINT)"
+      val v1S = s"CAST($c2 % $m2 AS BIGINT)"
+      val v2S = s"CAST(($c1 + $c2) % $m2 AS BIGINT)"
+      val v3S = s"CAST($c2 % 3 AS BIGINT)"
+      val mapS = s"map($kS, $v1S, $kS + $m, $v2S, $kS + ${2 * m}, $v3S)"
+      val mapD = s"MAP([$kS, $kS + $m, $kS + ${2 * m}], [$v1S, $v2S, $v3S])"
+      val kC = (col(c1) % m).cast("long")
+      val v1C = (col(c2) % m2).cast("long")
+      val v2C = ((col(c1) + col(c2)) % m2).cast("long")
+      val v3C = (col(c2) % 3).cast("long")
+      val mapC = map(kC, v1C, kC + m, v2C, kC + 2 * m, v3C)
+      val (shape, bS, bD, bCol) = rnd.nextInt(4) match {
+        case 0 =>
+          // probe key drawn PAST the first key's range half the time →
+          // the absent-key NULL regime rides the seed space
+          val probe = rnd.nextInt(2 * m)
+          ("mp_get", s"try_element_at($mapS, CAST($probe AS BIGINT))",
+            s"$mapD[$probe][1]",
+            try_element_at(mapC, lit(probe.toLong)))
+        case 1 =>
+          ("mp_card", s"cardinality($mapS)", s"cardinality($mapD)",
+            size(mapC).cast("long"))
+        case 2 =>
+          ("mp_keys",
+            s"array_join(map_keys($mapS), ',')",
+            s"array_to_string(map_keys($mapD), ',')",
+            array_join(map_keys(mapC).cast("array<string>"), ","))
+        case _ =>
+          // positional access: Spark [] is 0-based, DuckDB [] is 1-based
+          val i = rnd.nextInt(3)
+          ("mp_vals", s"map_values($mapS)[$i]", s"map_values($mapD)[${i + 1}]",
+            map_values(mapC)(i))
+      }
+      def sql(duck: Boolean) = {
+        val b = if (duck) bD else bS
+        val cnt = if (shape == "mp_get") ", count(w) AS nw" else ""
+        val (sel, grp) =
+          if (shape == "mp_keys") ("w AS bkt", "bkt")
+          else ("CAST(w AS BIGINT) AS bkt", "bkt")
+        s"SELECT $sel, count(*) AS n$cnt FROM " +
+          s"(SELECT $b AS w FROM ${t.name} WHERE ${p.sql}) " +
+          s"GROUP BY w ORDER BY $grp ASC NULLS FIRST"
+      }
+      val build = (s: SparkSession, dir: String) => {
+        val base = Engine.t(s, dir, t.name).filter(p.cond)
+          .select(bCol.as("w"))
+        val withBkt =
+          if (shape == "mp_keys") base.withColumn("bkt", col("w"))
+          else base.withColumn("bkt", col("w").cast("long"))
+        val aggd =
+          if (shape == "mp_get")
+            withBkt.groupBy("bkt").agg(count(lit(1)).as("n"),
+              count(col("w")).as("nw"))
+          else withBkt.groupBy("bkt").agg(count(lit(1)).as("n"))
+        aggd.orderBy(col("bkt").asc_nulls_first)
+      }
+      Generated(seed, shape, build, sql(false), sql(true))
+    }
   }
 
   /** Composite window→agg plan for the same seed space — see
@@ -3148,4 +3233,9 @@ object PlanGen {
     * pure query; storage is semantically invisible) — see
     * [[Gen.runStorage]]. */
   def generateStorage(seed: Long): Generated = new Gen(seed).runStorage()
+
+  /** Map-function plan (element_at value-contract vs DuckDB's
+    * list-returning extraction, 0- vs 1-based subscripts) — see
+    * [[Gen.runMapFn]]. */
+  def generateMapFn(seed: Long): Generated = new Gen(seed).runMapFn()
 }
