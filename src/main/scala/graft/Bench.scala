@@ -79,12 +79,18 @@ object Bench {
         // SubqueryAlias/View name flipped between identical runs and
         // auto-reset its record to whatever window the run landed on)
         .replaceAll("_[0-9a-f]{32}", "_UUID")
+        // higher-order-function lambda variable names embed a
+        // SESSION-GLOBAL fresh-name counter (`lambda x_425` vs
+        // `lambda x_6` for identical code) — the count of lambdas
+        // analyzed earlier in the session depends on suite order, so
+        // l45b/l47 flipped sporadically between full runs
+        .replaceAll("lambda ([a-z]+)_\\d+", "lambda $1_K")
     // Fingerprint FORMAT version: stored fps are only trusted for
     // auto-reset when they were computed by the same normalization.
     // Bumping this makes the next run refresh every fp WITHOUT
     // resetting any time — a normalization change must never cause a
     // whole-record reset to a possibly-contended run.
-    val FPV = 3
+    val FPV = 4
     def fingerprint(df: org.apache.spark.sql.DataFrame): String = {
       val s = normalizedPlan(df)
       "h" + java.security.MessageDigest.getInstance("MD5")
