@@ -513,6 +513,17 @@ object Differential {
 
   private def mpname(s: Long): String = s"fzmp${s}_${PlanGen.generateMapFn(s).shape}"
 
+  /** Frozen string-function seeds (round 16), PINNED as literals:
+    * first seed of each shape (lpad truncation, translate, split_part
+    * out-of-range, repeat composition) — same re-search contract in
+    * `DifferentialSpec`. */
+  val frozenStrFnSeeds: Seq[Long] = Seq(1L, 2L, 4L, 16L)
+
+  private[graft] val strFnQuota = Map(
+    "sf_split" -> 1, "sf_pad" -> 1, "sf_rep" -> 1, "sf_trans" -> 1)
+
+  private def sfname(s: Long): String = s"fzsf${s}_${PlanGen.generateStrFn(s).shape}"
+
   /** The search the pinned round-15 families were selected by —
     * exposed so the spec can re-run it against the literals. */
   private[graft] def searchQuota(quota: Map[String, Int], shapeOf: Long => String): Seq[Long] =
@@ -572,7 +583,8 @@ object Differential {
       // SQL front door: the roundtrip IS the surface under test, and
       // DuckDB replays the pure relational equivalent as the oracle.
       frozenStorageSeeds.map(s => stname(s) -> PlanGen.generateStorage(s).build).toMap ++
-      frozenMapFnSeeds.map(s => mpname(s) -> viaSql(PlanGen.generateMapFn(s))).toMap
+      frozenMapFnSeeds.map(s => mpname(s) -> viaSql(PlanGen.generateMapFn(s))).toMap ++
+      frozenStrFnSeeds.map(s => sfname(s) -> viaSql(PlanGen.generateStrFn(s))).toMap
 
   /** The DataFrame-API builders for the same frozen rows, keyed by the
     * same names — `DifferentialSpec` pins these equal to the SQL-text
@@ -614,7 +626,8 @@ object Differential {
       frozenIgnulSeeds.map(s => inname(s) -> PlanGen.generateIgnoreNulls(s).build).toMap ++
       frozenTryArithSeeds.map(s => taname(s) -> PlanGen.generateTryArith(s).build).toMap ++
       frozenStorageSeeds.map(s => stname(s) -> PlanGen.generateStorage(s).build).toMap ++
-      frozenMapFnSeeds.map(s => mpname(s) -> PlanGen.generateMapFn(s).build).toMap
+      frozenMapFnSeeds.map(s => mpname(s) -> PlanGen.generateMapFn(s).build).toMap ++
+      frozenStrFnSeeds.map(s => sfname(s) -> PlanGen.generateStrFn(s).build).toMap
 
   def oracles: Map[String, String] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).duckSql).toMap ++
@@ -653,5 +666,6 @@ object Differential {
       frozenIgnulSeeds.map(s => inname(s) -> PlanGen.generateIgnoreNulls(s).duckSql).toMap ++
       frozenTryArithSeeds.map(s => taname(s) -> PlanGen.generateTryArith(s).duckSql).toMap ++
       frozenStorageSeeds.map(s => stname(s) -> PlanGen.generateStorage(s).duckSql).toMap ++
-      frozenMapFnSeeds.map(s => mpname(s) -> PlanGen.generateMapFn(s).duckSql).toMap
+      frozenMapFnSeeds.map(s => mpname(s) -> PlanGen.generateMapFn(s).duckSql).toMap ++
+      frozenStrFnSeeds.map(s => sfname(s) -> PlanGen.generateStrFn(s).duckSql).toMap
 }

@@ -61,6 +61,7 @@ object FuzzDump {
       case "tryar"     => PlanGen.generateTryArith
       case "storage"   => PlanGen.generateStorage
       case "mapfn"     => PlanGen.generateMapFn
+      case "strfn"     => PlanGen.generateStrFn
       case other       => sys.error(s"unknown kind $other")
     }
     val spark = Engine.session()

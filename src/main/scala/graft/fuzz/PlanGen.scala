@@ -3095,6 +3095,70 @@ object PlanGen {
       }
       Generated(seed, shape, build, sql(false), sql(true))
     }
+
+    /** String-function plan (round 16) — the shared-name scalar string
+      * surface whose CONTRACT CORNERS are easy to get silently wrong:
+      *  - `sf_split`: `split_part(s, '-', i)` where the index draw
+      *    includes OUT-OF-RANGE — both engines must return the empty
+      *    string, not NULL (a count(*) = count-nonempty split in the
+      *    rollup would expose a NULL-returning engine);
+      *  - `sf_pad`: `lpad(digits, w, '0')` where w is drawn BELOW the
+      *    source length as well as above — both engines truncate, and
+      *    a pad-only implementation diverges immediately;
+      *  - `sf_rep`: `repeat(substring(c, 1, 2), n)` composition;
+      *  - `sf_trans`: `translate(c, 'AEIOU', 'aeiou')` character
+      *    mapping over the categorical domains.
+      * The only dialect split is the integer→string cast spelling
+      * (Spark `CAST(x AS STRING)`, DuckDB `CAST(x AS VARCHAR)` — the
+      * stragg lesson: Spark rejects un-lengthed VARCHAR). Results are
+      * grouped and counted (string group keys, lexicographic order —
+      * both engines agree on ASCII), the family's standard exact
+      * rollup. */
+    def runStrFn(): Generated = {
+      val t = pick(singles.filter(_.cats.nonEmpty))
+      val p = filterFor(t)
+      val cat = pick(t.cats.keys.toSeq.sorted)
+      val c1 = pick(t.ints)
+      val m = 5 + rnd.nextInt(20)
+      def numStr(duck: Boolean) =
+        s"CAST($c1 % $m AS ${if (duck) "VARCHAR" else "STRING"})"
+      val numC = (col(c1) % m).cast("string")
+      val (shape, bS: (Boolean => String), bCol) = rnd.nextInt(4) match {
+        case 0 =>
+          val i = 1 + rnd.nextInt(4) // parts: 3 → indices 3..4 are out-of-range sometimes
+          ("sf_split",
+            (d: Boolean) => s"split_part(concat($cat, '-', ${numStr(d)}, '-', $cat), '-', $i)",
+            split_part(concat(col(cat), lit("-"), numC, lit("-"), col(cat)),
+              lit("-"), lit(i)))
+        case 1 =>
+          val w = 1 + rnd.nextInt(6) // below AND above the source length
+          ("sf_pad",
+            (d: Boolean) => s"lpad(${numStr(d)}, $w, '0')",
+            lpad(numC, w, "0"))
+        case 2 =>
+          val n = 1 + rnd.nextInt(3)
+          ("sf_rep",
+            (_: Boolean) => s"repeat(substring($cat, 1, 2), $n)",
+            repeat(substring(col(cat), 1, 2), n))
+        case _ =>
+          ("sf_trans",
+            (_: Boolean) => s"translate($cat, 'AEIOU', 'aeiou')",
+            translate(col(cat), "AEIOU", "aeiou"))
+      }
+      def sql(duck: Boolean) =
+        s"SELECT w AS bkt, count(*) AS n, " +
+          s"CAST(sum(length(w)) AS BIGINT) AS sl FROM " +
+          s"(SELECT ${bS(duck)} AS w FROM ${t.name} WHERE ${p.sql}) " +
+          s"GROUP BY w ORDER BY bkt"
+      val build = (s: SparkSession, dir: String) =>
+        Engine.t(s, dir, t.name).filter(p.cond)
+          .select(bCol.as("w"))
+          .groupBy(col("w").as("bkt"))
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("w"))).cast("long").as("sl"))
+          .orderBy("bkt")
+      Generated(seed, shape, build, sql(false), sql(true))
+    }
   }
 
   /** Composite window→agg plan for the same seed space — see
@@ -3238,4 +3302,8 @@ object PlanGen {
     * list-returning extraction, 0- vs 1-based subscripts) — see
     * [[Gen.runMapFn]]. */
   def generateMapFn(seed: Long): Generated = new Gen(seed).runMapFn()
+
+  /** String-function plan (split_part out-of-range, lpad truncation,
+    * repeat/translate compositions) — see [[Gen.runStrFn]]. */
+  def generateStrFn(seed: Long): Generated = new Gen(seed).runStrFn()
 }

@@ -700,6 +700,26 @@ class DifferentialSpec extends AnyFunSuite {
     assert(nonEmpty >= 50, s"only $nonEmpty/100 mapfn seeds non-empty")
   }
 
+  test("100 string-function plans: DataFrame build equals spark.sql rendering") {
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var nonEmpty = 0
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateStrFn(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaSql = rows(spark.sql(gen.sparkSql))
+      if (viaApi.nonEmpty) nonEmpty += 1
+      assert(viaApi == viaSql,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} sql rows=${viaSql.size}" +
+          s"\n  sparkSql: ${gen.sparkSql}\n  duckSql:  ${gen.duckSql}")
+    }
+    assert(Set("sf_split", "sf_pad", "sf_rep", "sf_trans").subsetOf(shapes.keySet),
+      s"strfn shape coverage hole: $shapes")
+    assert(nonEmpty >= 50, s"only $nonEmpty/100 strfn seeds non-empty")
+  }
+
   test("frozen round-16 filteragg/stragg/values seeds: pinned literals match the search") {
     val fa = graft.fuzz.Differential.searchQuota(
       graft.fuzz.Differential.filterAggQuota, s => PlanGen.generateFilterAgg(s).shape)
@@ -753,6 +773,10 @@ class DifferentialSpec extends AnyFunSuite {
       graft.fuzz.Differential.mapFnQuota, s => PlanGen.generateMapFn(s).shape)
     assert(mp.sorted == graft.fuzz.Differential.frozenMapFnSeeds,
       s"generator moved the frozen mapfn seeds: search=$mp — re-pin AND rename fzmp* rows")
+    val sfn = graft.fuzz.Differential.searchQuota(
+      graft.fuzz.Differential.strFnQuota, s => PlanGen.generateStrFn(s).shape)
+    assert(sfn.sorted == graft.fuzz.Differential.frozenStrFnSeeds,
+      s"generator moved the frozen strfn seeds: search=$sfn — re-pin AND rename fzsf* rows")
   }
 
   test("frozen round-15 pivot/explode seeds: pinned literals match the search") {
