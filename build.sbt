@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout/stderr through RAW instead of via
+// sbt's logger (which prefixes every line with [info]/[error]). The
+// driver parses graft.Bench's one-line headline JSON from the output
+// tail; with the logger prefix no line starts with `{` and the
+// driver's BENCH_r16.json recorded "parsed": null (VERDICT r16 #3).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

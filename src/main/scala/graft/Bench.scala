@@ -77,8 +77,12 @@ object Bench {
         // per-run UUID-suffixed temp view names (streaming sinks
         // register `jN_sink_<hex32>` per invocation — measured: j2's
         // SubqueryAlias/View name flipped between identical runs and
-        // auto-reset its record to whatever window the run landed on)
-        .replaceAll("_[0-9a-f]{32}", "_UUID")
+        // auto-reset its record to whatever window the run landed on).
+        // Anchored to the known sink naming (ADVICE r16): an
+        // unanchored `_hex32` also collapsed md5/hash string LITERALS
+        // embedded in a plan, which could make genuinely different
+        // plans fingerprint identically and suppress a real auto-reset.
+        .replaceAll("sink_[0-9a-f]{32}", "sink_UUID")
         // higher-order-function lambda variable names embed a
         // SESSION-GLOBAL fresh-name counter (`lambda x_425` vs
         // `lambda x_6` for identical code) — the count of lambdas
@@ -90,7 +94,7 @@ object Bench {
     // Bumping this makes the next run refresh every fp WITHOUT
     // resetting any time — a normalization change must never cause a
     // whole-record reset to a possibly-contended run.
-    val FPV = 4
+    val FPV = 5
     def fingerprint(df: org.apache.spark.sql.DataFrame): String = {
       val s = normalizedPlan(df)
       "h" + java.security.MessageDigest.getInstance("MD5")
@@ -245,7 +249,20 @@ object Bench {
         s"""{"metric":"total","value":$mtotal,"unit":"sec","fpv":$FPV,"queries":${qjson(merged)},"fps":$fpsJson,"failed":$failedJson,"sf":"$sfDir"}"""
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(head)},"n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    val headlineLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(head)},"n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir"}"""
+    // VERDICT r16 #3: the driver couldn't parse the headline out of the
+    // stdout tail (it was buried above sbt's [success] trailer behind
+    // logger prefixes). Three-way fix: (a) build.sbt now passes forked
+    // output through raw so this line starts with `{`; (b) it prints
+    // AFTER spark.stop() so no executor/shutdown log line can follow
+    // it; (c) it also lands at a fixed path, BENCH_HEADLINE.json, that
+    // survives regardless of stdout mangling.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_HEADLINE.json"),
+      headlineLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
     spark.stop()
+    println(headlineLine)
   }
 }

@@ -130,13 +130,16 @@ object Differential {
 
   private def aname(s: Long): String = s"fza${s}_aggfns"
 
-  /** Frozen ROLLUP/CUBE seeds: first seed of each kind. */
-  val frozenRollupSeeds: Seq[Long] = {
-    def shape(s: Long) = PlanGen.generateRollup(s).shape
-    val r = (1L to 100L).find(shape(_) == "rollup").get
-    val c = (1L to 100L).find(shape(_) == "cube").get
-    Seq(r, c)
-  }
+  /** Frozen ROLLUP/CUBE seeds, PINNED as literals (VERDICT r16 #2:
+    * the class-load search with `.get` was the same fragile-init
+    * pattern fixed for frozenGsetsSeeds — a generator tweak could
+    * silently shift the frozen seeds, renaming the committed fzg*
+    * correctness rows, or throw at object init). Selection rule that
+    * produced them: first seed of each shape in 1..100 — seed 1 is
+    * the first "rollup", seed 4 the first "cube". `DifferentialSpec`
+    * re-runs that search every test run and fails loudly with the
+    * new first-matching seeds if the generator moves. */
+  val frozenRollupSeeds: Seq[Long] = Seq(1L, 4L)
 
   private def gname(s: Long): String = s"fzg${s}_${PlanGen.generateRollup(s).shape}"
 

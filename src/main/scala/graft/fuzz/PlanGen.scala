@@ -2280,16 +2280,24 @@ object PlanGen {
         val uks = t.unique
         val n = 40 + rnd.nextInt(160)
         val ukSql = uks.mkString(", ")
+        // ORDER BY every output column, not just t.unique: the
+        // synthetic lineitem's (l_orderkey, l_linenumber) is NOT
+        // unique (~20% duplicates), so a key-only sort before LIMIT
+        // left tied rows with different c-derived a/b/d free to cut
+        // differently per engine — the lt_agg tie-cut class (ADVICE
+        // r16). a/b/d are all functions of c, so appending them makes
+        // the cut output-invariant (runScalar rule, :823).
+        val ordSql = (uks ++ Seq("a", "b", "d")).mkString(", ")
         val sql =
           s"SELECT $ukSql, $c + $k1 AS a, a * $k2 AS b, b - $c AS d " +
-            s"FROM ${t.name} WHERE ${p.sql} ORDER BY $ukSql LIMIT $n"
+            s"FROM ${t.name} WHERE ${p.sql} ORDER BY $ordSql LIMIT $n"
         val build = (s: SparkSession, dir: String) =>
           Engine.t(s, dir, t.name).filter(p.cond)
             .withColumn("a", col(c) + k1)
             .withColumn("b", col("a") * k2)
             .withColumn("d", col("b") - col(c))
             .select((uks ++ Seq("a", "b", "d")).map(col): _*)
-            .orderBy(uks.map(col): _*).limit(n)
+            .orderBy((uks ++ Seq("a", "b", "d")).map(col): _*).limit(n)
         Generated(seed, "su_lateral", build, sql, sql)
       } else {
         val gc = pick(t.cats.keys.toSeq.sorted)

@@ -728,6 +728,50 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** Declared i2c (VERDICT r16 #1): the t-digest mechanism itself,
+    * ORACLE-certified cross-engine — the last approximate mechanism
+    * without a verdict twin (HLL has i1b, CountMin i6b, theta i8b,
+    * SpaceSaving i3b, Bloom l31b). Regime chosen so the ENGINE-OWNED
+    * Aggregator ([[TDigestAgg]], via [[TDigestCentroidsAgg]] which
+    * delegates every step) runs fully deterministically and DuckDB can
+    * replay it exactly:
+    *  - bounded input: the 400 events with event_id < 400 (absolute
+    *    bound, same i1b/i6b pattern — fixed size at every SF);
+    *  - integer-quantized values (exact cents via DECIMAL(12,2)·100,
+    *    the proven d34/d25 idiom) with unit weights, so every qMid /
+    *    bound / weighted-mean double op starts from exact integers;
+    *  - 400 < bufferCap (δ=100 → 500) and repartition(1) → a single
+    *    partial buffer, NO intermediate compress: finish() runs the
+    *    greedy size-bounded merge (4·W·q(1−q)/δ) exactly ONCE over
+    *    the mean-sorted singletons — which the oracle replays
+    *    step-for-step in a recursive CTE with the identical IEEE
+    *    double op sequence (each op exactly rounded → bit parity).
+    * Output hashes the WHOLE final digest (every centroid as
+    * round(mean·10⁴):weight), its size, and the four midpoint-
+    * interpolated quantile reads — so reduce, merge, compress and
+    * finish are all certified, not just four reads. Insertion order
+    * is immaterial by construction: no compress before finish, and
+    * finish sorts by mean (ties are (mean,1.0)-identical). */
+  private def i2cTdigestVerdict(spark: SparkSession, dir: String): DataFrame = {
+    spark.udf.register("tdigest_i2c_q",
+      udaf(new TDigestAgg(100, Array(0.25, 0.5, 0.9, 0.99))))
+    spark.udf.register("tdigest_i2c_cent", udaf(new TDigestCentroidsAgg(100)))
+    Engine.events(spark, dir)
+      .filter(col("event_id") < 400 && col("value").isNotNull)
+      .select((col("value").cast("decimal(12,2)") * 100).cast("long").as("vq"))
+      .repartition(1)
+      .agg(count(lit(1)).as("n"),
+        expr("tdigest_i2c_cent(cast(vq as double))").as("cent"),
+        expr("tdigest_i2c_q(cast(vq as double))").as("qv"))
+      .select(col("n"),
+        expr("cast(size(cent) / 2 as bigint)").as("n_centroids"),
+        expr("""array_join(transform(sequence(0, int(size(cent) / 2) - 1),
+            i -> concat(cast(cast(round(cent[i * 2] * 10000) as bigint) as string), ':',
+                        cast(cent[i * 2 + 1] as bigint))), ',')""").as("centroids"),
+        round(col("qv")(0), 4).as("p25"), round(col("qv")(1), 4).as("p50"),
+        round(col("qv")(2), 4).as("p90"), round(col("qv")(3), 4).as("p99"))
+  }
+
   /** D8b: `topKWeighted` — heavy hitters by accumulated weight rather
     * than row count (exact form: one partial-aggregated shuffle on the
     * key, then a global top-5 via TakeOrdered). */
@@ -1157,6 +1201,7 @@ object Aggregates {
     "d35_ks_test" -> (d35KsTest _),
     "d36_spearman" -> (d36Spearman _),
     "i2b_tdigest_custom" -> (i2bTdigestCustom _),
+    "i2c_tdigest_verdict" -> (i2cTdigestVerdict _),
     "d22_array_combinators" -> (d22ArrayCombinators _),
     "d19_entropy" -> (d19Entropy _),
     "d20_delta_sum" -> (d20DeltaSum _),
@@ -1208,6 +1253,75 @@ object Aggregates {
         |  min(c.c) - p.exact_count AS overcount
         |FROM probes p JOIN cells c ON p.j = c.j AND p.b = c.b
         |GROUP BY p.event_type, p.exact_count ORDER BY p.event_type""".stripMargin,
+    // Step-for-step replay of i2c: the greedy size-bounded centroid
+    // merge of TDigestAgg.compress as a recursive CTE over the 400
+    // mean-sorted integer-quantized values (one state row per insert,
+    // the merge/emit decision written with the IDENTICAL IEEE double
+    // op sequence as TDigest.scala — qMid = (cum + (cw+w)/2)/total,
+    // bound = max(1, 4·total·qMid·(1−qMid)/δ)), then the same
+    // centroid-midpoint interpolation finish() uses. Hashes every
+    // centroid plus the four quantile reads.
+    "i2c_tdigest_verdict" ->
+      """WITH RECURSIVE
+        |vals AS (SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE event_id < 400 AND value IS NOT NULL),
+        |srt AS (SELECT CAST(v AS DOUBLE) AS v, row_number() OVER (ORDER BY v) AS i FROM vals),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS total, count(*) AS n FROM vals),
+        |g AS (
+        |  SELECT CAST(1 AS BIGINT) AS i, s.v AS cm, CAST(1.0 AS DOUBLE) AS cw,
+        |         CAST(0.0 AS DOUBLE) AS cum,
+        |         CAST([] AS DOUBLE[]) AS om, CAST([] AS DOUBLE[]) AS ow
+        |  FROM srt s WHERE s.i = 1
+        |  UNION ALL
+        |  SELECT s.i,
+        |    CASE WHEN g.cw + 1.0 <= greatest(CAST(1.0 AS DOUBLE),
+        |        4.0 * nn.total * ((g.cum + (g.cw + 1.0) / 2) / nn.total)
+        |          * (1 - (g.cum + (g.cw + 1.0) / 2) / nn.total) / 100)
+        |      THEN (g.cm * g.cw + s.v * 1.0) / (g.cw + 1.0) ELSE s.v END,
+        |    CASE WHEN g.cw + 1.0 <= greatest(CAST(1.0 AS DOUBLE),
+        |        4.0 * nn.total * ((g.cum + (g.cw + 1.0) / 2) / nn.total)
+        |          * (1 - (g.cum + (g.cw + 1.0) / 2) / nn.total) / 100)
+        |      THEN g.cw + 1.0 ELSE 1.0 END,
+        |    CASE WHEN g.cw + 1.0 <= greatest(CAST(1.0 AS DOUBLE),
+        |        4.0 * nn.total * ((g.cum + (g.cw + 1.0) / 2) / nn.total)
+        |          * (1 - (g.cum + (g.cw + 1.0) / 2) / nn.total) / 100)
+        |      THEN g.cum ELSE g.cum + g.cw END,
+        |    CASE WHEN g.cw + 1.0 <= greatest(CAST(1.0 AS DOUBLE),
+        |        4.0 * nn.total * ((g.cum + (g.cw + 1.0) / 2) / nn.total)
+        |          * (1 - (g.cum + (g.cw + 1.0) / 2) / nn.total) / 100)
+        |      THEN g.om ELSE list_append(g.om, g.cm) END,
+        |    CASE WHEN g.cw + 1.0 <= greatest(CAST(1.0 AS DOUBLE),
+        |        4.0 * nn.total * ((g.cum + (g.cw + 1.0) / 2) / nn.total)
+        |          * (1 - (g.cum + (g.cw + 1.0) / 2) / nn.total) / 100)
+        |      THEN g.ow ELSE list_append(g.ow, g.cw) END
+        |  FROM g JOIN srt s ON s.i = g.i + 1 CROSS JOIN nn),
+        |fin AS (SELECT list_append(om, cm) AS om, list_append(ow, cw) AS ow
+        |  FROM g CROSS JOIN nn WHERE g.i = nn.n),
+        |cl AS (SELECT u.m, u.w, u.j,
+        |    sum(u.w) OVER (ORDER BY u.j ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - u.w / 2 AS mid
+        |  FROM (SELECT unnest(om) AS m, unnest(ow) AS w,
+        |          generate_subscripts(om, 1) AS j FROM fin) u),
+        |tot AS (SELECT sum(w) AS tw, count(*) AS nc FROM cl),
+        |qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.25), (0.5), (0.9), (0.99)) t(q)),
+        |est AS (
+        |  SELECT qs.q,
+        |    CASE
+        |      WHEN qs.q * tot.tw <= (SELECT min(mid) FROM cl) THEN (SELECT m FROM cl ORDER BY j LIMIT 1)
+        |      WHEN qs.q * tot.tw >= (SELECT max(mid) FROM cl) THEN (SELECT m FROM cl ORDER BY j DESC LIMIT 1)
+        |      ELSE (
+        |        SELECT lo.m + (qs.q * tot.tw - lo.mid) / (hi.mid - lo.mid) * (hi.m - lo.m)
+        |        FROM (SELECT m, mid FROM cl WHERE mid >= qs.q * tot.tw ORDER BY j LIMIT 1) hi
+        |        JOIN (SELECT m, mid FROM cl WHERE mid < qs.q * tot.tw ORDER BY j DESC LIMIT 1) lo ON true)
+        |    END AS est
+        |  FROM qs CROSS JOIN tot)
+        |SELECT (SELECT n FROM nn) AS n, (SELECT nc FROM tot) AS n_centroids,
+        |  (SELECT string_agg(CAST(CAST(round(m * 10000) AS BIGINT) AS VARCHAR) || ':' ||
+        |      CAST(CAST(w AS BIGINT) AS VARCHAR), ',' ORDER BY j) FROM cl) AS centroids,
+        |  round(max(CASE WHEN q = 0.25 THEN est END), 4) AS p25,
+        |  round(max(CASE WHEN q = 0.5 THEN est END), 4) AS p50,
+        |  round(max(CASE WHEN q = 0.9 THEN est END), 4) AS p90,
+        |  round(max(CASE WHEN q = 0.99 THEN est END), 4) AS p99
+        |FROM est""".stripMargin,
     // Brute-force replay of i1b: md5-derived registers (idx = low 8
     // bits, rho = 57 - bitlen of the upper 56 bits via exact 2^p
     // threshold joins), Z folded in register-index order, both

@@ -829,6 +829,23 @@ class DifferentialSpec extends AnyFunSuite {
         s"first withoutMid=$withoutMid — re-pin the literals AND rename the fzgs* rows")
   }
 
+  test("frozen ROLLUP/CUBE seeds: pinned literals match the selection-rule search") {
+    // VERDICT r16 #2: same fix as the gsets seeds — the class-load
+    // `.find(...).get` search is replaced by pinned literals, and the
+    // original selection rule (first seed of each shape in 1..100)
+    // re-runs HERE so a generator tweak fails loudly with the new
+    // values instead of silently renaming the committed fzg* rows.
+    def shape(s: Long) = graft.fuzz.PlanGen.generateRollup(s).shape
+    val firstRollup = (1L to 100L).find(shape(_) == "rollup")
+    val firstCube = (1L to 100L).find(shape(_) == "cube")
+    assert(firstRollup.isDefined && firstCube.isDefined,
+      "rollup generator no longer produces both shapes in seeds 1..100")
+    assert(Seq(firstRollup.get, firstCube.get) ==
+      graft.fuzz.Differential.frozenRollupSeeds,
+      s"generator moved the frozen rollup seeds: first rollup=$firstRollup, " +
+        s"first cube=$firstCube — re-pin the literals AND rename the fzg* rows")
+  }
+
   test("frozen fz* rows: SQL-text entry equals DataFrame-API build") {
     // VERDICT r11 #7: Differential.queries now routes every frozen row
     // through spark.sql(sparkSql) (parser+analyzer front door). This

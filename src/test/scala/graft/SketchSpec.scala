@@ -145,6 +145,46 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("i2c t-digest verdict twin: digest invariants + quantile reads (r17)") {
+    // The cross-engine certification is the DuckDB recursive-CTE
+    // hash-match (CORRECTNESS i2c row); this spec pins the ENGINE-side
+    // mechanism invariants so a broken compress can't pass by both
+    // engines agreeing on garbage: exact mass conservation, mean-sorted
+    // centroids, every cluster within the greedy size bound at its own
+    // midpoint quantile, and quantile reads that are rank-accurate
+    // against the exact 400-value set.
+    val row = graft.ops.Aggregates.queries("i2c_tdigest_verdict")(spark, TestSpark.sf)
+      .collect().head
+    val n = row.getAs[Long]("n")
+    assert(n == 400, s"absolute event_id bound should give 400 rows, got $n")
+    val cents = row.getAs[String]("centroids").split(",").map { s =>
+      val Array(m, w) = s.split(":"); (m.toLong / 10000.0, w.toLong)
+    }
+    assert(cents.length == row.getAs[Long]("n_centroids"))
+    assert(cents.map(_._2).sum == n, "digest lost or duplicated mass")
+    assert(cents.map(_._1).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      "centroid means not sorted")
+    // greedy bound: each cluster's weight ≤ max(1, 4·n·q(1−q)/δ) at its
+    // midpoint (+1 slack: the bound is checked BEFORE absorbing a point)
+    var cum = 0.0
+    cents.foreach { case (_, w) =>
+      val qMid = (cum + w / 2.0) / n
+      val bound = math.max(1.0, 4.0 * n * qMid * (1 - qMid) / 100)
+      assert(w <= bound + 1.0, s"cluster weight $w exceeds t-digest bound $bound at q=$qMid")
+      cum += w
+    }
+    // quantile reads: rank error vs the exact value set ≤ 0.03
+    val exact = Engine.t(spark, TestSpark.sf, "events")
+      .filter(col("event_id") < 400)
+      .select((col("value").cast("decimal(12,2)") * 100).cast("double"))
+      .collect().map(_.getDouble(0)).sorted
+    for ((q, c) <- Seq(0.25 -> "p25", 0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")) {
+      val est = row.getAs[Double](c)
+      val rank = exact.count(_ <= est).toDouble / exact.length
+      assert(math.abs(rank - q) <= 0.03, s"$c est=$est rank=$rank")
+    }
+  }
+
   test("l31 bloom dedup: zero false negatives, FP rate within budget") {
     val rows = graft.ops.LlmText.queries("l31_bloom_dedup")(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)
