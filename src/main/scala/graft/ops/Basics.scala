@@ -179,6 +179,40 @@ object Basics {
       .orderBy("o_orderstatus")
   }
 
+  /** B3b (VERDICT r16 #7): the same PREWHERE query as b3, entered as
+    * ClickHouse SQL *text* through the [[graft.ChSql]] dialect front
+    * door — certifies the PREWHERE→WHERE-conjunction rewrite against
+    * the b3 oracle end-to-end. */
+  private def b3bPrewhereSql(spark: SparkSession, dir: String): DataFrame = {
+    Engine.registerAll(spark, dir)
+    graft.ChSql.sql(spark,
+      """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+        |PREWHERE l_quantity <= 2
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_partkey, l_quantity""".stripMargin)
+  }
+
+  /** B6b (VERDICT r16 #7): `SELECT … FROM t FINAL` as CH SQL *text* —
+    * the same versioned base∪updates table as b6, registered as a view
+    * with ReplacingMergeTree metadata; [[graft.ChSql]] rewrites FINAL
+    * into the max_by(struct, version) read-side collapse and the b6
+    * oracle certifies the result. */
+  private def b6bFinalSql(spark: SparkSession, dir: String): DataFrame = {
+    val o = Engine.t(spark, dir, "orders")
+    val base = o.select(col("o_orderkey"), CH.dec(col("o_totalprice")).as("price"),
+      col("o_orderstatus"), lit(1).as("version"))
+    val updates = o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      .select(col("o_orderkey"),
+        (CH.dec(col("o_totalprice")) * 2).cast("decimal(12,2)").as("price"),
+        lit("U").as("o_orderstatus"), lit(2).as("version"))
+    base.unionByName(updates).createOrReplaceTempView("orders_versioned")
+    graft.ChSql.registerFinal("orders_versioned", Seq("o_orderkey"), "version")
+    graft.ChSql.sql(spark,
+      """SELECT o_orderstatus, count(*) AS n, CAST(sum(price) AS DOUBLE) AS sum_price
+        |FROM orders_versioned FINAL
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** B7: CH projection modifiers — `* EXCEPT(col)`, `* REPLACE(expr AS
     * col)`, and `COLUMNS('regex')`. All three are plan-time schema
     * rewrites (the schema is known before execution, so the "dynamic"
@@ -344,6 +378,8 @@ object Basics {
     "b1_project_alias" -> (b1Project _),
     "b2_filter_predicates" -> (b2Filter _),
     "b3_prewhere" -> (b3Prewhere _),
+    "b3b_prewhere_sql" -> (b3bPrewhereSql _),
+    "b6b_final_sql" -> (b6bFinalSql _),
     "b4_in_subquery" -> (b4InSubquery _),
     "h5_conditionals" -> (h5Conditionals _),
     "h6_conversions" -> (h6Conversions _))
@@ -456,6 +492,26 @@ object Basics {
       """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
         |WHERE l_quantity <= 2 AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |ORDER BY l_orderkey, l_partkey, l_quantity""".stripMargin,
+    // b3b/b6b: the CH-dialect TEXT front door routes to the same
+    // semantics, so the oracles are b3's/b6's verbatim.
+    "b3b_prewhere_sql" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+        |WHERE l_quantity <= 2 AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_partkey, l_quantity""".stripMargin,
+    "b6b_final_sql" ->
+      """WITH base AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+        |    o_orderstatus, 1 AS version FROM orders),
+        |upd AS (SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DECIMAL(12,2)) AS price,
+        |    'U' AS o_orderstatus, 2 AS version FROM orders WHERE o_orderkey % 10 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+        |f AS (SELECT o_orderkey,
+        |    arg_max(price, version) AS price,
+        |    arg_max(o_orderstatus, version) AS o_orderstatus
+        |  FROM u GROUP BY 1)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(CAST(sum(price) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "b4_in_subquery" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)

@@ -88,7 +88,37 @@ object SortsLimits {
       .orderBy(col("p_size").desc, col("p_partkey").asc)
   }
 
+  /** F4b (VERDICT r16 #7): `LIMIT n BY` as ClickHouse SQL *text*
+    * through [[graft.ChSql]] — rewritten to the same row_number ≤ n /
+    * WindowGroupLimit shape as f4, certified by f4's oracle. */
+  private def f4bLimitBySql(spark: SparkSession, dir: String): DataFrame = {
+    Engine.registerAll(spark, dir)
+    graft.ChSql.sql(spark,
+      """SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC
+        |LIMIT 3 BY o_orderstatus""".stripMargin)
+  }
+
+  /** F5b (VERDICT r16 #7): `ORDER BY … WITH FILL FROM … TO … STEP` as
+    * CH SQL *text* — ChSql generates the date spine and the full-outer
+    * fill join; TO is exclusive per CH, so the CH text says TO
+    * 1997-02-01 for the same January window as f5. The trailing
+    * date_format matches f5's string-rendered day (the fill itself
+    * runs on DATE). */
+  private def f5bWithFillSql(spark: SparkSession, dir: String): DataFrame = {
+    Engine.registerAll(spark, dir)
+    graft.ChSql.sql(spark,
+      """SELECT to_date(o_orderdate) AS day, count(*) AS n FROM orders
+        |WHERE o_totalprice > 400000
+        |  AND o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1997-01-31 00:00:00'
+        |GROUP BY to_date(o_orderdate)
+        |ORDER BY day WITH FILL FROM DATE '1997-01-01' TO DATE '1997-02-01' STEP INTERVAL 1 DAY""".stripMargin)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "f4b_limit_by_sql" -> (f4bLimitBySql _),
+    "f5b_with_fill_sql" -> (f5bWithFillSql _),
     "f6_with_ties" -> (f6WithTies _),
     "f1_sort_multi" -> (f1SortMulti _),
     "f2_limit_offset" -> (f2LimitOffset _),
@@ -97,6 +127,22 @@ object SortsLimits {
     "f5_with_fill" -> (f5WithFill _))
 
   val oracles: Map[String, String] = Map(
+    // f4b/f5b: the CH-dialect TEXT front door routes to the same
+    // semantics, so the oracles are f4's/f5's verbatim.
+    "f4b_limit_by_sql" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC) <= 3
+        |ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC""".stripMargin,
+    "f5b_with_fill_sql" ->
+      """SELECT strftime(d, '%Y-%m-%d') AS day, coalesce(n, 0) AS n
+        |FROM (SELECT unnest(generate_series(DATE '1997-01-01', DATE '1997-01-31', INTERVAL 1 DAY)) AS d)
+        |LEFT JOIN (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n FROM orders
+        |  WHERE o_totalprice > 400000
+        |    AND o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1997-01-31 00:00:00'
+        |  GROUP BY 1
+        |) ON CAST(d AS DATE) = day
+        |ORDER BY day""".stripMargin,
     "f6_with_ties" ->
       """SELECT p_partkey, p_size, CAST(rk AS INT) AS rk FROM (
         |  SELECT p_partkey, p_size, rank() OVER (ORDER BY p_size DESC) AS rk

@@ -89,6 +89,54 @@ class SqlParitySpec extends AnyFunSuite {
       s"parity count regressed: ${r.parity.size} < 116 (skipped=${r.skipped.size})")
   }
 
+  test("ChSql dialect front door: PREWHERE text equals the b3 builder") {
+    // VERDICT r16 #7 'done' criterion: one SqlParitySpec case per CH
+    // clause, CH text ≡ declared builder result.
+    Engine.registerAll(spark, sf)
+    val ch = ChSql.sql(spark,
+      """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+        |PREWHERE l_quantity <= 2
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_partkey, l_quantity""".stripMargin)
+    assert(rows(ch) == rows(ops.Basics.queries("b3_prewhere")(spark, sf)))
+    // PREWHERE with no WHERE at all → plain WHERE
+    val solo = ChSql.sql(spark,
+      "SELECT count(*) AS n FROM lineitem PREWHERE l_quantity <= 2")
+    val direct = Engine.t(spark, sf, "lineitem").filter(col("l_quantity") <= 2)
+    assert(solo.collect().head.getLong(0) == direct.count())
+  }
+
+  test("ChSql dialect front door: FROM t FINAL text equals the b6 builder") {
+    Engine.registerAll(spark, sf)
+    val ch = ops.Basics.queries("b6b_final_sql")(spark, sf)
+    assert(rows(ch) == rows(ops.Basics.queries("b6_final")(spark, sf)))
+  }
+
+  test("ChSql dialect front door: LIMIT n BY text equals the f4 builder") {
+    Engine.registerAll(spark, sf)
+    val ch = ChSql.sql(spark,
+      """SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC
+        |LIMIT 3 BY o_orderstatus""".stripMargin)
+    assert(rows(ch) == rows(ops.SortsLimits.queries("f4_limit_by")(spark, sf)))
+    // LIMIT BY without ORDER BY must fail loudly, not return storage order
+    assertThrows[IllegalArgumentException] {
+      ChSql.rewrite(spark, "SELECT o_orderkey FROM orders LIMIT 3 BY o_orderstatus")
+    }
+  }
+
+  test("ChSql dialect front door: ORDER BY … WITH FILL text equals the f5 builder") {
+    Engine.registerAll(spark, sf)
+    // TO is exclusive per CH, hence 1997-02-01 for f5's January window;
+    // f5 renders day as a string, so format the DATE-typed fill output
+    // the same way before comparing.
+    val ch = ops.SortsLimits.queries("f5b_with_fill_sql")(spark, sf)
+    assert(rows(ch) == rows(ops.SortsLimits.queries("f5_with_fill")(spark, sf)))
+    // fill rows outside the base's key range take the type default (0)
+    val n = ch.collect().map(_.getLong(1))
+    assert(n.contains(0L), "expected at least one filled (0) day in January")
+  }
+
   test("window + LIMIT BY shape through SQL equals the declared f4 result") {
     Engine.registerAll(spark, sf)
     val sql = spark.sql(
