@@ -527,6 +527,19 @@ object Differential {
 
   private def sfname(s: Long): String = s"fzsf${s}_${PlanGen.generateStrFn(s).shape}"
 
+  /** Frozen ChSql-dialect seeds (round 17), PINNED as literals: first
+    * seed of each rewritten clause (PREWHERE conjunction, LIMIT n BY,
+    * WITH FILL spine) — same re-search contract in `DifferentialSpec`.
+    * These rows are declared through [[viaChSql]], so the driver's
+    * DuckDB gate replays CH-dialect TEXT → ChSql rewrite → Spark
+    * cross-engine every round. */
+  val frozenChSqlSeeds: Seq[Long] = Seq(1L, 2L, 4L)
+
+  private[graft] val chSqlQuota = Map(
+    "ch_prewhere" -> 1, "ch_limitby" -> 1, "ch_fill" -> 1)
+
+  private def chname(s: Long): String = s"fzch${s}_${PlanGen.generateChSql(s).shape}"
+
   /** The search the pinned round-15 families were selected by —
     * exposed so the spec can re-run it against the literals. */
   private[graft] def searchQuota(quota: Map[String, Int], shapeOf: Long => String): Seq[Long] =
@@ -543,6 +556,16 @@ object Differential {
     (spark, sfDir) => {
       graft.Engine.registerAll(spark, sfDir)
       spark.sql(g.sparkSql)
+    }
+
+  /** Like [[viaSql]] but through the [[graft.ChSql]] dialect rewriter:
+    * the chsql family's `sparkSql` is CH-dialect TEXT that raw
+    * `spark.sql` cannot parse — the declared row certifies
+    * text → rewrite → parser → DuckDB agreement end-to-end. */
+  private def viaChSql(g: PlanGen.Generated): (SparkSession, String) => DataFrame =
+    (spark, sfDir) => {
+      graft.Engine.registerAll(spark, sfDir)
+      graft.ChSql.sql(spark, g.sparkSql)
     }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -587,7 +610,8 @@ object Differential {
       // DuckDB replays the pure relational equivalent as the oracle.
       frozenStorageSeeds.map(s => stname(s) -> PlanGen.generateStorage(s).build).toMap ++
       frozenMapFnSeeds.map(s => mpname(s) -> viaSql(PlanGen.generateMapFn(s))).toMap ++
-      frozenStrFnSeeds.map(s => sfname(s) -> viaSql(PlanGen.generateStrFn(s))).toMap
+      frozenStrFnSeeds.map(s => sfname(s) -> viaSql(PlanGen.generateStrFn(s))).toMap ++
+      frozenChSqlSeeds.map(s => chname(s) -> viaChSql(PlanGen.generateChSql(s))).toMap
 
   /** The DataFrame-API builders for the same frozen rows, keyed by the
     * same names — `DifferentialSpec` pins these equal to the SQL-text
@@ -630,7 +654,8 @@ object Differential {
       frozenTryArithSeeds.map(s => taname(s) -> PlanGen.generateTryArith(s).build).toMap ++
       frozenStorageSeeds.map(s => stname(s) -> PlanGen.generateStorage(s).build).toMap ++
       frozenMapFnSeeds.map(s => mpname(s) -> PlanGen.generateMapFn(s).build).toMap ++
-      frozenStrFnSeeds.map(s => sfname(s) -> PlanGen.generateStrFn(s).build).toMap
+      frozenStrFnSeeds.map(s => sfname(s) -> PlanGen.generateStrFn(s).build).toMap ++
+      frozenChSqlSeeds.map(s => chname(s) -> PlanGen.generateChSql(s).build).toMap
 
   def oracles: Map[String, String] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).duckSql).toMap ++
@@ -670,5 +695,6 @@ object Differential {
       frozenTryArithSeeds.map(s => taname(s) -> PlanGen.generateTryArith(s).duckSql).toMap ++
       frozenStorageSeeds.map(s => stname(s) -> PlanGen.generateStorage(s).duckSql).toMap ++
       frozenMapFnSeeds.map(s => mpname(s) -> PlanGen.generateMapFn(s).duckSql).toMap ++
-      frozenStrFnSeeds.map(s => sfname(s) -> PlanGen.generateStrFn(s).duckSql).toMap
+      frozenStrFnSeeds.map(s => sfname(s) -> PlanGen.generateStrFn(s).duckSql).toMap ++
+      frozenChSqlSeeds.map(s => chname(s) -> PlanGen.generateChSql(s).duckSql).toMap
 }

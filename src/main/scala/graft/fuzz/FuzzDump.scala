@@ -62,6 +62,7 @@ object FuzzDump {
       case "storage"   => PlanGen.generateStorage
       case "mapfn"     => PlanGen.generateMapFn
       case "strfn"     => PlanGen.generateStrFn
+      case "chsql"     => PlanGen.generateChSql
       case other       => sys.error(s"unknown kind $other")
     }
     val spark = Engine.session()

@@ -2319,6 +2319,128 @@ object PlanGen {
       }
     }
 
+    /** ClickHouse-DIALECT text plan (round 17) — fuzzes the
+      * [[graft.ChSql]] pre-parse rewriter itself: `sparkSql` here is
+      * CH-dialect TEXT (not Spark-parseable), the build leg is the
+      * independently-spelled DataFrame desugar, and the differential
+      * pins rewriter(text) ≡ desugar across random tables, predicates
+      * and parameters. Three sub-shapes, one per rewritten clause:
+      *
+      *  - `ch_prewhere`: PREWHERE p WHERE w over a grouped rollup —
+      *    must behave exactly like the conjunction;
+      *  - `ch_limitby`: ORDER BY v dir, uk LIMIT n BY g (g either a
+      *    category column or an aliased integer modulus — the alias
+      *    path exercises PARTITION BY over a base OUTPUT column).
+      *    Output rows never include the row number, so duplicated
+      *    (uk) rows in the synthetic lineitem are interchangeable and
+      *    the cut is tie-safe by construction;
+      *  - `ch_fill`: integer bucket rollup + WITH FILL FROM lo TO hi
+      *    STEP s — exclusive TO per CH, full-outer fill (off-grid
+      *    base rows kept), numeric defaults 0/0.0. */
+    def runChSql(): Generated = {
+      val t = pick(singles)
+      val p = filterFor(t)
+      val u1 = t.unique.head
+      val uk = t.unique.mkString(", ")
+      rnd.nextInt(3) match {
+        case 0 =>
+          val p2 = onePred(t)
+          val (gSql, gCol) =
+            if (t.cats.nonEmpty && maybe(0.6)) {
+              val c = pick(t.cats.keys.toSeq.sorted); (c, col(c))
+            } else {
+              val c = pick(t.ints); val m = 3 + rnd.nextInt(8)
+              (s"CAST($c % $m AS BIGINT)", (col(c) % m).cast("long"))
+            }
+          val chText =
+            s"SELECT $gSql AS g, count(*) AS n, sum($u1) AS su FROM ${t.name} " +
+              s"PREWHERE ${p.sql} WHERE ${p2.sql} GROUP BY $gSql ORDER BY g"
+          val duckSql =
+            s"SELECT $gSql AS g, count(*) AS n, CAST(sum($u1) AS BIGINT) AS su " +
+              s"FROM ${t.name} WHERE (${p.sql}) AND (${p2.sql}) GROUP BY 1 ORDER BY 1"
+          val build = (s: SparkSession, dir: String) =>
+            Engine.t(s, dir, t.name).filter(p.cond && p2.cond)
+              .groupBy(gCol.as("g"))
+              .agg(count(lit(1)).as("n"), sum(col(u1)).as("su"))
+              .orderBy("g")
+          Generated(seed, "ch_prewhere", build, chText, duckSql)
+        case 1 =>
+          val v = pick(t.nums)
+          val descOrd = maybe(0.6)
+          val n = 1 + rnd.nextInt(4)
+          val dirSql = if (descOrd) "DESC" else "ASC"
+          val (gSql, gCol) =
+            if (t.cats.nonEmpty && maybe(0.5)) {
+              val c = pick(t.cats.keys.toSeq.sorted); (c, col(c))
+            } else {
+              val c = pick(t.ints); val m = 3 + rnd.nextInt(8)
+              (s"CAST($c % $m AS BIGINT)", (col(c) % m).cast("long"))
+            }
+          val outCols = (t.unique :+ v).distinct
+          val chText =
+            s"SELECT ${outCols.mkString(", ")}, $gSql AS g FROM ${t.name} " +
+              s"WHERE ${p.sql} ORDER BY $v $dirSql, $uk LIMIT $n BY g"
+          val duckSql =
+            s"SELECT ${outCols.mkString(", ")}, g FROM (" +
+              s"SELECT ${outCols.mkString(", ")}, $gSql AS g, " +
+              s"row_number() OVER (PARTITION BY $gSql ORDER BY $v $dirSql, $uk) AS rn " +
+              s"FROM ${t.name} WHERE ${p.sql}) " +
+              s"WHERE rn <= $n ORDER BY $v $dirSql, $uk"
+          val build = (s: SparkSession, dir: String) => {
+            val lead = if (descOrd) col(v).desc else col(v).asc
+            val w = Window.partitionBy(gCol)
+              .orderBy(lead +: t.unique.map(col(_).asc): _*)
+            Engine.t(s, dir, t.name).filter(p.cond)
+              .withColumn("g", gCol)
+              .withColumn("rn", row_number().over(w))
+              .filter(col("rn") <= n)
+              .select((outCols :+ "g").map(col): _*)
+              .orderBy(lead +: t.unique.map(col(_).asc): _*)
+          }
+          Generated(seed, "ch_limitby", build, chText, duckSql)
+        case _ =>
+          val candidates = Seq(
+            (lineitem, "l_quantity", Seq(5, 10)),
+            (orders, "o_totalprice", Seq(25000, 50000)),
+            (part, "p_size", Seq(5, 10)),
+            (customer, "c_acctbal", Seq(1000, 2000)))
+          val (ft, c, widths) = pick(candidates)
+          val fp = filterFor(ft)
+          val v = pick(ft.nums)
+          val w = pick(widths)
+          val (dLo, dHi) = numDomain.getOrElse(c, (1.0, 50.0))
+          val bLo = math.floor(dLo / w).toLong
+          val toEx = math.floor(dHi / w).toLong + 1
+          val step = if (maybe(0.25)) 2L else 1L
+          val chText =
+            s"SELECT CAST(floor($c / $w) AS BIGINT) AS b, count(*) AS n, " +
+              s"CAST(sum(CAST($v AS DECIMAL(18,2))) AS DOUBLE) AS s " +
+              s"FROM ${ft.name} WHERE ${fp.sql} GROUP BY CAST(floor($c / $w) AS BIGINT) " +
+              s"ORDER BY b WITH FILL FROM $bLo TO $toEx STEP $step"
+          val duckSql =
+            s"SELECT coalesce(ag.ab, sp.b) AS b, coalesce(an, 0) AS n, coalesce(asum, 0.0) AS s FROM " +
+              s"(SELECT b FROM (SELECT CAST(generate_series AS BIGINT) AS b " +
+              s"FROM generate_series($bLo, $toEx, $step)) WHERE b < $toEx) sp " +
+              s"FULL OUTER JOIN " +
+              s"(SELECT CAST(floor($c / $w) AS BIGINT) AS ab, count(*) AS an, " +
+              s"CAST(CAST(sum(CAST($v AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS asum " +
+              s"FROM ${ft.name} WHERE ${fp.sql} GROUP BY 1) ag ON sp.b = ag.ab ORDER BY b"
+          val build = (s: SparkSession, dir: String) => {
+            val ag = Engine.t(s, dir, ft.name).filter(fp.cond)
+              .groupBy(floor(col(c) / w).cast("long").as("ab"))
+              .agg(count(lit(1)).as("an"),
+                sum(col(v).cast("decimal(18,2)")).cast("double").as("asum"))
+            val sp = s.range(bLo, toEx, step).select(col("id").as("b"))
+            sp.join(ag, sp("b") === ag("ab"), "full_outer")
+              .select(coalesce(ag("ab"), sp("b")).as("b"),
+                coalesce(col("an"), lit(0L)).as("n"),
+                coalesce(col("asum"), lit(0.0)).as("s"))
+              .orderBy("b")
+          }
+          Generated(seed, "ch_fill", build, chText, duckSql)
+      }
+    }
+
     /** Conditional-function plan (round 16) — the NULL-introducing /
       * NULL-eliminating scalar trio the CASE-based scalar family never
       * renders directly: greatest/least clamps, NULLIF, COALESCE
@@ -3314,4 +3436,9 @@ object PlanGen {
   /** String-function plan (split_part out-of-range, lpad truncation,
     * repeat/translate compositions) — see [[Gen.runStrFn]]. */
   def generateStrFn(seed: Long): Generated = new Gen(seed).runStrFn()
+
+  /** ClickHouse-dialect TEXT plan fuzzing the [[graft.ChSql]] rewriter
+    * (PREWHERE / LIMIT n BY / WITH FILL); `sparkSql` is CH text meant
+    * for `ChSql.sql`, NOT `spark.sql` — see [[Gen.runChSql]]. */
+  def generateChSql(seed: Long): Generated = new Gen(seed).runChSql()
 }

@@ -540,6 +540,31 @@ class DifferentialSpec extends AnyFunSuite {
     assert(nonEmpty >= 50, s"only $nonEmpty/100 condfn seeds non-empty")
   }
 
+  test("100 ChSql-dialect plans: desugared build equals ChSql text rewrite (r17)") {
+    // The chsql family's sparkSql is CH-dialect TEXT — not Spark-
+    // parseable — so the differential runs it through the ChSql
+    // pre-parse rewriter and pins rewriter(text) ≡ the independently
+    // spelled DataFrame desugar, across random tables, predicates,
+    // group spellings (category vs aliased modulus) and fill grids.
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var nonEmpty = 0
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateChSql(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaCh = rows(graft.ChSql.sql(spark, gen.sparkSql))
+      if (viaApi.nonEmpty) nonEmpty += 1
+      assert(viaApi == viaCh,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} chsql rows=${viaCh.size}" +
+          s"\n  chText: ${gen.sparkSql}\n  duckSql: ${gen.duckSql}")
+    }
+    assert(Set("ch_prewhere", "ch_limitby", "ch_fill").subsetOf(shapes.keySet),
+      s"chsql shape coverage hole: $shapes")
+    assert(nonEmpty >= 50, s"only $nonEmpty/100 chsql seeds non-empty")
+  }
+
   test("100 array-function plans: DataFrame build equals spark.sql rendering") {
     Engine.registerAll(spark, sf)
     val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
@@ -777,6 +802,10 @@ class DifferentialSpec extends AnyFunSuite {
       graft.fuzz.Differential.strFnQuota, s => PlanGen.generateStrFn(s).shape)
     assert(sfn.sorted == graft.fuzz.Differential.frozenStrFnSeeds,
       s"generator moved the frozen strfn seeds: search=$sfn — re-pin AND rename fzsf* rows")
+    val ch = graft.fuzz.Differential.searchQuota(
+      graft.fuzz.Differential.chSqlQuota, s => PlanGen.generateChSql(s).shape)
+    assert(ch.sorted == graft.fuzz.Differential.frozenChSqlSeeds,
+      s"generator moved the frozen chsql seeds: search=$ch — re-pin AND rename fzch* rows")
   }
 
   test("frozen round-15 pivot/explode seeds: pinned literals match the search") {
