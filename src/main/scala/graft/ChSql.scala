@@ -41,15 +41,129 @@ object ChSql {
   private def bq(name: String): String =
     if (name.startsWith("`")) name else "`" + name + "`"
 
+  /** Split a trailing `FORMAT <name>` clause — CH's output-format
+    * suffix (used by clickhouse-client and the HTTP interface; see
+    * [[graft.server.HttpSqlEndpoint]]) — from the query text. Returns
+    * (sql-without-format, format-name). Greedy head group ⇒ the LAST
+    * `FORMAT` token wins, and `\s+` on both sides keeps `EXPLAIN
+    * FORMATTED` / `date_format` untouched. */
+  private val FormatRe =
+    "(?is)^(.*\\S)\\s+FORMAT\\s+([A-Za-z][A-Za-z0-9_]*)\\s*$".r
+  def splitFormat(text: String): (String, Option[String]) = {
+    val t = text.trim.stripSuffix(";").trim
+    FormatRe.findFirstMatchIn(t) match {
+      case Some(m) => (m.group(1), Some(m.group(2)))
+      case None    => (t, None)
+    }
+  }
+
+  /** `SAMPLE BY` metadata for the SAMPLE clause: table → sampling-key
+    * SQL expression (CH gets this from the MergeTree `SAMPLE BY`
+    * declaration). The expression must be portable SQL (both Spark and
+    * the DuckDB oracle evaluate it), e.g.
+    * `concat_ws('-', CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING))`. */
+  private val sampleReg =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def registerSample(table: String, keyExprSql: String): Unit =
+    sampleReg.put(table.toLowerCase, keyExprSql)
+
   /** Rewrite CH-dialect text to plain Spark SQL (exposed for specs). */
   def rewrite(spark: SparkSession, text: String): String = {
-    var q = text.trim.stripSuffix(";").trim
+    var q = splitFormat(text)._1 // FORMAT is an output hint, not plan
+    q = rewriteGlobal(q)
+    q = rewriteSample(q)
+    q = rewriteArrayJoin(q)
     q = rewritePrewhere(q)
     q = rewriteFinal(spark, q)
+    q = rewriteWithTotals(q)
     q = rewriteWithFill(spark, q)
     q = rewriteLimitBy(spark, q)
     q
   }
+
+  /** `GROUP BY cols WITH TOTALS` → `GROUP BY GROUPING SETS ((cols),
+    * ())` — CH emits the full grouping plus ONE all-NULL totals row
+    * (not the intermediate rollup levels), which is exactly the
+    * two-set grouping-sets lattice; the d15 builder pins the
+    * equivalence. The totals row carries NULL group keys (CH's
+    * separate "totals" block rendered in-band). */
+  private val WithTotalsRe =
+    "(?is)\\bGROUP\\s+BY\\s+(.+?)\\s+WITH\\s+TOTALS\\b".r
+  private def rewriteWithTotals(q: String): String =
+    WithTotalsRe.replaceAllIn(q, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"GROUP BY GROUPING SETS ((${m.group(1).trim}), ())"))
+
+  /** `GLOBAL IN` / `GLOBAL JOIN` → plain `IN` / `JOIN`. In CH, GLOBAL
+    * broadcasts the right side to every shard instead of re-running it
+    * per shard; Spark subqueries and joins are ALREADY cluster-global
+    * (one plan, one execution, AQE picks broadcast when the side fits
+    * — the c9_global_join builder pins the BroadcastHashJoin), so the
+    * keyword maps to a semantic no-op. */
+  private val GlobalRe =
+    "(?i)\\bGLOBAL\\s+(?=(?:NOT\\s+)?IN\\b|(?:ANY\\s+|ALL\\s+|LEFT\\s+|RIGHT\\s+|INNER\\s+|FULL\\s+|CROSS\\s+|SEMI\\s+|ANTI\\s+)*JOIN\\b)".r
+  private def rewriteGlobal(q: String): String = GlobalRe.replaceAllIn(q, "")
+
+  /** `FROM t SAMPLE k` (k a fraction: `0.1` or `13/128`) → a
+    * DETERMINISTIC filter on the table's registered sampling key:
+    * `substring(md5(key), 1, 6) < '<hex threshold>'` with threshold =
+    * floor(k·16^6). CH's SAMPLE reads a prefix of the intHash32(key)
+    * space (same-key rows always sample together, repeatable across
+    * runs); the md5-prefix predicate has those exact properties AND is
+    * portable SQL, so the DuckDB oracle replays it bit-for-bit — the
+    * b5_sample design, generalized to arbitrary fractions. k ≥ 1 (CH's
+    * approximate-row-count form) is rejected: it needs table
+    * statistics a text rewrite doesn't have. */
+  private val SampleRe =
+    "(?i)\\bFROM\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+SAMPLE\\s+([0-9]*\\.?[0-9]+(?:\\s*/\\s*[0-9]+)?)".r
+  private def rewriteSample(q: String): String =
+    SampleRe.replaceAllIn(q, m => {
+      val t = m.group(1)
+      val frac = m.group(2).split("/") match {
+        case Array(n, d) => n.trim.toDouble / d.trim.toDouble
+        case Array(n)    => n.toDouble
+      }
+      require(frac > 0 && frac < 1,
+        s"SAMPLE $frac: only fractional sampling (0 < k < 1) is supported; " +
+          "row-count SAMPLE needs table statistics")
+      val key = sampleReg.get(t.toLowerCase)
+      require(key != null,
+        s"SAMPLE on '$t': no sampling key — call ChSql.registerSample(table, keyExprSql) first")
+      val threshold = f"${math.floor(frac * (1 << 24)).toLong}%06x"
+      java.util.regex.Matcher.quoteReplacement(
+        s"FROM (SELECT * FROM ${bq(t)} WHERE substring(md5($key), 1, 6) < '$threshold') $t")
+    })
+
+  /** `FROM t [LEFT] ARRAY JOIN expr [AS alias]` → explode/explode_outer
+    * through a Generate-producing subquery. With an alias the source
+    * array column survives alongside the element (CH semantics); a
+    * bare column name without an alias is REPLACED by its element
+    * (`SELECT * EXCEPT` + rename). LEFT keeps empty-array rows with a
+    * NULL element — the nullable-type mapping, same as the
+    * h8c_left_array_join builder. Scope: one ARRAY JOIN clause, one
+    * array expression. */
+  private val ArrayJoinRe =
+    ("(?is)\\bFROM\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+(LEFT\\s+)?ARRAY\\s+JOIN\\s+(.+?)" +
+      "(?:\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*))?" +
+      "(?=\\s+(?:WHERE|PREWHERE|GROUP\\s+BY|HAVING|ORDER\\s+BY|LIMIT)\\b|\\s*$)").r
+  private def rewriteArrayJoin(q: String): String =
+    ArrayJoinRe.replaceAllIn(q, m => {
+      val t = m.group(1)
+      val fn = if (m.group(2) != null) "explode_outer" else "explode"
+      val expr = m.group(3).trim
+      val alias = Option(m.group(4))
+      val sub = alias match {
+        case Some(a) =>
+          s"FROM (SELECT *, $fn($expr) AS ${bq(a)} FROM ${bq(t)}) $t"
+        case None =>
+          require(expr.matches("[A-Za-z_][A-Za-z0-9_]*"),
+            s"ARRAY JOIN $expr: an expression (not a bare column) needs an AS alias")
+          s"FROM (SELECT * EXCEPT (${bq(expr)}), __graft_aj AS ${bq(expr)} " +
+            s"FROM (SELECT *, $fn(${bq(expr)}) AS __graft_aj FROM ${bq(t)})) $t"
+      }
+      java.util.regex.Matcher.quoteReplacement(sub)
+    })
 
   /** `PREWHERE p [WHERE w]` → `WHERE (p) AND (w)`. In CH, PREWHERE is
     * WHERE plus a column-read-ordering hint; Spark's parquet scan

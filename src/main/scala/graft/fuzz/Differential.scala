@@ -529,14 +529,16 @@ object Differential {
 
   /** Frozen ChSql-dialect seeds (round 17), PINNED as literals: first
     * seed of each rewritten clause (PREWHERE conjunction, LIMIT n BY,
-    * WITH FILL spine) — same re-search contract in `DifferentialSpec`.
+    * WITH FILL spine, SAMPLE key-prefix, ARRAY JOIN explode, GLOBAL
+    * strip) — same re-search contract in `DifferentialSpec`.
     * These rows are declared through [[viaChSql]], so the driver's
     * DuckDB gate replays CH-dialect TEXT → ChSql rewrite → Spark
     * cross-engine every round. */
-  val frozenChSqlSeeds: Seq[Long] = Seq(1L, 2L, 4L)
+  val frozenChSqlSeeds: Seq[Long] = Seq(1L, 2L, 4L, 9L, 15L, 24L)
 
   private[graft] val chSqlQuota = Map(
-    "ch_prewhere" -> 1, "ch_limitby" -> 1, "ch_fill" -> 1)
+    "ch_prewhere" -> 1, "ch_limitby" -> 1, "ch_fill" -> 1,
+    "ch_sample" -> 1, "ch_arrayjoin" -> 1, "ch_global" -> 1)
 
   private def chname(s: Long): String = s"fzch${s}_${PlanGen.generateChSql(s).shape}"
 

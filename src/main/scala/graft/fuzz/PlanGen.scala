@@ -2336,13 +2336,22 @@ object PlanGen {
       *    the cut is tie-safe by construction;
       *  - `ch_fill`: integer bucket rollup + WITH FILL FROM lo TO hi
       *    STEP s — exclusive TO per CH, full-outer fill (off-grid
-      *    base rows kept), numeric defaults 0/0.0. */
+      *    base rows kept), numeric defaults 0/0.0;
+      *  - `ch_sample` (r17): `FROM t SAMPLE n/d WHERE p` — the
+      *    registered-key md5-prefix rewrite; registration always uses
+      *    the table's FULL unique key so concurrent generators are
+      *    idempotent, and the duck leg spells the predicate out;
+      *  - `ch_arrayjoin` (r17): `[LEFT] ARRAY JOIN split(cat, '-') AS
+      *    w` vs an explode build leg and a DuckDB unnest; ORDER BY
+      *    every output column before the LIMIT cut (tie-safe);
+      *  - `ch_global` (r17): `k GLOBAL IN (subquery)` — the GLOBAL
+      *    strip; duck leg is the plain IN, build leg a left-semi. */
     def runChSql(): Generated = {
       val t = pick(singles)
       val p = filterFor(t)
       val u1 = t.unique.head
       val uk = t.unique.mkString(", ")
-      rnd.nextInt(3) match {
+      rnd.nextInt(6) match {
         case 0 =>
           val p2 = onePred(t)
           val (gSql, gCol) =
@@ -2398,7 +2407,7 @@ object PlanGen {
               .orderBy(lead +: t.unique.map(col(_).asc): _*)
           }
           Generated(seed, "ch_limitby", build, chText, duckSql)
-        case _ =>
+        case 2 =>
           val candidates = Seq(
             (lineitem, "l_quantity", Seq(5, 10)),
             (orders, "o_totalprice", Seq(25000, 50000)),
@@ -2438,6 +2447,74 @@ object PlanGen {
               .orderBy("b")
           }
           Generated(seed, "ch_fill", build, chText, duckSql)
+        case 3 =>
+          // SAMPLE n/d: registration is idempotent (always the table's
+          // full unique key) so concurrent generator threads can't race
+          // the shared registry to different keys.
+          val keySql = t.unique.map(c => s"CAST($c AS STRING)")
+            .mkString("concat(", ", '-', ", ")")
+          graft.ChSql.registerSample(t.name, keySql)
+          val num = 1 + rnd.nextInt(9)
+          val den = Seq(10, 16, 32)(rnd.nextInt(3))
+          val frac = num.toDouble / den
+          val threshold = f"${math.floor(frac * (1 << 24)).toLong}%06x"
+          val chText =
+            s"SELECT count(*) AS n, sum($u1) AS su FROM ${t.name} " +
+              s"SAMPLE $num/$den WHERE ${p.sql}"
+          val duckSql =
+            s"SELECT count(*) AS n, CAST(sum($u1) AS BIGINT) AS su FROM ${t.name} " +
+              s"WHERE substring(md5($keySql), 1, 6) < '$threshold' AND (${p.sql})"
+          val build = (s: SparkSession, dir: String) =>
+            Engine.t(s, dir, t.name)
+              .filter(substring(md5(
+                concat_ws("-", t.unique.map(col(_).cast("string")): _*)), 1, 6) < threshold
+                && p.cond)
+              .agg(count(lit(1)).as("n"), sum(col(u1)).as("su"))
+          Generated(seed, "ch_sample", build, chText, duckSql)
+        case 4 =>
+          val tt = pick(singles.filter(_.cats.nonEmpty))
+          val pp = filterFor(tt)
+          val c = pick(tt.cats.keys.toSeq.sorted)
+          val fn = if (maybe(0.3)) "LEFT ARRAY JOIN" else "ARRAY JOIN"
+          val uks = tt.unique
+          val ukSql = uks.mkString(", ")
+          // ORDER BY every output column before the LIMIT (tie-safe:
+          // duplicated unique keys in lineitem are interchangeable
+          // only when the sort covers the whole output row)
+          val chText =
+            s"SELECT $ukSql, w FROM ${tt.name} $fn split($c, '-') AS w " +
+              s"WHERE ${pp.sql} ORDER BY $ukSql, w LIMIT 500"
+          val duckSql =
+            s"SELECT $ukSql, w FROM (SELECT $ukSql, " +
+              s"unnest(string_split($c, '-')) AS w FROM ${tt.name} WHERE ${pp.sql}) " +
+              s"ORDER BY $ukSql, w LIMIT 500"
+          val gen = if (fn.startsWith("LEFT")) explode_outer(split(col(c), "-"))
+            else explode(split(col(c), "-"))
+          val build = (s: SparkSession, dir: String) =>
+            Engine.t(s, dir, tt.name).filter(pp.cond)
+              .select(uks.map(col) :+ gen.as("w"): _*)
+              .orderBy((uks :+ "w").map(col): _*).limit(500)
+          Generated(seed, "ch_arrayjoin", build, chText, duckSql)
+        case _ =>
+          val (lt, rt, lk, rk) = pick(joinEdges)
+          val lp = filterFor(lt)
+          val rp = filterFor(rt)
+          val lu = lt.unique.head
+          val chText =
+            s"SELECT count(*) AS n, sum($lu) AS su FROM ${lt.name} " +
+              s"WHERE ${lp.sql} AND $lk GLOBAL IN " +
+              s"(SELECT $rk FROM ${rt.name} WHERE ${rp.sql})"
+          val duckSql =
+            s"SELECT count(*) AS n, CAST(sum($lu) AS BIGINT) AS su FROM ${lt.name} " +
+              s"WHERE ${lp.sql} AND $lk IN " +
+              s"(SELECT $rk FROM ${rt.name} WHERE ${rp.sql})"
+          val build = (s: SparkSession, dir: String) => {
+            val r = Engine.t(s, dir, rt.name).filter(rp.cond).select(col(rk))
+            Engine.t(s, dir, lt.name).filter(lp.cond)
+              .join(r, col(lk) === col(rk), "left_semi")
+              .agg(count(lit(1)).as("n"), sum(col(lu)).as("su"))
+          }
+          Generated(seed, "ch_global", build, chText, duckSql)
       }
     }
 

@@ -352,6 +352,18 @@ object Aggregates {
       .select(coalesce(col("o_orderstatus"), lit("TOTALS")).as("status"), col("n"), col("sum_price"))
       .orderBy("status")
 
+  /** D15b: CH `WITH TOTALS` as SQL *text* — [[graft.ChSql]] rewrites
+    * the clause to the two-set grouping lattice `GROUPING SETS
+    * ((cols), ())` (full grouping + ONE totals row, not rollup's
+    * intermediate levels); d15's oracle shape certifies it. */
+  private def d15bWithTotalsSql(spark: SparkSession, dir: String): DataFrame = {
+    Engine.registerAll(spark, dir)
+    graft.ChSql.sql(spark,
+      """SELECT coalesce(o_orderstatus, 'TOTALS') AS status, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus WITH TOTALS ORDER BY status""".stripMargin)
+  }
+
   /** D16: HAVING. */
   private def d16Having(spark: SparkSession, dir: String): DataFrame =
     Engine.t(spark, dir, "orders")
@@ -1231,6 +1243,7 @@ object Aggregates {
     "d14_cube" -> (d14Cube _),
     "d14_grouping_sets" -> (d14GroupingSets _),
     "d15_with_totals" -> (d15WithTotals _),
+    "d15b_with_totals_sql" -> (d15bWithTotalsSql _),
     "d16_having" -> (d16Having _),
     "d17_distinct" -> (d17Distinct _),
     "i4_histogram" -> (i4Histogram _))
@@ -1644,6 +1657,10 @@ object Aggregates {
       """SELECT coalesce(o_orderstatus, 'TOTALS') AS status, count(*) AS n,
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY ROLLUP(o_orderstatus) ORDER BY status""".stripMargin,
+    "d15b_with_totals_sql" ->
+      """SELECT coalesce(o_orderstatus, 'TOTALS') AS status, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), ()) ORDER BY status""".stripMargin,
     "d16_having" ->
       """SELECT o_custkey, count(*) AS n FROM orders
         |GROUP BY o_custkey HAVING count(*) >= 15 ORDER BY o_custkey""".stripMargin,

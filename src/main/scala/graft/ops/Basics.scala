@@ -213,6 +213,18 @@ object Basics {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** B4b: CH `GLOBAL IN` as SQL *text* — [[graft.ChSql]] strips the
+    * GLOBAL distribution hint (Spark subqueries are already
+    * cluster-global; c9 pins the broadcast physical shape) and the
+    * query becomes b4's plain IN-subquery, certified by b4's oracle. */
+  private def b4bGlobalInSql(spark: SparkSession, dir: String): DataFrame = {
+    Engine.registerAll(spark, dir)
+    graft.ChSql.sql(spark,
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey GLOBAL IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** B7: CH projection modifiers — `* EXCEPT(col)`, `* REPLACE(expr AS
     * col)`, and `COLUMNS('regex')`. All three are plan-time schema
     * rewrites (the schema is known before execution, so the "dynamic"
@@ -381,6 +393,7 @@ object Basics {
     "b3b_prewhere_sql" -> (b3bPrewhereSql _),
     "b6b_final_sql" -> (b6bFinalSql _),
     "b4_in_subquery" -> (b4InSubquery _),
+    "b4b_global_in_sql" -> (b4bGlobalInSql _),
     "h5_conditionals" -> (h5Conditionals _),
     "h6_conversions" -> (h6Conversions _))
 
@@ -513,6 +526,10 @@ object Basics {
         |  CAST(CAST(sum(price) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "b4_in_subquery" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "b4b_global_in_sql" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin,

@@ -490,8 +490,19 @@ object Functions {
       .orderBy(col("p_partkey"), asc_nulls_first("long_word"))
   }
 
+  /** H8d: CH `ARRAY JOIN` as SQL *text* — the unnest clause routes
+    * through [[graft.ChSql]] to an explode Generate (h8's builder
+    * path); the WHERE/ORDER BY around it stay plain Spark SQL. */
+  private def h8dArrayJoinSql(spark: SparkSession, dir: String): DataFrame = {
+    Engine.registerAll(spark, dir)
+    graft.ChSql.sql(spark,
+      """SELECT p_partkey, word FROM part ARRAY JOIN split(p_name, ' ') AS word
+        |WHERE p_partkey <= 200 ORDER BY p_partkey, word""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "h8c_left_array_join" -> (h8cLeftArrayJoin _),
+    "h8d_array_join_sql" -> (h8dArrayJoinSql _),
     "h26_consistent_hash" -> (h26ConsistentHash _),
     "h8b_multi_array_join" -> (h8bMultiArrayJoin _),
     "h24_timezone" -> (h24Timezone _),
@@ -710,6 +721,9 @@ object Functions {
       """SELECT word, count(*) AS n FROM (
         |  SELECT unnest(string_split(p_name, ' ')) AS word FROM part
         |) GROUP BY word ORDER BY n DESC, word ASC LIMIT 100""".stripMargin,
+    "h8d_array_join_sql" ->
+      """SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+        |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey, word""".stripMargin,
     "h9_map_struct" ->
       """SELECT o_orderkey,
         |  o_orderstatus AS tuple_status,

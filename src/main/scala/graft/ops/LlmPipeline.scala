@@ -622,6 +622,48 @@ object LlmPipeline {
       .select("n_chunks_distinct", "n_dup_chunks", "n_dup_occurrences", "n_docs_with_dup")
   }
 
+  /** L48 (r17): EXACT-SUBSTRING dedup with document REASSEMBLY — the
+    * transformation step of Lee et al. 2021 ("Deduplicating Training
+    * Data Makes Language Models Better"). Where l22 only MARKS
+    * documents containing cross-doc duplicated chunks, this op REMOVES
+    * every non-first occurrence of each 8-token chunk corpus-wide and
+    * REBUILDS the surviving text per document. "First occurrence" =
+    * smallest (doc_id, idx) among the chunk's occurrences — a total,
+    * storage-order-free rule, so the result is deterministic under any
+    * partitioning. Plan shape: the chunk stream shuffles ONCE on the
+    * chunk key (row_number window — each partition holds one chunk's
+    * occurrence list, bounded by that chunk's duplication count, never
+    * a corpus-sized partition), the rebuild groups on doc_id; two
+    * hash exchanges over ~n_tokens/8 rows total, no global sort, no
+    * driver state — the same shape at 100 TB. Tokens past the last
+    * full 8-token boundary are outside the chunk domain and excluded
+    * from the rebuild (same chunking scope as l22). */
+  private def l48ExactSubstrDedup(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks
+    val nChunks = floor(size(t) / 8).cast("int")
+    val idxArr = when(nChunks > 0, sequence(lit(0), nChunks - 1))
+      .otherwise(array().cast("array<int>"))
+    val docs = Engine.t(spark, dir, "documents")
+    val chunks = docs.select(col("doc_id"),
+      posexplode(transform(idxArr, i => array_join(slice(t, i * 8 + 1, lit(8)), " ")))
+        .as(Seq("idx", "chunk")))
+    val w = Window.partitionBy("chunk").orderBy(col("doc_id"), col("idx"))
+    val kept = chunks.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("kept_text"))
+    docs.select(col("doc_id"), nChunks.cast("long").as("n_chunks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        when(col("n_chunks") > 0,
+          round(coalesce(col("n_kept"), lit(0L)).cast("double") /
+            col("n_chunks").cast("double"), 6)).as("retained_ratio"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+      .orderBy("doc_id")
+  }
+
   /** L23: unigram-LM commonness score — the cheap "perplexity-ish"
     * quality proxy: mean corpus frequency of a document's tokens
     * (production pipelines run a KenLM; the plumbing — corpus-wide
@@ -890,6 +932,7 @@ object LlmPipeline {
     "l26_curation_pipeline" -> (l26CurationPipeline _),
     "l46_ccnet_buckets" -> (l46CcnetBuckets _),
     "l47_gopher_rules" -> (l47GopherRules _),
+    "l48_exact_substr_dedup" -> (l48ExactSubstrDedup _),
     "l20_decontaminate" -> (l20Decontaminate _),
     "l21_repetition_filter" -> (l21RepetitionFilter _),
     "l22_chunk_dedup" -> (l22ChunkDedup _),
@@ -1165,6 +1208,30 @@ object LlmPipeline {
         |SELECT doc_id, count(*) AS n_dup_spans, CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
         |  n_toks, round(CAST(sum(e - s + 1) AS DOUBLE) / CAST(n_toks AS DOUBLE), 6) AS dup_ratio
         |FROM sp GROUP BY doc_id, n_toks ORDER BY doc_id""".stripMargin,
+    "l48_exact_substr_dedup" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+        |  FROM documents),
+        |ch AS (SELECT doc_id,
+        |    unnest(range(0, CAST(floor(len(t) / 8) AS INT))) AS idx,
+        |    unnest(list_transform(range(0, CAST(floor(len(t) / 8) AS INT)),
+        |      i -> array_to_string(t[i*8+1:i*8+8], ' '))) AS chunk
+        |  FROM tok),
+        |k AS (SELECT doc_id, idx, chunk,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+        |  FROM ch),
+        |r AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(chunk, ' ' ORDER BY idx) AS kept_text
+        |  FROM k WHERE rn = 1 GROUP BY doc_id),
+        |base AS (SELECT doc_id,
+        |    CAST(floor(len(list_filter(string_split(text, ' '), x -> x != '')) / 8) AS BIGINT) AS n_chunks
+        |  FROM documents)
+        |SELECT base.doc_id, n_chunks, coalesce(n_kept, 0) AS n_kept,
+        |  CASE WHEN n_chunks > 0
+        |    THEN round(CAST(coalesce(n_kept, 0) AS DOUBLE) / CAST(n_chunks AS DOUBLE), 6)
+        |  END AS retained_ratio,
+        |  coalesce(kept_text, '') AS kept_text
+        |FROM base LEFT JOIN r ON base.doc_id = r.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
     "l22_chunk_dedup" ->
       """WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
         |  FROM documents),

