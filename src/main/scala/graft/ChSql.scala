@@ -38,6 +38,35 @@ object ChSql {
   def sql(spark: SparkSession, text: String): DataFrame =
     spark.sql(rewrite(spark, text))
 
+  /** `SELECT … INTO OUTFILE 'path' [FORMAT fmt]` — clickhouse-local's
+    * export mode (the pinned binary's other front door besides the
+    * server): runs the query and STREAMS it through the same FORMAT
+    * renderer the HTTP endpoint uses ([[graft.server.HttpSqlEndpoint
+    * .render]], `toLocalIterator` — one partition resident at a time)
+    * into a local file. Default format TabSeparated, like CH. Refuses
+    * to overwrite (CH errors if the file exists). Returns a one-row
+    * summary (path, format, rows). Text without INTO OUTFILE falls
+    * through to [[sql]]'s DataFrame result unchanged. */
+  private val OutfileRe =
+    "(?is)^(.*\\S)\\s+INTO\\s+OUTFILE\\s+'([^']+)'\\s*$".r
+  def exec(spark: SparkSession, text: String): DataFrame = {
+    val (noFmt, fmt) = splitFormat(text)
+    OutfileRe.findFirstMatchIn(noFmt) match {
+      case None => sql(spark, text)
+      case Some(m) =>
+        val path = m.group(2)
+        val f = new java.io.File(path)
+        require(!f.exists(), s"INTO OUTFILE: file '$path' already exists")
+        Option(f.getParentFile).foreach(_.mkdirs())
+        val df = sql(spark, m.group(1))
+        val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+        val rows = try graft.server.HttpSqlEndpoint.render(
+          df, fmt.getOrElse("TabSeparated"), out) finally out.close()
+        import spark.implicits._
+        Seq((path, fmt.getOrElse("TabSeparated"), rows)).toDF("path", "format", "rows")
+    }
+  }
+
   private def bq(name: String): String =
     if (name.startsWith("`")) name else "`" + name + "`"
 

@@ -503,7 +503,30 @@ object Storage {
       .orderBy("bucket")
   }
 
+  /** K23 (r17): `INTO OUTFILE … FORMAT …` — clickhouse-local's export
+    * mode as CH SQL *text* ([[graft.ChSql.exec]]): the query streams
+    * through the SAME FORMAT renderer the HTTP endpoint uses into a
+    * local CSV, then the exported file is read BACK through Spark's
+    * CSV reader and hash-certified against DuckDB — a full
+    * write-format/read-format round trip through a second route. */
+  private def k23IntoOutfile(spark: SparkSession, dir: String): DataFrame = {
+    Engine.registerAll(spark, dir)
+    val path = Engine.scratch(spark, dir, "k23_outfile") + "/orders_prio.csv"
+    val summary = graft.ChSql.exec(spark,
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+         |INTO OUTFILE '$path'
+         |FORMAT CSVWithNames""".stripMargin)
+    require(summary.collect().head.getLong(2) == 5L, "expected 5 exported rows")
+    spark.read.option("header", "true").csv(path)
+      .select(col("o_orderpriority"), col("n").cast("long").as("n"),
+        col("sum_price").cast("double").as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
+    "k23_into_outfile" -> (k23IntoOutfile _),
     "k22_summing_merge" -> (k22SummingMerge _),
     "k21_collapsing_merge" -> (k21CollapsingMerge _),
     "k20_zorder_layout" -> (k20ZorderLayout _),
@@ -521,6 +544,10 @@ object Storage {
     "k7_obfuscator" -> (k7Obfuscator _))
 
   val oracles: Map[String, String] = Map(
+    "k23_into_outfile" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // k22 is fully deterministic: decimal sums are exact and
     // associative, so the staged part-local sums re-summed across
     // parts equal a flat two-level GROUP BY — DuckDB replays it

@@ -104,7 +104,7 @@ object HttpSqlEndpoint {
           headers.set("X-ClickHouse-Format", fmt)
           ex.sendResponseHeaders(200, 0) // chunked
           val out = ex.getResponseBody
-          try render(df, fmt, out) finally out.close()
+          try { render(df, fmt, out): Unit } finally out.close()
         }
       } catch {
         case e: Throwable =>
@@ -151,11 +151,17 @@ object HttpSqlEndpoint {
     DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss").withZone(ZoneOffset.UTC)
 
   /** Stream `df` in CH output format `fmt` to `out` — one row at a
-    * time off `toLocalIterator()`, never a full collect. */
-  def render(df: DataFrame, fmt: String, out: OutputStream): Unit = {
+    * time off `toLocalIterator()`, never a full collect. Returns the
+    * number of data rows emitted (INTO OUTFILE reports it). */
+  def render(df: DataFrame, fmt: String, out: OutputStream): Long = {
     val schema = df.schema
     val names = schema.fieldNames
+    var emitted = 0L
     def write(s: String): Unit = out.write(s.getBytes(UTF_8))
+    def eachRow(d: DataFrame)(f: Row => Unit): Unit = {
+      val it = d.toLocalIterator()
+      while (it.hasNext) { f(it.next()); emitted += 1 }
+    }
     norm(fmt) match {
       case "tabseparated" | "tsv" =>
         eachRow(df)(r => write(tsvLine(r, schema)))
@@ -197,6 +203,7 @@ object HttpSqlEndpoint {
         // Pretty buffers (column widths need the data) — it's a human
         // console format; programmatic reads use the streaming ones.
         val rows = df.collect()
+        emitted = rows.length.toLong
         val cells = rows.map(r => names.indices.map(i => textValue(r, i, schema)).toArray)
         val widths = names.indices.map(i =>
           math.max(names(i).length, if (cells.isEmpty) 0 else cells.map(_(i).length).max)).toArray
@@ -214,11 +221,7 @@ object HttpSqlEndpoint {
         throw new IllegalArgumentException(s"Unknown output format: $other")
     }
     out.flush()
-  }
-
-  private def eachRow(df: DataFrame)(f: Row => Unit): Unit = {
-    val it = df.toLocalIterator()
-    while (it.hasNext) f(it.next())
+    emitted
   }
 
   private def tsvLine(r: Row, schema: StructType): String =

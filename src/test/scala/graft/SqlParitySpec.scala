@@ -209,6 +209,23 @@ class SqlParitySpec extends AnyFunSuite {
     assert(rows(ch) == rows(SparkEntry.queries("d15_with_totals")(spark, sf)))
   }
 
+  test("ChSql exec: INTO OUTFILE exports via the FORMAT renderer; plain text falls through") {
+    Engine.registerAll(spark, sf)
+    val path = s"/tmp/graft_io/outfile_spec_${System.nanoTime()}.tsv"
+    val s1 = ChSql.exec(spark,
+      s"SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey INTO OUTFILE '$path'")
+      .collect().head
+    assert(s1.getString(1) == "TabSeparated" && s1.getLong(2) == 5L)
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+    assert(lines.size == 5 && lines.get(0) == "0\tAFRICA")
+    // CH refuses to overwrite an existing outfile
+    intercept[IllegalArgumentException](ChSql.exec(spark,
+      s"SELECT 1 INTO OUTFILE '$path'"))
+    // no INTO OUTFILE → plain DataFrame result, nothing written
+    assert(ChSql.exec(spark, "SELECT 41 + 1 AS v").collect().head.getInt(0) == 42)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path))
+  }
+
   test("window + LIMIT BY shape through SQL equals the declared f4 result") {
     Engine.registerAll(spark, sf)
     val sql = spark.sql(
