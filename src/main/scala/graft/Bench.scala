@@ -178,7 +178,12 @@ object Bench {
     val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
     if (benchOut.isEmpty && !sfDir.endsWith("sf0.1"))
       println(s"[bench] off-scale sfDir $sfDir without SPARK_GRAFT_BENCH_OUT — not writing BENCH_FULL.json")
-    else if (only.isEmpty) {
+    // A SPARK_GRAFT_ONLY subset may write ONLY to an explicit
+    // SPARK_GRAFT_BENCH_OUT redirect (the sf10/sf100 spot-rehearsal
+    // records ARE subsets); entries absent from the subset carry over
+    // from the old record instead of being truncated away. Without the
+    // redirect a subset still never touches BENCH_FULL.json.
+    else if (only.isEmpty || benchOut.nonEmpty) {
       // The record file is the BEST-KNOWN clean two-pass time per query
       // and is updated by UNCONDITIONAL elementwise min-merge (VERDICT
       // r13 #1: a contended same-scale run overwrote the committed
@@ -207,9 +212,12 @@ object Bench {
             java.nio.file.Paths.get(target)), java.nio.charset.StandardCharsets.UTF_8)
           val oldFpv = """"fpv":(\d+)""".r.findFirstMatchIn(txt)
             .map(_.group(1).toInt).getOrElse(1)
-          (""""([a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(txt)
+          // tolerate `"k": v` spacing (driver-written records) and
+          // exclude the envelope's numeric fields — "value"/"fpv" are
+          // not queries (they'd leak into the subset-union branch)
+          (""""([a-z0-9_]+)":\s*([0-9.]+)""".r.findAllMatchIn(txt)
             .map(m => m.group(1) -> m.group(2).toDouble)
-            .filter(_._1 != "fpv").toMap,
+            .filterNot(kv => kv._1 == "fpv" || kv._1 == "value").toMap,
            if (oldFpv != FPV) Map.empty[String, String]
            else """"([a-z0-9_]+)":"(h[0-9a-f]{16})"""".r.findAllMatchIn(txt)
              .map(m => m.group(1) -> m.group(2)).toMap)
@@ -225,12 +233,16 @@ object Bench {
       }.map(_.toString).toSet
       if (fpReset.nonEmpty)
         println(s"[bench] plan fingerprint changed -> fresh time for: ${fpReset.toSeq.sorted.mkString(",")}")
-      val merged = results.map { case (n, t) =>
+      val mergedRun = results.map { case (n, t) =>
         n -> (
           if (failedSet(n)) old.getOrElse(n, t)
           else if (resetQ(n) || fpReset(n)) t
           else math.min(t, old.getOrElse(n, Double.MaxValue)))
       }
+      // full runs drop suite-departed queries; subset runs keep them
+      val merged: Seq[(String, Double)] =
+        if (only.isEmpty) mergedRun
+        else (old ++ mergedRun.toMap).toSeq.sortBy(_._1)
       val tightened = merged.count { case (n, t) => old.get(n).exists(t < _) }
       val stale = merged.count { case (n, t) => old.get(n).contains(t) && !resetQ(n) && !fpReset(n) }
       val mtotal = r3(merged.map(_._2).sum)

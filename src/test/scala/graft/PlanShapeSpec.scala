@@ -186,6 +186,34 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("l48 first-occurrence prune runs map-side (partial WindowGroupLimit before the exchange)") {
+    // The keep-first rule compiles to rn=1 over (PARTITION BY chunk),
+    // which Catalyst turns into WindowGroupLimit with a PARTIAL
+    // instance BELOW the chunk exchange: each map task forwards at
+    // most one candidate row per local chunk, so the shuffle carries
+    // ~distinct-chunks rows, not the full chunk stream — the property
+    // that keeps the op linear at 100 TB. Pin both instances.
+    val df = SparkEntry.queries("l48_exact_substr_dedup")(spark, sf)
+    val plan = df.queryExecution.sparkPlan.toString
+    val n = "WindowGroupLimit".r.findAllIn(plan).size
+    assert(n >= 2, s"expected partial+final WindowGroupLimit, found $n:\n$plan")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val global = df.queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, "l48 must not plan an unpartitioned window")
+  }
+
+  test("h8d ARRAY JOIN text keeps the pushed scan filter under the Generate") {
+    // The dialect rewrite must not block pushdown: the WHERE written
+    // AFTER the ARRAY JOIN clause still reaches the parquet scan.
+    val df = SparkEntry.queries("h8d_array_join_sql")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), s"expected explode Generate:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(p_partkey), LessThanOrEqual(p_partkey,200)]"),
+      s"p_partkey filter must reach the scan:\n$plan")
+  }
+
   test("d34/d35/e15 plan no global windows (every WindowExec is partitioned)") {
     // The r13 forms ran Window.orderBy with no partition — a
     // single-task sort of an input that GROWS with the data (distinct
