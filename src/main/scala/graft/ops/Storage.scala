@@ -511,7 +511,11 @@ object Storage {
     * write-format/read-format round trip through a second route. */
   private def k23IntoOutfile(spark: SparkSession, dir: String): DataFrame = {
     Engine.registerAll(spark, dir)
-    val path = Engine.scratch(spark, dir, "k23_outfile") + "/orders_prio.csv"
+    // unique per invocation: INTO OUTFILE refuses to overwrite (CH
+    // semantics), and the bench runs every query twice in one JVM —
+    // a fixed name would fail the second pass on its own first export
+    val path = Engine.scratch(spark, dir, "k23_outfile") +
+      s"/orders_prio_${System.nanoTime}.csv"
     val summary = graft.ChSql.exec(spark,
       s"""SELECT o_orderpriority, count(*) AS n,
          |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
