@@ -236,8 +236,70 @@ object SystemTables {
     } finally running.stop()
   }
 
+  /** A21 (VERDICT r17 next #2): INSERT ingest over the HTTP front
+    * door, round-tripped and oracle-certified. CH's port 8123 accepts
+    * `INSERT INTO t FORMAT TabSeparated` with the data block in the
+    * POST body (reference `Dockerfile:203` exposes it for both
+    * directions); [[graft.server.HttpSqlEndpoint]] routes the parsed
+    * block through the A9 parquet-append path and re-registers the
+    * view as base ∪ ingested. This query stages a PRIVATE view (a
+    * fresh name per invocation — Bench re-runs queries in one JVM and
+    * ingest must never double up or leak into the shared catalog)
+    * holding only the 'F'-status orders, renders the remaining rows
+    * as CH TabSeparated with the server's own renderer (the exact
+    * bytes a curl client pipes), POSTs the INSERT, then SELECTs the
+    * union back over HTTP. The DuckDB oracle computes the same
+    * aggregate over the FULL base table, so the hash certifies the
+    * whole POST-body → format-parse → schema-cast → append →
+    * re-register → SELECT loop restored every inserted row exactly. */
+  private val a21Seq = new java.util.concurrent.atomic.AtomicInteger()
+  private def a21HttpInsert(spark: SparkSession, dir: String): DataFrame = {
+    Engine.registerAll(spark, dir)
+    val view = s"orders_http_${a21Seq.incrementAndGet()}"
+    val o = Engine.t(spark, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").createOrReplaceTempView(view)
+    val running = graft.server.HttpSqlEndpoint.start(spark, 0)
+    try {
+      val toInsert = o.filter(col("o_orderstatus") =!= "F")
+      val body = new java.io.ByteArrayOutputStream()
+      graft.server.HttpSqlEndpoint.render(toInsert, "TabSeparated", body)
+      val insConn = new java.net.URL(running.url + "/?query=" +
+        java.net.URLEncoder.encode(s"INSERT INTO $view FORMAT TabSeparated", "UTF-8"))
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      insConn.setRequestMethod("POST")
+      insConn.setDoOutput(true)
+      insConn.getOutputStream.write(body.toByteArray)
+      require(insConn.getResponseCode == 200,
+        s"INSERT over HTTP failed: ${insConn.getResponseCode}")
+      insConn.disconnect()
+      val q =
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+           |FROM $view
+           |GROUP BY o_orderstatus
+           |ORDER BY o_orderstatus
+           |FORMAT TabSeparatedWithNames""".stripMargin
+      val conn = new java.net.URL(running.url + "/")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(q.getBytes("UTF-8"))
+      val resp = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      conn.disconnect()
+      val lines = resp.split("\n").filter(_.nonEmpty)
+      require(lines.head == "o_orderstatus\tn\tsum_price",
+        s"unexpected TSV header: ${lines.head}")
+      import spark.implicits._
+      lines.tail.toSeq.map { l =>
+        val f = l.split("\t", -1)
+        (f(0), f(1).toLong, f(2).toDouble) // Double.toString round-trips exactly
+      }.toDF("o_orderstatus", "n", "sum_price")
+    } finally running.stop()
+  }
+
   val queries: Map[String, Q] = Map(
     "a20_http_server" -> (a20HttpServer _),
+    "a21_http_insert" -> (a21HttpInsert _),
     "a19_tables" -> (a19Tables _),
     "a17_columns" -> (a17Columns _),
     "a11_build_options" -> (a11BuildOptions _),
@@ -247,6 +309,14 @@ object SystemTables {
     "i5_explain" -> (i5Explain _))
 
   val oracles: Map[String, String] = Map(
+    // The ingested view is base('F') ∪ inserted(non-'F') == the whole
+    // orders table; the oracle aggregates the full base parquet.
+    "a21_http_insert" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "a20_http_server" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price

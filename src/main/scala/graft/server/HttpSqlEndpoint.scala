@@ -8,7 +8,8 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.time.format.DateTimeFormatter
 import java.time.ZoneOffset
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types._
 
 /** The reference's primary operating mode is a LONG-LIVED SQL service:
@@ -28,11 +29,29 @@ import org.apache.spark.sql.types._
   *   - trailing `FORMAT <name>` clause, or `?default_format=`;
   *     default TabSeparated, like CH over HTTP.
   *   - formats: TabSeparated(Raw/WithNames), CSV(WithNames),
-  *     JSONEachRow, JSON (meta/data/rows envelope, CH type names,
-  *     Int64 quoted per CH's output_format_json_quote_64bit_integers
-  *     default), Values, Pretty, Null.
-  *   - errors → HTTP 500 with `Code: N. DB::Exception:`-style text and
-  *     the `X-ClickHouse-Exception-Code` header.
+  *     JSONEachRow, JSON (meta/data/rows envelope, data rows as
+  *     column-keyed OBJECTS per CH's JSON format; Int64 quoted per
+  *     output_format_json_quote_64bit_integers default), JSONCompact
+  *     (same envelope, rows as positional arrays),
+  *     JSONCompactEachRow, Values, Pretty (capped at 10,000 rows like
+  *     CH's Pretty family), Null.
+  *   - **INSERT ingest** (VERDICT r17 next #2 — port 8123 is CH's
+  *     ingest door too): `INSERT INTO t [(cols)] FORMAT
+  *     TabSeparated|CSV|JSONEachRow` with the data block in the POST
+  *     body, and `INSERT INTO t [(cols)] VALUES (…),(…)` inline.
+  *     Rows are type-cast to the target view's schema, appended to a
+  *     per-table parquet ingest dir, and the view is re-registered as
+  *     base ∪ ingested — the A9 append path behind a wire protocol.
+  *   - errors → `Code: N. DB::Exception:`-style text with the
+  *     `X-ClickHouse-Exception-Code` header; N maps the common cases
+  *     (60 UNKNOWN_TABLE → HTTP 404, 62 SYNTAX_ERROR / 73
+  *     UNKNOWN_FORMAT / 47 UNKNOWN_IDENTIFIER / 46 UNKNOWN_FUNCTION →
+  *     HTTP 400, everything else 1002/500) like CH's
+  *     exceptionCodeToHTTPStatus. A failure AFTER the 200 header has
+  *     streamed cannot change the status line (same as CH without
+  *     wait_end_of_query); the handler appends a recognizable
+  *     `Code: N. DB::Exception:` trailer to the truncated body
+  *     instead of crashing the exchange.
   *
   * Scale notes: the handler pool serves queries concurrently (a
   * SparkSession is thread-safe; each request is an independent job),
@@ -41,7 +60,9 @@ import org.apache.spark.sql.types._
   * 100 TB-scale result never materializes on the driver. The terminal
   * collect-to-client is inherent to any wire protocol, not a plan
   * defect; everything upstream of the iterator is a normal distributed
-  * plan.
+  * plan. INSERT bodies are driver-resident by nature (they arrive on
+  * the socket) — the same bounded "insert block" CH's HTTP ingest
+  * holds; bulk loads at scale go through the A9 distributed writers.
   */
 object HttpSqlEndpoint {
 
@@ -77,7 +98,12 @@ object HttpSqlEndpoint {
   }
 
   private final class QueryHandler(spark: SparkSession) extends HttpHandler {
-    override def handle(ex: HttpExchange): Unit =
+    override def handle(ex: HttpExchange): Unit = {
+      // Once the 200 header is out the status line is immutable; a
+      // later failure must degrade to an in-body trailer, not a second
+      // sendResponseHeaders (which throws from inside the catch and
+      // leaves the client a bare truncated body).
+      var streamingOut: OutputStream = null
       try {
         val params = parseParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
@@ -89,37 +115,84 @@ object HttpSqlEndpoint {
           case (p, b)   => p + "\n" + b // CH: param is the query head, body the tail
         }
         if (text.isEmpty) respond(ex, 200, "Ok.\n", "text/plain")
-        else {
-          val (sql, fmtClause) = graft.ChSql.splitFormat(text)
-          val fmt = fmtClause.orElse(params.get("default_format")).getOrElse("TabSeparated")
-          // Analysis (parse/resolve) happens BEFORE the 200 header goes
-          // out so bad SQL still gets a clean 500; execution errors
-          // after streaming starts truncate the body (CH has the same
-          // split without wait_end_of_query).
-          requireKnownFormat(fmt) // reject before the 200 goes out
-          val df = graft.ChSql.sql(spark, sql)
-          df.schema // force analysis
-          val headers = ex.getResponseHeaders
-          headers.set("Content-Type", contentType(fmt))
-          headers.set("X-ClickHouse-Format", fmt)
-          ex.sendResponseHeaders(200, 0) // chunked
-          val out = ex.getResponseBody
-          try { render(df, fmt, out): Unit } finally out.close()
+        else InsertRe.findFirstMatchIn(text) match {
+          case Some(m) =>
+            val written = HttpIngest.insert(spark, m)
+            // CH answers an INSERT with an empty 200 + summary header
+            ex.getResponseHeaders.set("X-ClickHouse-Summary",
+              s"""{"written_rows":"$written"}""")
+            respond(ex, 200, "", "text/plain")
+          case None =>
+            val (sql, fmtClause) = graft.ChSql.splitFormat(text)
+            val fmt = fmtClause.orElse(params.get("default_format")).getOrElse("TabSeparated")
+            // Analysis (parse/resolve) happens BEFORE the 200 header goes
+            // out so bad SQL still gets a clean 4xx/5xx; execution errors
+            // after streaming starts truncate the body (CH has the same
+            // split without wait_end_of_query).
+            requireKnownFormat(fmt) // reject before the 200 goes out
+            val df = graft.ChSql.sql(spark, sql)
+            df.schema // force analysis
+            val headers = ex.getResponseHeaders
+            headers.set("Content-Type", contentType(fmt))
+            headers.set("X-ClickHouse-Format", fmt)
+            ex.sendResponseHeaders(200, 0) // chunked
+            streamingOut = ex.getResponseBody
+            try { render(df, fmt, streamingOut): Unit } finally streamingOut.close()
         }
       } catch {
         case e: Throwable =>
-          val msg = s"Code: 62. DB::Exception: ${Option(e.getMessage).getOrElse(e.toString)}\n"
-          ex.getResponseHeaders.set("X-ClickHouse-Exception-Code", "62")
-          respond(ex, 500, msg, "text/plain")
+          val code = chErrorCode(e)
+          val msg = s"Code: $code. DB::Exception: ${Option(e.getMessage).getOrElse(e.toString)}\n"
+          if (streamingOut == null) {
+            ex.getResponseHeaders.set("X-ClickHouse-Exception-Code", code.toString)
+            respond(ex, httpStatus(code), msg, "text/plain")
+          } else {
+            // Mid-stream failure: the 200 already went out. Mark the
+            // truncation in-band (CH appends the exception text too)
+            // and swallow socket errors — the client may be gone.
+            try { streamingOut.write(msg.getBytes(UTF_8)); streamingOut.close() }
+            catch { case _: Throwable => }
+          }
       } finally ex.close()
+    }
+  }
+
+  /** Spark exception → the CH error code the reference's clients
+    * branch on (public CH ErrorCodes.cpp names; common cases only —
+    * anything unrecognized reports 1002 UNKNOWN_EXCEPTION). */
+  private def chErrorCode(e: Throwable): Int = e match {
+    case _: org.apache.spark.sql.catalyst.parser.ParseException => 62 // SYNTAX_ERROR
+    case a: org.apache.spark.sql.AnalysisException =>
+      val cond = Option(a.getCondition).getOrElse("")
+      if (cond.contains("TABLE_OR_VIEW_NOT_FOUND")) 60            // UNKNOWN_TABLE
+      else if (cond.contains("UNRESOLVED_COLUMN") ||
+        cond.contains("UNRESOLVED_FIELD")) 47                     // UNKNOWN_IDENTIFIER
+      else if (cond.contains("UNRESOLVED_ROUTINE")) 46            // UNKNOWN_FUNCTION
+      else 62                                                     // reads as bad SQL
+    case i: IllegalArgumentException
+      if Option(i.getMessage).exists(_.contains("nknown output format")) => 73 // UNKNOWN_FORMAT
+    case i: IllegalArgumentException
+      if Option(i.getMessage).exists(_.contains("nknown input format")) => 73
+    case _: IllegalArgumentException => 62 // ChSql rewrite refusals read as bad SQL
+    case _ => 1002                                                // UNKNOWN_EXCEPTION
+  }
+
+  /** CH's exceptionCodeToHTTPStatus, for the codes this endpoint emits:
+    * UNKNOWN_TABLE → 404, client-side errors → 400, the rest → 500. */
+  private def httpStatus(chCode: Int): Int = chCode match {
+    case 60                => 404
+    case 46 | 47 | 62 | 73 => 400
+    case _                 => 500
   }
 
   private def respond(ex: HttpExchange, code: Int, bodyText: String, ct: String): Unit = {
     val bytes = bodyText.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", s"$ct; charset=UTF-8")
-    ex.sendResponseHeaders(code, bytes.length.toLong)
+    // sendResponseHeaders(code, 0) means CHUNKED; an empty fixed-length
+    // body (the INSERT ack) must pass -1 per the JDK contract.
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1L else bytes.length.toLong)
     val out = ex.getResponseBody
-    try out.write(bytes) finally out.close()
+    try { if (bytes.nonEmpty) out.write(bytes) } finally out.close()
   }
 
   private def parseParams(raw: String): Map[String, String] =
@@ -131,7 +204,8 @@ object HttpSqlEndpoint {
     }.toMap
 
   private def contentType(fmt: String): String = norm(fmt) match {
-    case "json" | "jsoneachrow" => "application/json; charset=UTF-8"
+    case "json" | "jsoneachrow" | "jsoncompact" | "jsoncompacteachrow" =>
+      "application/json; charset=UTF-8"
     case "csv" | "csvwithnames" => "text/csv; charset=UTF-8"
     case _                      => "text/tab-separated-values; charset=UTF-8"
   }
@@ -141,14 +215,141 @@ object HttpSqlEndpoint {
   private val knownFormats = Set(
     "tabseparated", "tsv", "tabseparatedwithnames", "tsvwithnames",
     "tabseparatedraw", "tsvraw", "csv", "csvwithnames", "jsoneachrow",
-    "json", "values", "pretty", "prettycompact", "null")
+    "json", "jsoncompact", "jsoncompacteachrow", "values", "pretty",
+    "prettycompact", "null")
   private def requireKnownFormat(fmt: String): Unit =
     require(knownFormats.contains(norm(fmt)), s"Unknown output format: $fmt")
+
+  // ---- INSERT ingest --------------------------------------------------
+
+  /** `INSERT INTO t [(cols)] FORMAT fmt\ndata…` or
+    * `INSERT INTO t [(cols)] VALUES (…),(…)`. Group 1 = table,
+    * 2 = column list, 3 = format name, 4 = data block, 5 = VALUES tail. */
+  private val InsertRe =
+    ("(?is)^\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?\\s*" +
+      "(?:\\(([^)]*)\\)\\s*)?" +
+      "(?:FORMAT\\s+([A-Za-z][A-Za-z0-9_]*)[ \\t]*\\r?\\n?(.*)|VALUES\\s+(.+))$").r
+
+  /** The ingest path behind the wire protocol: parsed rows append to a
+    * per-table parquet dir and the temp view is re-registered as
+    * base ∪ ingested (fresh `spark.read.parquet` each time — a temp
+    * view snapshots its file listing, so re-registration is what makes
+    * new files visible). The base DataFrame is captured at FIRST
+    * insert; re-registering the view externally afterwards (e.g.
+    * `registerAll` with a different sf dir) resets nothing here —
+    * long-lived-server scope, one catalog per process. */
+  private object HttpIngest {
+    private final case class State(orig: DataFrame, dir: String)
+    private val reg = new java.util.concurrent.ConcurrentHashMap[String, State]()
+
+    def insert(spark: SparkSession, m: scala.util.matching.Regex.Match): Long = {
+      val table = m.group(1)
+      val target = spark.table(table) // unknown table → AnalysisException → CH code 60
+      val schema = target.schema
+      val cols: Seq[String] = Option(m.group(2)) match {
+        case Some(list) => list.split(",").map(_.trim.replace("`", "")).toSeq
+        case None       => schema.fieldNames.toSeq
+      }
+      cols.foreach(c => require(schema.fieldNames.contains(c),
+        s"INSERT column '$c' not in table '$table'"))
+      val sub = StructType(cols.map(c => schema(schema.fieldIndex(c))))
+      val parsed = Option(m.group(3)) match {
+        case Some(fmt) => parseData(spark, sub, fmt, Option(m.group(4)).getOrElse(""))
+        case None      => parseValues(spark, sub, m.group(5))
+      }
+      // Missing columns fill with NULL, CH's input default for
+      // Nullable columns; order realigns to the table schema.
+      val aligned = parsed.select(schema.map { f =>
+        if (cols.contains(f.name)) col(f.name) else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+      val n = aligned.count()
+      val key = table.toLowerCase
+      val st = reg.computeIfAbsent(key,
+        _ => State(target, graft.Engine.scratch(spark, "http", s"ingest_$key")))
+      st.synchronized {
+        aligned.write.mode("append").parquet(st.dir)
+        st.orig.unionByName(spark.read.parquet(st.dir)).createOrReplaceTempView(table)
+      }
+      n
+    }
+
+    /** `VALUES (…),(…)` — hand the tuple list to Spark's own inline-
+      * table parser, then cast positionally to the target columns. */
+    private def parseValues(spark: SparkSession, sub: StructType, tail: String): DataFrame = {
+      val df = spark.sql(s"SELECT * FROM VALUES ${tail.trim.stripSuffix(";")}")
+      require(df.columns.length == sub.length,
+        s"INSERT VALUES arity ${df.columns.length} != ${sub.length} target columns")
+      df.toDF(sub.fieldNames.toIndexedSeq: _*)
+        .select(sub.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    }
+
+    /** Data-block formats. CSV/JSONEachRow parse through Spark's own
+      * readers over an in-memory Dataset[String]; TabSeparated honors
+      * CH's escaping (\t \n \\ and \N null) with a per-field unescape
+      * then a schema cast. CH's text timestamp shape is
+      * `yyyy-MM-dd HH:mm:ss` (the renderer's tsFmt), pinned on the
+      * readers so ingest round-trips the endpoint's own output. */
+    private def parseData(spark: SparkSession, sub: StructType, fmt: String, data: String): DataFrame = {
+      val allLines = data.split("\n").iterator
+        .map(_.stripSuffix("\r")).filter(_.nonEmpty).toSeq
+      def dropHeader(n: String) = if (n.endsWith("withnames")) allLines.drop(1) else allLines
+      val n = norm(fmt)
+      n match {
+        case "csv" | "csvwithnames" =>
+          val ds = spark.createDataset(dropHeader(n))(Encoders.STRING)
+          spark.read.schema(sub)
+            .option("nullValue", "\\N")
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+            .csv(ds)
+        case "jsoneachrow" =>
+          val ds = spark.createDataset(allLines)(Encoders.STRING)
+          spark.read.schema(sub)
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+            .json(ds)
+        case "tabseparated" | "tsv" | "tabseparatedwithnames" | "tsvwithnames" =>
+          val strSchema = StructType(sub.map(f => StructField(f.name, StringType, nullable = true)))
+          val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+          dropHeader(n).foreach { l =>
+            val fields = l.split("\t", -1)
+            require(fields.length == sub.length,
+              s"TSV row has ${fields.length} fields, expected ${sub.length}: $l")
+            rows.add(Row.fromSeq(fields.toIndexedSeq.map(f =>
+              if (f == "\\N") null else tsvUnescape(f))))
+          }
+          spark.createDataFrame(rows, strSchema)
+            .select(sub.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+        case other =>
+          throw new IllegalArgumentException(s"Unknown input format: $other")
+      }
+    }
+
+    private def tsvUnescape(s: String): String = {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 't'  => sb.append('\t'); i += 2
+            case 'n'  => sb.append('\n'); i += 2
+            case 'r'  => sb.append('\r'); i += 2
+            case '\\' => sb.append('\\'); i += 2
+            case o    => sb.append(c); sb.append(o); i += 2
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+  }
 
   // ---- rendering ----------------------------------------------------
 
   private val tsFmt =
     DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss").withZone(ZoneOffset.UTC)
+
+  /** Pretty is a human console format and buffers (column widths need
+    * the data) — cap it like CH's Pretty family caps display rows. */
+  private val prettyMaxRows = 10000
 
   /** Stream `df` in CH output format `fmt` to `out` — one row at a
     * time off `toLocalIterator()`, never a full collect. Returns the
@@ -161,6 +362,27 @@ object HttpSqlEndpoint {
     def eachRow(d: DataFrame)(f: Row => Unit): Unit = {
       val it = d.toLocalIterator()
       while (it.hasNext) { f(it.next()); emitted += 1 }
+    }
+    // one JSON object per row, column-keyed — shared by JSONEachRow
+    // and the JSON envelope (CH's JSON data rows are objects; the
+    // positional-array shape is JSONCompact)
+    def jsonObjRow(r: Row): String =
+      names.indices.map(i =>
+        jsonString(names(i)) + ":" + jsonValue(r, i, schema(i).dataType))
+        .mkString("{", ",", "}")
+    def jsonArrRow(r: Row): String =
+      names.indices.map(i => jsonValue(r, i, schema(i).dataType)).mkString("[", ",", "]")
+    def jsonEnvelope(rowText: Row => String): Unit = {
+      val meta = schema.fields.map(f =>
+        s"""{"name":${jsonString(f.name)},"type":${jsonString(chTypeName(f.dataType, f.nullable))}}""")
+      write(s"""{"meta":[${meta.mkString(",")}],"data":[""")
+      var n = 0L
+      eachRow(df) { r =>
+        if (n > 0) write(",")
+        write(rowText(r))
+        n += 1
+      }
+      write(s"""],"rows":$n}""" + "\n")
     }
     norm(fmt) match {
       case "tabseparated" | "tsv" =>
@@ -176,21 +398,13 @@ object HttpSqlEndpoint {
         write(names.map(csvQuote).mkString(",") + "\n")
         eachRow(df)(r => write(csvLine(r, schema)))
       case "jsoneachrow" =>
-        eachRow(df) { r =>
-          val fields = names.indices.map(i => jsonString(names(i)) + ":" + jsonValue(r, i, schema(i).dataType))
-          write(fields.mkString("{", ",", "}") + "\n")
-        }
+        eachRow(df)(r => write(jsonObjRow(r) + "\n"))
+      case "jsoncompacteachrow" =>
+        eachRow(df)(r => write(jsonArrRow(r) + "\n"))
       case "json" =>
-        val meta = schema.fields.map(f =>
-          s"""{"name":${jsonString(f.name)},"type":${jsonString(chTypeName(f.dataType, f.nullable))}}""")
-        write(s"""{"meta":[${meta.mkString(",")}],"data":[""")
-        var n = 0L
-        eachRow(df) { r =>
-          if (n > 0) write(",")
-          write(names.indices.map(i => jsonValue(r, i, schema(i).dataType)).mkString("[", ",", "]"))
-          n += 1
-        }
-        write(s"""],"rows":$n}""" + "\n")
+        jsonEnvelope(jsonObjRow)
+      case "jsoncompact" =>
+        jsonEnvelope(jsonArrRow)
       case "values" =>
         var first = true
         eachRow(df) { r =>
@@ -200,11 +414,14 @@ object HttpSqlEndpoint {
         }
         write("\n")
       case "pretty" | "prettycompact" =>
-        // Pretty buffers (column widths need the data) — it's a human
-        // console format; programmatic reads use the streaming ones.
-        val rows = df.collect()
-        emitted = rows.length.toLong
-        val cells = rows.map(r => names.indices.map(i => textValue(r, i, schema)).toArray)
+        // Buffers up to the cap (column widths need the data); CH's
+        // Pretty caps at 10,000 rows the same way and notes the cut.
+        val it = df.toLocalIterator()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        while (it.hasNext && buf.length < prettyMaxRows) buf += it.next()
+        val truncated = it.hasNext
+        emitted = buf.length.toLong
+        val cells = buf.map(r => names.indices.map(i => textValue(r, i, schema)).toArray)
         val widths = names.indices.map(i =>
           math.max(names(i).length, if (cells.isEmpty) 0 else cells.map(_(i).length).max)).toArray
         def bar(l: String, m: String, r: String): String =
@@ -215,6 +432,7 @@ object HttpSqlEndpoint {
         cells.foreach(c =>
           write(names.indices.map(i => " " + c(i).padTo(widths(i), ' ') + " ").mkString("│", "│", "│") + "\n"))
         write(bar("└", "┴", "┘"))
+        if (truncated) write(s"Showed first $prettyMaxRows.\n")
       case "null" =>
         eachRow(df)(_ => ()) // execute, emit nothing (CH's Null format)
       case other =>

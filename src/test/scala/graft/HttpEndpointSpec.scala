@@ -74,13 +74,25 @@ class HttpEndpointSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == """{"n":"7","a":[1,2],"z":null}""" + "\n")
   }
 
-  test("FORMAT JSON: meta carries CH type names, rows counted") {
+  test("FORMAT JSON: meta carries CH type names, data rows are column-keyed OBJECTS") {
     val out = get(
       "SELECT CAST(1 AS INT) AS i, 'x' AS s, CAST(2.5 AS DOUBLE) AS d FORMAT JSON")
     assert(out.contains(""""name":"i","type":"Int32""""))
     assert(out.contains(""""name":"s","type":"String""""))
     assert(out.contains(""""name":"d","type":"Float64""""))
     assert(out.contains(""""rows":1"""))
+    // CH's JSON format emits each data row as an object keyed by column
+    // name (ADVICE r17); the positional-array shape is JSONCompact.
+    assert(out.contains(""""data":[{"i":1,"s":"x","d":2.5}]"""))
+  }
+
+  test("FORMAT JSONCompact: same envelope, data rows as positional arrays") {
+    val out = get(
+      "SELECT CAST(1 AS INT) AS i, 'x' AS s FORMAT JSONCompact")
+    assert(out.contains(""""data":[[1,"x"]]"""))
+    assert(out.contains(""""rows":1"""))
+    assert(get("SELECT CAST(1 AS INT) AS i, 'x' AS s FORMAT JSONCompactEachRow") ==
+      "[1,\"x\"]\n")
   }
 
   test("default_format param applies when the query has no FORMAT clause") {
@@ -112,11 +124,15 @@ class HttpEndpointSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == s"$direct\n")
   }
 
-  test("bad SQL → HTTP 500 with DB::Exception-style body and header") {
-    val enc = URLEncoder.encode("SELECT FROM WHERE", "UTF-8")
+  test("bad SQL → HTTP 400 with Code: 62 body and header (CH status mapping)") {
+    val enc = URLEncoder.encode("SELEC 1 FRM dual", "UTF-8")
     val (code, out, headers) = http("GET", s"/?query=$enc")
-    assert(code == 500)
+    assert(code == 400) // CH maps SYNTAX_ERROR to 400, not 500
     assert(out.startsWith("Code: 62. DB::Exception:"))
+    // unresolved identifiers get their own CH code (47), not 62
+    val enc47 = URLEncoder.encode("SELECT no_such_col FROM region", "UTF-8")
+    val (c47, o47, _) = http("GET", s"/?query=$enc47")
+    assert(c47 == 400 && o47.startsWith("Code: 47."))
     // com.sun.net.httpserver.Headers normalizes header-name casing
     val exCode = headers.collectFirst {
       case (k, v) if k.equalsIgnoreCase("X-ClickHouse-Exception-Code") => v
@@ -124,9 +140,55 @@ class HttpEndpointSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exCode.contains("62"))
   }
 
-  test("unknown FORMAT → HTTP 500, not a silent default") {
+  test("unknown table → HTTP 404 with Code: 60 (UNKNOWN_TABLE)") {
+    val enc = URLEncoder.encode("SELECT * FROM no_such_table_xyz", "UTF-8")
+    val (code, out, _) = http("GET", s"/?query=$enc")
+    assert(code == 404)
+    assert(out.startsWith("Code: 60. DB::Exception:"))
+  }
+
+  test("unknown FORMAT → HTTP 400 with Code: 73, not a silent default") {
     val enc = URLEncoder.encode("SELECT 1 FORMAT NoSuchFormat", "UTF-8")
-    assert(http("GET", s"/?query=$enc")._1 == 500)
+    val (code, out, _) = http("GET", s"/?query=$enc")
+    assert(code == 400)
+    assert(out.startsWith("Code: 73. DB::Exception:"))
+  }
+
+  test("INSERT VALUES + FORMAT TabSeparated/CSV/JSONEachRow round-trip") {
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((1L, "one", 1.5)).toDF("k", "s", "v").createOrReplaceTempView("ins_spec")
+    // inline VALUES, with a column subset (missing col → NULL)
+    val enc1 = URLEncoder.encode("INSERT INTO ins_spec (k, s) VALUES (2, 'two')", "UTF-8")
+    val (c1, _, h1) = http("POST", s"/?query=$enc1")
+    assert(c1 == 200)
+    assert(h1.exists { case (k, v) =>
+      k.equalsIgnoreCase("X-ClickHouse-Summary") && v.contains("\"written_rows\":\"1\"") })
+    // TSV block in the POST body, CH escaping (\t in a value, \N null)
+    val enc2 = URLEncoder.encode("INSERT INTO ins_spec FORMAT TabSeparated", "UTF-8")
+    assert(http("POST", s"/?query=$enc2", "3\tth\\tree\t\\N")._1 == 200)
+    // JSONEachRow block
+    val enc3 = URLEncoder.encode("INSERT INTO ins_spec FORMAT JSONEachRow", "UTF-8")
+    assert(http("POST", s"/?query=$enc3", """{"k":4,"s":"four","v":4.25}""")._1 == 200)
+    // CSV block with a quoted comma
+    val enc4 = URLEncoder.encode("INSERT INTO ins_spec FORMAT CSV", "UTF-8")
+    assert(http("POST", s"/?query=$enc4", "5,\"fi,ve\",5.5")._1 == 200)
+    val out = get("SELECT k, s, v FROM ins_spec ORDER BY k")
+    assert(out ==
+      "1\tone\t1.5\n2\ttwo\t\\N\n3\tth\\tree\t\\N\n4\tfour\t4.25\n5\tfi,ve\t5.5\n")
+  }
+
+  test("INSERT into an unknown table → 404 / Code: 60") {
+    val enc = URLEncoder.encode("INSERT INTO no_such_ingest_tbl VALUES (1)", "UTF-8")
+    val (code, out, _) = http("POST", s"/?query=$enc")
+    assert(code == 404 && out.startsWith("Code: 60."))
+  }
+
+  test("Pretty caps at 10,000 rows like CH and notes the cut") {
+    val out = get("SELECT explode(sequence(1, 10050)) AS n FORMAT Pretty")
+    assert(out.endsWith("Showed first 10000.\n"))
+    // 10000 data rows + header row + 3 bars + the cut note
+    assert(out.linesIterator.count(_.startsWith("│")) == 10001)
   }
 
   test("Pretty renders a box table; Null executes and emits nothing") {
