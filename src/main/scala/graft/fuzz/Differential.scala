@@ -542,6 +542,18 @@ object Differential {
 
   private def chname(s: Long): String = s"fzch${s}_${PlanGen.generateChSql(s).shape}"
 
+  /** Frozen NESTED-ChSql seeds (round 18, VERDICT r17 #6), PINNED as
+    * literals: first seed of each sub-shape — inner `PREWHERE p WHERE
+    * w` merged within its own subquery scope (`chn_both`) and inner
+    * `PREWHERE p` terminated by the subquery's closing parenthesis
+    * (`chn_solo`). Same re-search contract in `DifferentialSpec`. */
+  val frozenChNestedSeeds: Seq[Long] = Seq(1L, 10L)
+
+  private[graft] val chNestedQuota = Map("chn_both" -> 1, "chn_solo" -> 1)
+
+  private def chnname(s: Long): String =
+    s"fzchn${s}_${PlanGen.generateChNested(s).shape}"
+
   /** The search the pinned round-15 families were selected by —
     * exposed so the spec can re-run it against the literals. */
   private[graft] def searchQuota(quota: Map[String, Int], shapeOf: Long => String): Seq[Long] =
@@ -613,7 +625,8 @@ object Differential {
       frozenStorageSeeds.map(s => stname(s) -> PlanGen.generateStorage(s).build).toMap ++
       frozenMapFnSeeds.map(s => mpname(s) -> viaSql(PlanGen.generateMapFn(s))).toMap ++
       frozenStrFnSeeds.map(s => sfname(s) -> viaSql(PlanGen.generateStrFn(s))).toMap ++
-      frozenChSqlSeeds.map(s => chname(s) -> viaChSql(PlanGen.generateChSql(s))).toMap
+      frozenChSqlSeeds.map(s => chname(s) -> viaChSql(PlanGen.generateChSql(s))).toMap ++
+      frozenChNestedSeeds.map(s => chnname(s) -> viaChSql(PlanGen.generateChNested(s))).toMap
 
   /** The DataFrame-API builders for the same frozen rows, keyed by the
     * same names — `DifferentialSpec` pins these equal to the SQL-text
@@ -657,7 +670,8 @@ object Differential {
       frozenStorageSeeds.map(s => stname(s) -> PlanGen.generateStorage(s).build).toMap ++
       frozenMapFnSeeds.map(s => mpname(s) -> PlanGen.generateMapFn(s).build).toMap ++
       frozenStrFnSeeds.map(s => sfname(s) -> PlanGen.generateStrFn(s).build).toMap ++
-      frozenChSqlSeeds.map(s => chname(s) -> PlanGen.generateChSql(s).build).toMap
+      frozenChSqlSeeds.map(s => chname(s) -> PlanGen.generateChSql(s).build).toMap ++
+      frozenChNestedSeeds.map(s => chnname(s) -> PlanGen.generateChNested(s).build).toMap
 
   def oracles: Map[String, String] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).duckSql).toMap ++
@@ -698,5 +712,6 @@ object Differential {
       frozenStorageSeeds.map(s => stname(s) -> PlanGen.generateStorage(s).duckSql).toMap ++
       frozenMapFnSeeds.map(s => mpname(s) -> PlanGen.generateMapFn(s).duckSql).toMap ++
       frozenStrFnSeeds.map(s => sfname(s) -> PlanGen.generateStrFn(s).duckSql).toMap ++
-      frozenChSqlSeeds.map(s => chname(s) -> PlanGen.generateChSql(s).duckSql).toMap
+      frozenChSqlSeeds.map(s => chname(s) -> PlanGen.generateChSql(s).duckSql).toMap ++
+      frozenChNestedSeeds.map(s => chnname(s) -> PlanGen.generateChNested(s).duckSql).toMap
 }

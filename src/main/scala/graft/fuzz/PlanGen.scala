@@ -2518,6 +2518,64 @@ object PlanGen {
       }
     }
 
+    /** NESTED ClickHouse-dialect text (round 18, VERDICT r17 #6) — a
+      * separate family (not a new runChSql branch) so the round-17
+      * frozen ChSql seed streams stay bit-stable. Fuzzes the
+      * scope-aware PREWHERE scanner: the clause sits INSIDE a
+      * subquery, where the old flat regex either failed to parse or
+      * captured across the boundary. Two sub-shapes:
+      *
+      *  - `chn_both`: inner `PREWHERE p1 WHERE p2` + an OUTER WHERE —
+      *    the scanner must merge p1 with p2 (its own clause) and leave
+      *    the outer predicate alone;
+      *  - `chn_solo`: inner `PREWHERE p1` terminated by the subquery's
+      *    closing parenthesis (no WHERE in scope) + outer grouped
+      *    rollup — the scanner's depth-drop terminator. */
+    def runChNested(): Generated = {
+      val t = pick(singles)
+      val p1 = filterFor(t)
+      val u1 = t.unique.head
+      val (gSql, gCol) =
+        if (t.cats.nonEmpty && maybe(0.6)) {
+          val c = pick(t.cats.keys.toSeq.sorted); (c, col(c))
+        } else {
+          val c = pick(t.ints); val m = 3 + rnd.nextInt(8)
+          (s"CAST($c % $m AS BIGINT)", (col(c) % m).cast("long"))
+        }
+      if (maybe(0.5)) {
+        val p2 = onePred(t)
+        val p3 = onePred(t)
+        val chText =
+          s"SELECT $gSql AS g, count(*) AS n, sum($u1) AS su FROM (" +
+            s"SELECT * FROM ${t.name} PREWHERE ${p1.sql} WHERE ${p2.sql}" +
+            s") WHERE ${p3.sql} GROUP BY $gSql ORDER BY g"
+        val duckSql =
+          s"SELECT $gSql AS g, count(*) AS n, CAST(sum($u1) AS BIGINT) AS su " +
+            s"FROM ${t.name} WHERE (${p1.sql}) AND (${p2.sql}) AND (${p3.sql}) " +
+            s"GROUP BY 1 ORDER BY 1"
+        val build = (s: SparkSession, dir: String) =>
+          Engine.t(s, dir, t.name).filter(p1.cond && p2.cond && p3.cond)
+            .groupBy(gCol.as("g"))
+            .agg(count(lit(1)).as("n"), sum(col(u1)).as("su"))
+            .orderBy("g")
+        Generated(seed, "chn_both", build, chText, duckSql)
+      } else {
+        val chText =
+          s"SELECT $gSql AS g, count(*) AS n, sum($u1) AS su FROM (" +
+            s"SELECT * FROM ${t.name} PREWHERE ${p1.sql}" +
+            s") GROUP BY $gSql ORDER BY g"
+        val duckSql =
+          s"SELECT $gSql AS g, count(*) AS n, CAST(sum($u1) AS BIGINT) AS su " +
+            s"FROM ${t.name} WHERE ${p1.sql} GROUP BY 1 ORDER BY 1"
+        val build = (s: SparkSession, dir: String) =>
+          Engine.t(s, dir, t.name).filter(p1.cond)
+            .groupBy(gCol.as("g"))
+            .agg(count(lit(1)).as("n"), sum(col(u1)).as("su"))
+            .orderBy("g")
+        Generated(seed, "chn_solo", build, chText, duckSql)
+      }
+    }
+
     /** Conditional-function plan (round 16) — the NULL-introducing /
       * NULL-eliminating scalar trio the CASE-based scalar family never
       * renders directly: greatest/least clamps, NULLIF, COALESCE
@@ -3518,4 +3576,7 @@ object PlanGen {
     * (PREWHERE / LIMIT n BY / WITH FILL); `sparkSql` is CH text meant
     * for `ChSql.sql`, NOT `spark.sql` — see [[Gen.runChSql]]. */
   def generateChSql(seed: Long): Generated = new Gen(seed).runChSql()
+
+  /** NESTED CH-dialect text (subquery PREWHERE) — see [[Gen.runChNested]]. */
+  def generateChNested(seed: Long): Generated = new Gen(seed).runChNested()
 }

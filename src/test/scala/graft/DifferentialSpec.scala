@@ -565,6 +565,30 @@ class DifferentialSpec extends AnyFunSuite {
     assert(nonEmpty >= 50, s"only $nonEmpty/100 chsql seeds non-empty")
   }
 
+  test("100 NESTED-ChSql plans: subquery PREWHERE rewrite equals the desugar (r18)") {
+    // VERDICT r17 #6: PREWHERE inside subqueries — the scope-aware
+    // scanner must merge each PREWHERE with its OWN clause's WHERE
+    // (chn_both) or terminate at the subquery's closing parenthesis
+    // (chn_solo), across random tables, predicates and groupings.
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var nonEmpty = 0
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateChNested(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaCh = rows(graft.ChSql.sql(spark, gen.sparkSql))
+      if (viaApi.nonEmpty) nonEmpty += 1
+      assert(viaApi == viaCh,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} chsql rows=${viaCh.size}" +
+          s"\n  chText: ${gen.sparkSql}\n  duckSql: ${gen.duckSql}")
+    }
+    assert(Set("chn_both", "chn_solo") == shapes.keySet.toSet,
+      s"chnested shape coverage hole: $shapes")
+    assert(nonEmpty >= 50, s"only $nonEmpty/100 chnested seeds non-empty")
+  }
+
   test("100 array-function plans: DataFrame build equals spark.sql rendering") {
     Engine.registerAll(spark, sf)
     val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
@@ -806,6 +830,10 @@ class DifferentialSpec extends AnyFunSuite {
       graft.fuzz.Differential.chSqlQuota, s => PlanGen.generateChSql(s).shape)
     assert(ch.sorted == graft.fuzz.Differential.frozenChSqlSeeds,
       s"generator moved the frozen chsql seeds: search=$ch — re-pin AND rename fzch* rows")
+    val chn = graft.fuzz.Differential.searchQuota(
+      graft.fuzz.Differential.chNestedQuota, s => PlanGen.generateChNested(s).shape)
+    assert(chn.sorted == graft.fuzz.Differential.frozenChNestedSeeds,
+      s"generator moved the frozen chnested seeds: search=$chn — re-pin AND rename fzchn* rows")
   }
 
   test("frozen round-15 pivot/explode seeds: pinned literals match the search") {

@@ -106,6 +106,61 @@ class SqlParitySpec extends AnyFunSuite {
     assert(solo.collect().head.getLong(0) == direct.count())
   }
 
+  test("ChSql: PREWHERE rewrites inside subqueries (scope-aware scanner)") {
+    Engine.registerAll(spark, sf)
+    // VERDICT r17 #6: a user pasting a nested PREWHERE used to get a
+    // parser error; the scope-aware scanner now merges each PREWHERE
+    // with ITS OWN clause's WHERE, never across a subquery boundary.
+    val ch = ChSql.sql(spark,
+      """SELECT o_orderstatus, count(*) AS n FROM (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  PREWHERE o_orderkey % 2 = 0
+        |  WHERE o_totalprice > 1000
+        |) WHERE o_totalprice < 400000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    val direct = Engine.t(spark, sf, "orders")
+      .filter("o_orderkey % 2 = 0 AND o_totalprice > 1000 AND o_totalprice < 400000")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+    assert(rows(ch) == rows(direct))
+    // inner PREWHERE terminated by the closing paren (no WHERE in scope)
+    assert(ChSql.rewrite(spark,
+      "SELECT * FROM (SELECT a FROM t PREWHERE a > 1) x WHERE a < 9") ==
+      "SELECT * FROM (SELECT a FROM t WHERE a > 1) x WHERE a < 9")
+    // a 'PREWHERE' inside a string literal is data, not syntax
+    assert(ChSql.rewrite(spark, "SELECT 'PREWHERE x' AS s FROM t") ==
+      "SELECT 'PREWHERE x' AS s FROM t")
+  }
+
+  test("ChSql: FINAL rewrites inside subqueries; WITH TOTALS anchors to its own GROUP BY") {
+    Engine.registerAll(spark, sf)
+    // nested FROM t FINAL (the pattern is table-anchored, any depth);
+    // b6b registers the orders_versioned view + its FINAL metadata
+    val b6 = ops.Basics.queries("b6b_final_sql")(spark, sf)
+    b6.collect()
+    val nested = ChSql.sql(spark,
+      """SELECT count(*) AS n FROM (
+        |  SELECT * FROM orders_versioned FINAL
+        |) WHERE o_orderkey >= 0""".stripMargin)
+    // FINAL collapses base∪updates to one row per sorting key
+    assert(nested.collect().head.getLong(0) ==
+      Engine.t(spark, sf, "orders").count())
+    // ADVICE r17: outer WITH TOTALS + a totals-less GROUP BY inside a
+    // subquery — the match must anchor to the LAST GROUP BY, not the
+    // first one in text order.
+    val q = ChSql.rewrite(spark,
+      """SELECT o_orderstatus, sum(n) AS total FROM (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders
+        |  GROUP BY o_orderstatus, o_orderpriority
+        |) GROUP BY o_orderstatus WITH TOTALS""".stripMargin)
+    assert(q.contains("GROUP BY o_orderstatus, o_orderpriority"),
+      s"inner GROUP BY must stay untouched:\n$q")
+    assert(q.contains("GROUP BY GROUPING SETS ((o_orderstatus), ())"),
+      s"outer WITH TOTALS must become the two-set lattice:\n$q")
+    val got = ChSql.sql(spark, q)
+    assert(got.count() == 4) // F, O, P + the all-NULL totals row
+  }
+
   test("ChSql dialect front door: FROM t FINAL text equals the b6 builder") {
     Engine.registerAll(spark, sf)
     val ch = ops.Basics.queries("b6b_final_sql")(spark, sf)
