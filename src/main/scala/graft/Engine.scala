@@ -79,6 +79,19 @@ object Engine {
     s"$root/$name"
   }
 
+  /** Width of the range exchange in the staged-rank patterns
+    * (DistRank / stagedCumOffsets / i4b / zorderWrite). A fixed literal
+    * is correct at local[32] but wrong at scale — 32 range partitions
+    * over 100 TB is ~3 TB per partition (VERDICT r17 #3). Default =
+    * `defaultParallelism` (the cluster's actual width); the
+    * surrounding algebra (per-partition counts → broadcast offsets) is
+    * width-independent, which `DistRankSpec` proves by re-running under
+    * a `SPARK_GRAFT_STAGING_WIDTH` override. */
+  def stagingWidth(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.stagingWidth").map(_.toInt)
+      .orElse(sys.env.get("SPARK_GRAFT_STAGING_WIDTH").map(_.toInt))
+      .getOrElse(spark.sparkContext.defaultParallelism)
+
   /** Deterministic per-sf cache path for IMMUTABLE derived data (e.g.
     * the staged streaming source files): survives across runs so a
     * `_SUCCESS`-gated staging step is paid once per machine, not once

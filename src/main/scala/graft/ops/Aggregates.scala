@@ -846,7 +846,7 @@ object Aggregates {
       byVal: DataFrame, sortCol: String, sumCols: Seq[String])
       : (DataFrame, Map[String, Long]) = {
     val staged = Engine.scratch(spark, dir, name)
-    byVal.repartitionByRange(32, col(sortCol))
+    byVal.repartitionByRange(Engine.stagingWidth(spark), col(sortCol))
       .sortWithinPartitions(sortCol)
       .withColumn("__pid", spark_partition_id())
       .write.mode("overwrite").parquet(staged)
@@ -1088,7 +1088,7 @@ object Aggregates {
     val stagedPath = Engine.scratch(spark, dir, "i4b_ranked")
     Engine.t(spark, dir, "orders")
       .select("o_totalprice", "o_orderkey")
-      .repartitionByRange(32, sortCols: _*)
+      .repartitionByRange(Engine.stagingWidth(spark), sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("pid", spark_partition_id())
       .write.mode("overwrite").parquet(stagedPath)

@@ -31,7 +31,7 @@ object DistRank {
   def ntile(spark: SparkSession, dir: String, name: String,
       df: DataFrame, sortCols: Seq[Column], k: Int, out: String): DataFrame = {
     val stagedPath = Engine.scratch(spark, dir, name)
-    df.repartitionByRange(32, sortCols: _*)
+    df.repartitionByRange(Engine.stagingWidth(spark), sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .write.mode("overwrite").parquet(stagedPath)
@@ -64,7 +64,7 @@ object DistRank {
     * [[ntile]], with the range exchange spreading each group across
     * MANY partitions: range-partition by (groupCols, sortCols), stage,
     * collect per-(group, partition) counts — driver state is
-    * n_groups × 32 rows, bounded when the group domain is (languages
+    * n_groups × stagingWidth rows, bounded when the group domain is (languages
     * here; the caller's contract) — then per-group exclusive offsets
     * broadcast back and ntile's remainder rule applied in closed form
     * from the per-group total, all in exact `div`/`%` arithmetic.
@@ -74,7 +74,7 @@ object DistRank {
       out: String): DataFrame = {
     val stagedPath = Engine.scratch(spark, dir, name)
     val partCols = groupCols.map(col) ++ sortCols
-    df.repartitionByRange(32, partCols: _*)
+    df.repartitionByRange(Engine.stagingWidth(spark), partCols: _*)
       .sortWithinPartitions(partCols: _*)
       .withColumn("__pid", spark_partition_id())
       .write.mode("overwrite").parquet(stagedPath)

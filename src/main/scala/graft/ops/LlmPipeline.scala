@@ -243,13 +243,19 @@ object LlmPipeline {
     * stage dedups them by text hash anyway — strictly more correct for
     * a dedup pipeline (exact copies must dedup regardless of length). */
   /** Stage 0: (doc_id → exact-duplicate representative). Only
-    * (doc_id, md5) pairs shuffle — never text. */
+    * (doc_id, md5) pairs shuffle — never text. Shape matters for skew
+    * (VERDICT r17 #4): a `Window.partitionBy(h)` lands every copy of a
+    * viral exact-duplicate (one text repeated 10⁹ times) on ONE window
+    * partition; `groupBy(h).agg(min)` + join back gets map-side
+    * partial aggregation — each task forwards one (h, min_id) row per
+    * hash — and the join back is hash-vs-hash equi (AQE skew-split
+    * handles the probe side). Bit-identical output; `PlanShapeSpec`
+    * pins the partial-agg shape. */
   private[graft] def exactRepMap(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("h")
-    Engine.t(spark, dir, "documents")
+    val pairs = Engine.t(spark, dir, "documents")
       .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
-      .withColumn("rep_id", min("doc_id").over(w))
-      .select("doc_id", "rep_id")
+    val reps = pairs.groupBy("h").agg(min("doc_id").as("rep_id"))
+    pairs.join(reps, "h").select("doc_id", "rep_id")
   }
 
   /** Stages 1–2 of l37: LSH candidates over exact-dedup

@@ -375,7 +375,9 @@ object Storage {
   /** Write the events table as a z-ordered (Morton-clustered) copy on
     * (user_id, ts) and return its path. Exposed for `ZOrderSpec`,
     * which quantifies the per-file skipping. */
-  /** Rewrite `ev` into a z-ordered 16-file layout at `out` — shared by
+  /** Rewrite `ev` into a z-ordered cluster-width file layout (≥16
+    * files so the skipping bound `ZOrderSpec` quantifies always has
+    * granularity to work with) at `out` — shared by
     * the fresh k20 write and the compact-after-churn path: K12
     * compaction over a clustered table re-runs THIS rewrite, restoring
     * locality that append churn destroyed (`ZOrderSpec` proves the
@@ -388,7 +390,7 @@ object Storage {
       .withColumn("z", zValue(col("user_id"), col("ulo"), col("uhi"),
         col("ts").cast("long"), col("tlo"), col("thi")))
       .drop("ulo", "uhi", "tlo", "thi")
-      .repartitionByRange(16, col("z"))
+      .repartitionByRange(math.max(16, Engine.stagingWidth(spark)), col("z"))
       .sortWithinPartitions("z")
       .write.mode("overwrite").parquet(out)
     out

@@ -21,7 +21,7 @@ class DistRankSpec extends AnyFunSuite {
   private def check(n: Int, k: Int, inputParts: Int, distinctVals: Int): Unit = {
     import spark.implicits._
     val rnd = new java.util.Random(n * 1000 + k * 10 + inputParts)
-    // few distinct values → long tie runs that MUST straddle the 32
+    // few distinct values → long tie runs that MUST straddle the
     // range partitions; id is the unique tiebreak making a total order
     val rows = (0 until n).map(i => (i.toLong, rnd.nextInt(distinctVals).toLong))
     val df = rows.toDF("id", "v").repartition(inputParts)
@@ -78,6 +78,22 @@ class DistRankSpec extends AnyFunSuite {
   test("grouped ntile is independent of input partitioning") {
     for (p <- Seq(1, 17, 64))
       checkGrouped(977, 3, nGroups = 5, inputParts = p, distinctVals = 2)
+  }
+
+  test("ranks are independent of the staging width (cluster-shape knob)") {
+    // VERDICT r17 #3: the range-exchange width is now
+    // Engine.stagingWidth (defaultParallelism / conf / env), not a
+    // literal 32. The offset algebra must give the same total order at
+    // ANY width — including width 1 (everything in one partition) and
+    // a width far above the row count (most partitions empty).
+    val key = "spark.graft.stagingWidth"
+    for (w <- Seq(1, 5, 61)) {
+      spark.conf.set(key, w.toString)
+      try {
+        check(997, 4, inputParts = 8, distinctVals = 3)
+        checkGrouped(490, 3, nGroups = 4, inputParts = 8, distinctVals = 2)
+      } finally spark.conf.unset(key)
+    }
   }
 
   test("grouped ntile with descending sort matches builtin") {

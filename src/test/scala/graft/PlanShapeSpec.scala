@@ -86,6 +86,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"Jaccard verify must stay candidate-sized (equi joins only), plan:\n$plan")
   }
 
+  test("l37 exact-rep map is a partial-agg shape, not a per-key window (viral-dup skew)") {
+    // VERDICT r17 #4: Window.partitionBy(h) puts every copy of a viral
+    // exact-duplicate on one task; groupBy(h).agg(min) gets map-side
+    // partial aggregation. Pin: at least one partial HashAggregate and
+    // zero WindowExec in the rep-map plan.
+    val df = ops.LlmPipeline.exactRepMap(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"rep map must not use a per-key window, plan:\n$plan")
+    assert(plan.contains("HashAggregate") && plan.contains("partial_min"),
+      s"expected partial-aggregating min per hash, plan:\n$plan")
+  }
+
   test("k10 read-back prunes yyyymm directories (PartitionFilters + fewer files touched)") {
     import org.apache.spark.sql.functions._
     // running the query performs the partitioned write and returns the
