@@ -670,6 +670,75 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  /** L49 (r18, VERDICT r17 #8): the FULL Lee et al. 2021 production
+    * chain composed end-to-end over a bounded doc prefix —
+    *
+    *   exact-collapse (md5 text hash → min-doc representative, l37's
+    *   stage 0) → exact-SUBSTRING removal over representatives (l48's
+    *   8-token first-occurrence transformation with per-doc text
+    *   reassembly) → near-dup verdict over the REBUILT texts
+    *   (3-shingle MD5 MinHash-LSH candidates, Jaccard ≥ 0.6 verify on
+    *   candidates only, min-label component election)
+    *
+    * with the verdict inherited back through the rep map per doc.
+    * This is the l38c full-composition-replay pattern with the
+    * substring-removal stage spliced into the middle: the DuckDB
+    * oracle independently replays EVERY stage (window rep-collapse,
+    * the l48 chunk/rebuild SQL, `md5_number_upper` signatures, brute
+    * candidate join, recursive-CTE reachability — a different CC
+    * algorithm than the label-propagation fixpoint) and the 300-row
+    * per-doc assignment hash-matches row-by-row. Plan shape: one
+    * chunk-key shuffle (per-chunk occurrence lists, bounded by each
+    * chunk's duplication count), one doc_id rebuild shuffle, banded
+    * LSH (never all-pairs), equi-join verify — the l37/l48 scale
+    * properties composed, nothing new materializes corpus-wide. */
+  private def l49DedupChain(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.t(spark, dir, "documents").filter(col("doc_id") < 300)
+    // stage 0: exact-collapse (bounded replay of exactRepMap)
+    val pairs = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val repsMin = pairs.groupBy("h").agg(min("doc_id").as("rep_id"))
+    val repMap = pairs.join(repsMin, "h").select("doc_id", "rep_id")
+    val reps = docs.join(
+      repMap.filter(col("doc_id") === col("rep_id")).select("doc_id"), "doc_id")
+    // stage 1: exact-substring removal over representatives (l48 form)
+    val t = toks
+    val nChunks = floor(size(t) / 8).cast("int")
+    val idxArr = when(nChunks > 0, sequence(lit(0), nChunks - 1))
+      .otherwise(array().cast("array<int>"))
+    val chunks = reps.select(col("doc_id"),
+      posexplode(transform(idxArr, i => array_join(slice(t, i * 8 + 1, lit(8)), " ")))
+        .as(Seq("idx", "chunk")))
+    val w = Window.partitionBy("chunk").orderBy(col("doc_id"), col("idx"))
+    val kept = chunks.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
+        x => x.getField("chunk")), " ").as("kept_text"))
+    val repText = reps.select("doc_id").join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("kept_text"), lit("")).as("kept_text"))
+    // stage 2: near-dup verdict over the REBUILT texts (l38c form)
+    val ktoks = filter(split(col("kept_text"), " "), x => x =!= "")
+    val withSg = repText.select(col("doc_id"), LlmText.ngrams(ktoks, 3).as("sg"))
+      .filter(size(col("sg")) > 0)
+    val bands = LlmText.md5LshBands(withSg)
+    val cand = bands.select(col("band"), col("sig"), col("doc_id").as("a"))
+      .join(bands.select(col("band"), col("sig"), col("doc_id").as("b")), Seq("band", "sig"))
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+    val grams = withSg.select(col("doc_id"), array_distinct(col("sg")).as("g"))
+    val inter = size(array_intersect(col("ga"), col("gb")))
+    val verified = cand
+      .join(grams.select(col("doc_id").as("a"), col("g").as("ga")), "a")
+      .join(grams.select(col("doc_id").as("b"), col("g").as("gb")), "b")
+      .filter((inter.cast("double") /
+        (size(col("ga")) + size(col("gb")) - inter).cast("double")) >= 0.6)
+      .select("a", "b")
+    val repLabels = minLabelComponents(spark, reps.select("doc_id"), verified)
+      .select(col("doc_id").as("rep_id"), col("label"))
+    docs.select("doc_id").join(repMap, "doc_id").join(repLabels, "rep_id")
+      .select(col("doc_id"), col("rep_id"), col("label").as("keep_id"),
+        (col("doc_id") === col("label")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
   /** L23: unigram-LM commonness score — the cheap "perplexity-ish"
     * quality proxy: mean corpus frequency of a document's tokens
     * (production pipelines run a KenLM; the plumbing — corpus-wide
@@ -939,6 +1008,7 @@ object LlmPipeline {
     "l46_ccnet_buckets" -> (l46CcnetBuckets _),
     "l47_gopher_rules" -> (l47GopherRules _),
     "l48_exact_substr_dedup" -> (l48ExactSubstrDedup _),
+    "l49_dedup_chain" -> (l49DedupChain _),
     "l20_decontaminate" -> (l20Decontaminate _),
     "l21_repetition_filter" -> (l21RepetitionFilter _),
     "l22_chunk_dedup" -> (l22ChunkDedup _),
@@ -1214,6 +1284,61 @@ object LlmPipeline {
         |SELECT doc_id, count(*) AS n_dup_spans, CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
         |  n_toks, round(CAST(sum(e - s + 1) AS DOUBLE) / CAST(n_toks AS DOUBLE), 6) AS dup_ratio
         |FROM sp GROUP BY doc_id, n_toks ORDER BY doc_id""".stripMargin,
+    // Full-chain replay of l49: rep-collapse window, the l48
+    // chunk/rebuild SQL over reps, shingles of the REBUILT text, the
+    // l38c md5_number_upper signature + brute candidate + verify +
+    // recursive-reachability stack, verdict inherited per doc.
+    "l49_dedup_chain" ->
+      """WITH RECURSIVE
+        |base AS (SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS tk
+        |  FROM documents WHERE doc_id < 300),
+        |rep AS (SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+        |  FROM base),
+        |reps AS (SELECT doc_id FROM rep WHERE doc_id = rep_id),
+        |ch AS (SELECT b.doc_id,
+        |    unnest(range(0, CAST(floor(len(tk) / 8) AS INT))) AS idx,
+        |    unnest(list_transform(range(0, CAST(floor(len(tk) / 8) AS INT)),
+        |      i -> array_to_string(tk[i*8+1:i*8+8], ' '))) AS chunk
+        |  FROM base b JOIN reps USING (doc_id)),
+        |k AS (SELECT doc_id, idx, chunk,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+        |  FROM ch),
+        |r AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS kept_text
+        |  FROM k WHERE rn = 1 GROUP BY doc_id),
+        |rt AS (SELECT reps.doc_id,
+        |    list_filter(string_split(coalesce(kept_text, ''), ' '), x -> x != '') AS kt
+        |  FROM reps LEFT JOIN r ON reps.doc_id = r.doc_id),
+        |sh AS (SELECT doc_id, list_transform(range(1, len(kt) - 1),
+        |    i -> kt[i] || ' ' || kt[i+1] || ' ' || kt[i+2]) AS sg
+        |  FROM rt WHERE len(kt) >= 3),
+        |u AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+        |mh AS (SELECT doc_id, r.range AS i,
+        |    min(md5_number_upper(CAST(r.range AS VARCHAR) || ':' || s)) AS m
+        |  FROM u, range(16) r GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, CAST(i // 2 AS INT) AS band,
+        |    string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS sig
+        |  FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        |dg AS (SELECT doc_id, list_distinct(sg) AS g FROM sh),
+        |p AS (SELECT c.a, c.b
+        |  FROM cand c JOIN dg ga ON ga.doc_id = c.a JOIN dg gb ON gb.doc_id = c.b
+        |  WHERE CAST(len(list_filter(ga.g, x -> list_contains(gb.g, x))) AS DOUBLE)
+        |      / CAST(len(ga.g) + len(gb.g)
+        |             - len(list_filter(ga.g, x -> list_contains(gb.g, x))) AS DOUBLE) >= 0.6),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM reps
+        |  UNION
+        |  SELECT e.a, r2.lbl FROM e JOIN reach r2 ON e.b = r2.node),
+        |comp AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node)
+        |SELECT rp.doc_id AS doc_id, rp.rep_id AS rep_id, c.lbl AS keep_id,
+        |  rp.doc_id = c.lbl AS is_keeper
+        |FROM rep rp JOIN comp c ON c.node = rp.rep_id
+        |ORDER BY doc_id""".stripMargin,
     "l48_exact_substr_dedup" ->
       """WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
         |  FROM documents),

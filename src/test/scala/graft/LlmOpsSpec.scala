@@ -64,6 +64,37 @@ class LlmOpsSpec extends AnyFunSuite {
       s"near-dup group must be co-assigned, got $splits")
   }
 
+  test("l49 chain: exact copies collapse, chunk-covered docs empty out, offset near-dups link") {
+    import spark.implicits._
+    // 80 distinct tokens → every 8-token chunk is globally unique
+    val words = (1 to 80).map(i => s"tok$i")
+    val a = words.mkString(" ")
+    val exactCopy = a
+    // one-token OFFSET defeats fixed non-overlapping chunking (no
+    // exact chunk match survives to stage 1) but keeps ~97% 3-shingle
+    // overlap — exactly the case the near-dup stage must catch AFTER
+    // substring removal (Lee et al.'s reason for running both)
+    val offset = ("intro " + a).split(" ").mkString(" ")
+    // all 10 chunks duplicate doc 1's chunks (reordered) → stage 1
+    // strips everything; the doc must end a SINGLETON, not linked
+    val reordered = words.grouped(8).toSeq.reverse.map(_.mkString(" ")).mkString(" ")
+    val far = (1 to 80).map(i => s"other$i").mkString(" ")
+    val staged = "/tmp/graft_io/test_l49"
+    Seq((1L, a), (2L, exactCopy), (3L, offset), (4L, reordered), (5L, far))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("t").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$staged/documents.parquet")
+    val v = SparkEntry.queries("l49_dedup_chain")(spark, staged).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(v(1L) == ((1L, 1L, true)), s"verdicts: $v")
+    assert(v(2L) == ((1L, 1L, false)), s"exact copy must inherit doc 1's verdict: $v")
+    assert(v(3L) == ((3L, 1L, false)), s"offset near-dup must link to doc 1: $v")
+    assert(v(4L) == ((4L, 4L, true)),
+      s"chunk-covered doc is fully substring-deduped, not near-dup-linked: $v")
+    assert(v(5L) == ((5L, 5L, true)), s"unrelated doc keeps itself: $v")
+  }
+
   test("l16 shard key is uniform across shards and independent of ingest order") {
     import spark.implicits._
     // chi-square uniformity over 16 shards on 32k sequential ids
