@@ -222,13 +222,16 @@ object HttpSqlEndpoint {
 
   // ---- INSERT ingest --------------------------------------------------
 
-  /** `INSERT INTO t [(cols)] FORMAT fmt\ndata…` or
-    * `INSERT INTO t [(cols)] VALUES (…),(…)`. Group 1 = table,
-    * 2 = column list, 3 = format name, 4 = data block, 5 = VALUES tail. */
+  /** `INSERT INTO t [(cols)] FORMAT fmt\ndata…`,
+    * `INSERT INTO t [(cols)] VALUES (…),(…)`, or
+    * `INSERT INTO t [(cols)] SELECT …` (CH's insert-select — the
+    * query side goes through the full ChSql dialect rewriter).
+    * Group 1 = table, 2 = column list, 3 = format name, 4 = data
+    * block, 5 = VALUES tail, 6 = SELECT/WITH query. */
   private val InsertRe =
     ("(?is)^\\s*INSERT\\s+INTO\\s+(?:TABLE\\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?\\s*" +
       "(?:\\(([^)]*)\\)\\s*)?" +
-      "(?:FORMAT\\s+([A-Za-z][A-Za-z0-9_]*)[ \\t]*\\r?\\n?(.*)|VALUES\\s+(.+))$").r
+      "(?:FORMAT\\s+([A-Za-z][A-Za-z0-9_]*)[ \\t]*\\r?\\n?(.*)|VALUES\\s+(.+)|((?:SELECT|WITH)\\b.+))$").r
 
   /** The ingest path behind the wire protocol: parsed rows append to a
     * per-table parquet dir and the temp view is re-registered as
@@ -253,9 +256,12 @@ object HttpSqlEndpoint {
       cols.foreach(c => require(schema.fieldNames.contains(c),
         s"INSERT column '$c' not in table '$table'"))
       val sub = StructType(cols.map(c => schema(schema.fieldIndex(c))))
-      val parsed = Option(m.group(3)) match {
-        case Some(fmt) => parseData(spark, sub, fmt, Option(m.group(4)).getOrElse(""))
-        case None      => parseValues(spark, sub, m.group(5))
+      val parsed = (Option(m.group(3)), Option(m.group(5)), Option(m.group(6))) match {
+        case (Some(fmt), _, _) => parseData(spark, sub, fmt, Option(m.group(4)).getOrElse(""))
+        case (_, Some(tail), _) => castPositional(sub,
+          spark.sql(s"SELECT * FROM VALUES ${tail.trim.stripSuffix(";")}"))
+        case (_, _, Some(sel)) => castPositional(sub, graft.ChSql.sql(spark, sel))
+        case _ => throw new IllegalArgumentException("INSERT: no data clause")
       }
       // Missing columns fill with NULL, CH's input default for
       // Nullable columns; order realigns to the table schema.
@@ -273,12 +279,12 @@ object HttpSqlEndpoint {
       n
     }
 
-    /** `VALUES (…),(…)` — hand the tuple list to Spark's own inline-
-      * table parser, then cast positionally to the target columns. */
-    private def parseValues(spark: SparkSession, sub: StructType, tail: String): DataFrame = {
-      val df = spark.sql(s"SELECT * FROM VALUES ${tail.trim.stripSuffix(";")}")
+    /** Positional cast onto the target columns — shared by the VALUES
+      * inline-table form and INSERT … SELECT (CH matches insert-select
+      * columns by POSITION, not name). */
+    private def castPositional(sub: StructType, df: DataFrame): DataFrame = {
       require(df.columns.length == sub.length,
-        s"INSERT VALUES arity ${df.columns.length} != ${sub.length} target columns")
+        s"INSERT arity ${df.columns.length} != ${sub.length} target columns")
       df.toDF(sub.fieldNames.toIndexedSeq: _*)
         .select(sub.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
     }

@@ -178,6 +178,21 @@ class HttpEndpointSpec extends AnyFunSuite with BeforeAndAfterAll {
       "1\tone\t1.5\n2\ttwo\t\\N\n3\tth\\tree\t\\N\n4\tfour\t4.25\n5\tfi,ve\t5.5\n")
   }
 
+  test("INSERT INTO t SELECT routes the query side through the dialect rewriter") {
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((0L, "seed")).toDF("k", "s").createOrReplaceTempView("ins_sel")
+    val enc = URLEncoder.encode(
+      "INSERT INTO ins_sel SELECT r_regionkey + 10, r_name FROM region PREWHERE r_regionkey < 2",
+      "UTF-8")
+    val (c, _, h) = http("POST", s"/?query=$enc")
+    assert(c == 200)
+    assert(h.exists { case (k, v) =>
+      k.equalsIgnoreCase("X-ClickHouse-Summary") && v.contains("\"written_rows\":\"2\"") })
+    assert(get("SELECT k, s FROM ins_sel ORDER BY k") ==
+      "0\tseed\n10\tAFRICA\n11\tAMERICA\n")
+  }
+
   test("INSERT into an unknown table → 404 / Code: 60") {
     val enc = URLEncoder.encode("INSERT INTO no_such_ingest_tbl VALUES (1)", "UTF-8")
     val (code, out, _) = http("POST", s"/?query=$enc")
