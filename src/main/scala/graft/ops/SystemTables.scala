@@ -260,7 +260,14 @@ object SystemTables {
     o.filter(col("o_orderstatus") === "F").createOrReplaceTempView(view)
     val running = graft.server.HttpSqlEndpoint.start(spark, 0)
     try {
-      val toInsert = o.filter(col("o_orderstatus") =!= "F")
+      // BOUNDED insert block: an HTTP INSERT body is driver-resident
+      // by nature (CH's is too), so the inserted subset must not scale
+      // with the table — orders keys are dense per replica, so the
+      // key cut is a CONSTANT ~20k-row set at sf0.1 AND at every
+      // replica scale (sf10/sf100 shift keys upward; only replica 0
+      // holds keys < 30000). At the sf0.01 gate the cut covers every
+      // non-'F' row, so the oracle exercises the full table anyway.
+      val toInsert = o.filter(col("o_orderstatus") =!= "F" && col("o_orderkey") < 30000)
       val body = new java.io.ByteArrayOutputStream()
       graft.server.HttpSqlEndpoint.render(toInsert, "TabSeparated", body)
       val insConn = new java.net.URL(running.url + "/?query=" +
@@ -309,12 +316,15 @@ object SystemTables {
     "i5_explain" -> (i5Explain _))
 
   val oracles: Map[String, String] = Map(
-    // The ingested view is base('F') ∪ inserted(non-'F') == the whole
-    // orders table; the oracle aggregates the full base parquet.
+    // The ingested view is base('F') ∪ inserted(non-'F', bounded key
+    // cut); at the sf0.01 gate every key is < 30000 so this equals the
+    // whole orders table — the oracle spells the same union predicate.
     "a21_http_insert" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM orders
+        |WHERE o_orderstatus = 'F'
+        |   OR (o_orderstatus != 'F' AND o_orderkey < 30000)
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     "a20_http_server" ->
