@@ -250,10 +250,24 @@ object LlmPipeline {
     * partial aggregation — each task forwards one (h, min_id) row per
     * hash — and the join back is hash-vs-hash equi (AQE skew-split
     * handles the probe side). Bit-identical output; `PlanShapeSpec`
-    * pins the partial-agg shape. */
+    * pins the partial-agg shape.
+    *
+    * The (doc_id, h) pairs STAGE to scratch parquet first (the
+    * l22/d36 staging rule): both join legs would otherwise re-derive
+    * the text scan + md5 — the only part of this op that touches the
+    * 100 TB corpus — once each, and the op's two callers (l37's
+    * verify stage and the verdict table) would double that again.
+    * Staged rows are 16-byte hash + id; the write happens once per
+    * session per sf dir. */
+  private val repPairsStaged = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private[graft] def exactRepMap(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Engine.t(spark, dir, "documents")
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val path = Engine.scratch(spark, dir, "l37_rep_pairs")
+    if (repPairsStaged.add(path)) {
+      Engine.t(spark, dir, "documents")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+        .write.mode("overwrite").parquet(path)
+    }
+    val pairs = spark.read.parquet(path)
     val reps = pairs.groupBy("h").agg(min("doc_id").as("rep_id"))
     pairs.join(reps, "h").select("doc_id", "rep_id")
   }
