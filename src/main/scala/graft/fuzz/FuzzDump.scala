@@ -63,8 +63,17 @@ object FuzzDump {
       case "mapfn"     => PlanGen.generateMapFn
       case "strfn"     => PlanGen.generateStrFn
       case "chsql"     => PlanGen.generateChSql
+      case "chnested"  => PlanGen.generateChNested
+      // -text kinds sweep the OTHER leg: the CH-dialect text through
+      // the ChSql rewriter (parser → Catalyst), instead of the
+      // DataFrame build — so arbitrary seed ranges of the rewriter
+      // itself replay against DuckDB, not just the frozen rows and the
+      // in-suite 1-100 sweeps.
+      case "chsqltext" => PlanGen.generateChSql
+      case "chntext"   => PlanGen.generateChNested
       case other       => sys.error(s"unknown kind $other")
     }
+    val textLeg = kind.endsWith("text")
     val spark = Engine.session()
     new java.io.File(outDir).mkdirs()
     val seeds = fromS.toLong to toS.toLong
@@ -74,7 +83,12 @@ object FuzzDump {
       val g = gen(s)
       val name = s"sweep_${kind}_$s"
       try {
-        g.build(spark, sfDir).coalesce(1).write.mode("overwrite")
+        val df =
+          if (textLeg) {
+            Engine.registerAll(spark, sfDir)
+            graft.ChSql.sql(spark, g.sparkSql)
+          } else g.build(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         oracles += name -> g.duckSql
       } catch { case e: Throwable =>

@@ -42,6 +42,12 @@ import org.apache.spark.sql.types._
   *     Rows are type-cast to the target view's schema, appended to a
   *     per-table parquet ingest dir, and the view is re-registered as
   *     base ∪ ingested — the A9 append path behind a wire protocol.
+  *   - settings via URL params, the common CH knobs with real
+  *     semantics: `max_result_rows` + `result_overflow_mode`
+  *     (`break` truncates the stream at the cap like CH; `throw`,
+  *     the CH default, aborts with code 396 LIMIT_EXCEEDED),
+  *     `output_format_json_quote_64bit_integers` (0 emits bare JSON
+  *     Int64), `query_id` (echoed as `X-ClickHouse-Query-Id`).
   *   - errors → `Code: N. DB::Exception:`-style text with the
   *     `X-ClickHouse-Exception-Code` header; N maps the common cases
   *     (60 UNKNOWN_TABLE → HTTP 404, 62 SYNTAX_ERROR / 73
@@ -130,14 +136,25 @@ object HttpSqlEndpoint {
             // after streaming starts truncate the body (CH has the same
             // split without wait_end_of_query).
             requireKnownFormat(fmt) // reject before the 200 goes out
+            val opts = RenderOpts(
+              quote64 = params.get("output_format_json_quote_64bit_integers")
+                .forall(_ != "0"),
+              maxRows = params.get("max_result_rows").map(_.toLong),
+              overflowBreak = params.get("result_overflow_mode").contains("break"))
             val df = graft.ChSql.sql(spark, sql)
             df.schema // force analysis
             val headers = ex.getResponseHeaders
             headers.set("Content-Type", contentType(fmt))
             headers.set("X-ClickHouse-Format", fmt)
+            params.get("query_id").foreach(headers.set("X-ClickHouse-Query-Id", _))
             ex.sendResponseHeaders(200, 0) // chunked
             streamingOut = ex.getResponseBody
-            try { render(df, fmt, streamingOut): Unit } finally streamingOut.close()
+            // no finally-close here: a mid-stream failure must reach
+            // the catch with the stream still OPEN so the error
+            // trailer can go out in-band (ex.close() below closes the
+            // exchange on every path)
+            render(df, fmt, streamingOut, opts): Unit
+            streamingOut.close()
         }
       } catch {
         case e: Throwable =>
@@ -157,10 +174,15 @@ object HttpSqlEndpoint {
     }
   }
 
+  /** `result_overflow_mode=throw` (CH's default) aborts the stream at
+    * `max_result_rows` with CH code 396. */
+  private final class LimitExceeded(msg: String) extends RuntimeException(msg)
+
   /** Spark exception → the CH error code the reference's clients
     * branch on (public CH ErrorCodes.cpp names; common cases only —
     * anything unrecognized reports 1002 UNKNOWN_EXCEPTION). */
   private def chErrorCode(e: Throwable): Int = e match {
+    case _: LimitExceeded => 396 // LIMIT_EXCEEDED
     case _: org.apache.spark.sql.catalyst.parser.ParseException => 62 // SYNTAX_ERROR
     case a: org.apache.spark.sql.AnalysisException =>
       val cond = Option(a.getCondition).getOrElse("")
@@ -357,27 +379,46 @@ object HttpSqlEndpoint {
     * the data) — cap it like CH's Pretty family caps display rows. */
   private val prettyMaxRows = 10000
 
+  /** Render-time settings (the CH URL-param knobs with real effect). */
+  final case class RenderOpts(
+      quote64: Boolean = true,
+      maxRows: Option[Long] = None,
+      overflowBreak: Boolean = false)
+
+  def render(df: DataFrame, fmt: String, out: OutputStream): Long =
+    render(df, fmt, out, RenderOpts())
+
   /** Stream `df` in CH output format `fmt` to `out` — one row at a
     * time off `toLocalIterator()`, never a full collect. Returns the
     * number of data rows emitted (INTO OUTFILE reports it). */
-  def render(df: DataFrame, fmt: String, out: OutputStream): Long = {
+  def render(df: DataFrame, fmt: String, out: OutputStream, opts: RenderOpts): Long = {
     val schema = df.schema
     val names = schema.fieldNames
     var emitted = 0L
     def write(s: String): Unit = out.write(s.getBytes(UTF_8))
     def eachRow(d: DataFrame)(f: Row => Unit): Unit = {
       val it = d.toLocalIterator()
-      while (it.hasNext) { f(it.next()); emitted += 1 }
+      var more = true
+      while (more && it.hasNext) {
+        opts.maxRows match {
+          case Some(max) if emitted >= max =>
+            if (opts.overflowBreak) more = false // CH break: truncate cleanly
+            else throw new LimitExceeded(
+              s"Limit for result rows exceeded: max_result_rows = $max")
+          case _ =>
+            f(it.next()); emitted += 1
+        }
+      }
     }
     // one JSON object per row, column-keyed — shared by JSONEachRow
     // and the JSON envelope (CH's JSON data rows are objects; the
     // positional-array shape is JSONCompact)
     def jsonObjRow(r: Row): String =
       names.indices.map(i =>
-        jsonString(names(i)) + ":" + jsonValue(r, i, schema(i).dataType))
+        jsonString(names(i)) + ":" + jsonValue(r, i, schema(i).dataType, opts.quote64))
         .mkString("{", ",", "}")
     def jsonArrRow(r: Row): String =
-      names.indices.map(i => jsonValue(r, i, schema(i).dataType)).mkString("[", ",", "]")
+      names.indices.map(i => jsonValue(r, i, schema(i).dataType, opts.quote64)).mkString("[", ",", "]")
     def jsonEnvelope(rowText: Row => String): Unit = {
       val meta = schema.fields.map(f =>
         s"""{"name":${jsonString(f.name)},"type":${jsonString(chTypeName(f.dataType, f.nullable))}}""")
@@ -518,15 +559,15 @@ object HttpSqlEndpoint {
     sb.append("\"").toString
   }
 
-  private def jsonValue(r: Row, i: Int, dt: DataType): String =
-    if (r.isNullAt(i)) "null" else jsonRender(r.get(i), dt)
+  private def jsonValue(r: Row, i: Int, dt: DataType, q64: Boolean = true): String =
+    if (r.isNullAt(i)) "null" else jsonRender(r.get(i), dt, q64)
 
-  private def jsonRender(v: Any, dt: DataType): String = (v, dt) match {
+  private def jsonRender(v: Any, dt: DataType, q64: Boolean = true): String = (v, dt) match {
     case (null, _) => "null"
     // CH quotes 64-bit ints in JSON output by default
     // (output_format_json_quote_64bit_integers=1) — JS numbers lose
-    // precision past 2^53; mirror that.
-    case (l: java.lang.Long, _)        => "\"" + l + "\""
+    // precision past 2^53; mirror that, togglable via the URL param.
+    case (l: java.lang.Long, _)        => if (q64) "\"" + l + "\"" else l.toString
     case (n: java.lang.Number, _: DecimalType) => jsonString(
       n.asInstanceOf[java.math.BigDecimal].toPlainString)
     case (d: java.math.BigDecimal, _)  => jsonString(d.toPlainString)
@@ -539,14 +580,14 @@ object HttpSqlEndpoint {
     case (t: java.sql.Timestamp, _)    => jsonString(tsFmt.format(t.toInstant))
     case (d: java.sql.Date, _)         => jsonString(d.toString)
     case (s: scala.collection.Seq[_], ArrayType(et, _)) =>
-      s.map(e => if (e == null) "null" else jsonRender(e, et)).mkString("[", ",", "]")
+      s.map(e => if (e == null) "null" else jsonRender(e, et, q64)).mkString("[", ",", "]")
     case (m: scala.collection.Map[_, _], MapType(_, vt, _)) =>
       m.toSeq.map { case (k, mv) =>
-        jsonString(k.toString) + ":" + (if (mv == null) "null" else jsonRender(mv, vt))
+        jsonString(k.toString) + ":" + (if (mv == null) "null" else jsonRender(mv, vt, q64))
       }.mkString("{", ",", "}")
     case (row: Row, st: StructType) =>
       st.indices.map { j =>
-        jsonString(st(j).name) + ":" + (if (row.isNullAt(j)) "null" else jsonRender(row.get(j), st(j).dataType))
+        jsonString(st(j).name) + ":" + (if (row.isNullAt(j)) "null" else jsonRender(row.get(j), st(j).dataType, q64))
       }.mkString("{", ",", "}")
     case (s, _) => jsonString(s.toString)
   }

@@ -199,6 +199,27 @@ class HttpEndpointSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(code == 404 && out.startsWith("Code: 60."))
   }
 
+  test("settings params: max_result_rows break/throw, json int64 quoting, query_id echo") {
+    val enc = URLEncoder.encode("SELECT explode(sequence(1, 100)) AS n", "UTF-8")
+    // break truncates the stream at the cap, like CH
+    val (cb, ob, _) = http("GET",
+      s"/?query=$enc&max_result_rows=5&result_overflow_mode=break")
+    assert(cb == 200 && ob == "1\n2\n3\n4\n5\n")
+    // throw (the CH default) aborts with code 396 LIMIT_EXCEEDED —
+    // mid-stream, so the marker is the in-body trailer
+    val (_, ot, _) = http("GET", s"/?query=$enc&max_result_rows=5")
+    assert(ot.contains("Code: 396"), s"expected 396 trailer, got: $ot")
+    // output_format_json_quote_64bit_integers=0 → bare Int64
+    val encJ = URLEncoder.encode("SELECT CAST(7 AS BIGINT) AS n FORMAT JSONEachRow", "UTF-8")
+    assert(http("GET", s"/?query=$encJ&output_format_json_quote_64bit_integers=0")._2 ==
+      """{"n":7}""" + "\n")
+    // query_id echoes back as the CH header
+    val enc1 = URLEncoder.encode("SELECT 1", "UTF-8")
+    val (_, _, h) = http("GET", s"/?query=$enc1&query_id=qz42")
+    assert(h.exists { case (k, v) =>
+      k.equalsIgnoreCase("X-ClickHouse-Query-Id") && v == "qz42" })
+  }
+
   test("Pretty caps at 10,000 rows like CH and notes the cut") {
     val out = get("SELECT explode(sequence(1, 10050)) AS n FORMAT Pretty")
     assert(out.endsWith("Showed first 10000.\n"))
