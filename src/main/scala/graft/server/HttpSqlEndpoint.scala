@@ -507,6 +507,11 @@ object HttpSqlEndpoint {
       "\"" + s.replace("\"", "\"\"") + "\""
     else s
 
+  /** One non-null value in CH text form — shared with the MySQL wire
+    * door, whose text protocol ships every value as a string. */
+  private[server] def textCell(r: Row, i: Int, schema: StructType): String =
+    renderText(r.get(i), schema(i).dataType)
+
   /** CH text rendering of one value (TSV/CSV/Values/Pretty cell). */
   private def textValue(r: Row, i: Int, schema: StructType): String =
     if (r.isNullAt(i)) "\\N" else renderText(r.get(i), schema(i).dataType)
@@ -637,6 +642,12 @@ object ServerMain {
     graft.Engine.registerAll(spark, dir)
     val running = HttpSqlEndpoint.start(spark, port)
     println(s"graft http endpoint listening on ${running.url} (tables from $dir)")
+    // the reference also exposes the MySQL-compatible port (9004,
+    // Dockerfile:205) — start it when asked
+    sys.env.get("GRAFT_MYSQL_PORT").foreach { p =>
+      val my = MySqlEndpoint.start(spark, p.toInt)
+      println(s"graft mysql endpoint listening on 127.0.0.1:${my.port}")
+    }
     Thread.currentThread.join() // serve until killed
   }
 }
