@@ -384,10 +384,87 @@ object SystemTables {
     } finally { sock.close(); running.stop() }
   }
 
+  /** A23 (VERDICT r17 missing #2, second half): the POSTGRESQL
+    * WIRE-PROTOCOL door (reference port 9005, `Dockerfile:206`),
+    * round-tripped and oracle-certified the a22 way — a minimal
+    * inline v3 client (startup → AuthenticationOk → simple Query →
+    * RowDescription/DataRow parse) against
+    * [[graft.server.PgEndpoint]]. */
+  private def a23PgWire(spark: SparkSession, dir: String): DataFrame = {
+    Engine.registerAll(spark, dir)
+    val running = graft.server.PgEndpoint.start(spark, 0)
+    val sock = new java.net.Socket("127.0.0.1", running.port)
+    try {
+      val in = new java.io.BufferedInputStream(sock.getInputStream)
+      val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+      def readN(n: Int): Array[Byte] = {
+        val b = new Array[Byte](n); var off = 0
+        while (off < n) { val r = in.read(b, off, n - off); require(r >= 0, "eof"); off += r }
+        b
+      }
+      def i32(b: Array[Byte], off: Int = 0): Int =
+        ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+          ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+      def readMsg(): (Char, Array[Byte]) = {
+        val t = in.read(); require(t >= 0, "eof")
+        val len = i32(readN(4))
+        (t.toChar, readN(len - 4))
+      }
+      // StartupMessage(3.0) user=default
+      val sb = new java.io.ByteArrayOutputStream()
+      sb.write(Array[Byte](0, 3, 0, 0))
+      sb.write("user".getBytes("UTF-8")); sb.write(0)
+      sb.write("default".getBytes("UTF-8")); sb.write(0); sb.write(0)
+      val sbb = sb.toByteArray
+      val slen = sbb.length + 4
+      out.write(Array[Byte](((slen >> 24) & 0xff).toByte, ((slen >> 16) & 0xff).toByte,
+        ((slen >> 8) & 0xff).toByte, (slen & 0xff).toByte))
+      out.write(sbb); out.flush()
+      val (t0, b0) = readMsg()
+      require(t0 == 'R' && i32(b0) == 0, "expected AuthenticationOk")
+      var ready = false
+      while (!ready) readMsg() match {
+        case ('Z', _) => ready = true
+        case _        => ()
+      }
+      val q =
+        """SELECT o_orderpriority, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+          |FROM orders
+          |PREWHERE o_orderkey % 7 = 0
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin
+      val qb = q.getBytes("UTF-8")
+      val qlen = qb.length + 1 + 4
+      out.write('Q')
+      out.write(Array[Byte](((qlen >> 24) & 0xff).toByte, ((qlen >> 16) & 0xff).toByte,
+        ((qlen >> 8) & 0xff).toByte, (qlen & 0xff).toByte))
+      out.write(qb); out.write(0); out.flush()
+      val rows = Seq.newBuilder[(String, Long, Double)]
+      var done = false
+      while (!done) readMsg() match {
+        case ('D', b) =>
+          var off = 2
+          val cells = (0 until 3).map { _ =>
+            val len = i32(b, off); off += 4
+            val s = new String(b, off, len, "UTF-8"); off += len; s
+          }
+          rows += ((cells(0), cells(1).toLong, cells(2).toDouble))
+        case ('E', b) => sys.error("pg wire error: " + new String(b, "UTF-8"))
+        case ('Z', _) => done = true
+        case _        => ()
+      }
+      out.write('X'); out.write(Array[Byte](0, 0, 0, 4)); out.flush()
+      import spark.implicits._
+      rows.result().toDF("o_orderpriority", "n", "sum_price")
+    } finally { sock.close(); running.stop() }
+  }
+
   val queries: Map[String, Q] = Map(
     "a20_http_server" -> (a20HttpServer _),
     "a21_http_insert" -> (a21HttpInsert _),
     "a22_mysql_wire" -> (a22MysqlWire _),
+    "a23_pg_wire" -> (a23PgWire _),
     "a19_tables" -> (a19Tables _),
     "a17_columns" -> (a17Columns _),
     "a11_build_options" -> (a11BuildOptions _),
@@ -408,6 +485,13 @@ object SystemTables {
         |   OR (o_orderstatus != 'F' AND o_orderkey < 30000)
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "a23_pg_wire" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderkey % 7 = 0
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "a22_mysql_wire" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price

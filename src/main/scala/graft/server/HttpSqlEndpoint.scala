@@ -648,6 +648,11 @@ object ServerMain {
       val my = MySqlEndpoint.start(spark, p.toInt)
       println(s"graft mysql endpoint listening on 127.0.0.1:${my.port}")
     }
+    // … and the PostgreSQL-compatible port (9005, Dockerfile:206)
+    sys.env.get("GRAFT_PG_PORT").foreach { p =>
+      val pg = PgEndpoint.start(spark, p.toInt)
+      println(s"graft pg endpoint listening on 127.0.0.1:${pg.port}")
+    }
     Thread.currentThread.join() // serve until killed
   }
 }
