@@ -104,9 +104,40 @@ object ChSql {
   def registerSample(table: String, keyExprSql: String): Unit =
     sampleReg.put(table.toLowerCase, keyExprSql)
 
+  /** Trailing `SETTINGS k = v [, …]` — CH's per-query settings suffix
+    * (grammar order: `… SETTINGS … FORMAT …`, so it is the tail once
+    * FORMAT is split off). PERFORMANCE-ONLY knobs are accepted and
+    * ignored — Spark's optimizer/AQE owns those decisions, and none
+    * of them can change a result; `join_algorithm` additionally has a
+    * first-class declared mapping (c14) for callers who want the
+    * physical-operator pin. Any setting NOT on the whitelist fails
+    * loudly rather than silently dropping something semantic
+    * (`readonly`, `insert_deduplicate`, format defaults, …). */
+  private val SettingsRe =
+    "(?is)\\s+SETTINGS\\s+([A-Za-z0-9_]+\\s*=\\s*[^,\\s]+(?:\\s*,\\s*[A-Za-z0-9_]+\\s*=\\s*[^,\\s]+)*)\\s*$".r
+  private val ignorableSettings = Set(
+    "max_threads", "max_memory_usage", "max_block_size",
+    "max_insert_block_size", "max_execution_time",
+    "max_bytes_before_external_sort", "max_bytes_before_external_group_by",
+    "use_uncompressed_cache", "optimize_read_in_order", "join_algorithm",
+    "send_logs_level", "log_queries")
+  private def rewriteSettings(q: String): String =
+    SettingsRe.findFirstMatchIn(q) match {
+      case None => q
+      case Some(m) =>
+        m.group(1).split(",").foreach { kv =>
+          val k = kv.split("=")(0).trim.toLowerCase
+          require(ignorableSettings.contains(k),
+            s"SETTINGS $k: not a performance-only knob this engine can safely ignore " +
+              s"(accepted: ${ignorableSettings.toSeq.sorted.mkString(", ")})")
+        }
+        q.substring(0, m.start)
+    }
+
   /** Rewrite CH-dialect text to plain Spark SQL (exposed for specs). */
   def rewrite(spark: SparkSession, text: String): String = {
     var q = splitFormat(text)._1 // FORMAT is an output hint, not plan
+    q = rewriteSettings(q)
     q = rewriteGlobal(q)
     q = rewriteSample(q)
     q = rewriteArrayJoin(spark, q)

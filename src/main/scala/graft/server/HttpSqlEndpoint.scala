@@ -323,6 +323,9 @@ object HttpSqlEndpoint {
       def dropHeader(n: String) = if (n.endsWith("withnames")) allLines.drop(1) else allLines
       val n = norm(fmt)
       n match {
+        case "values" => // FORMAT Values with the tuple list as the body
+          castPositional(sub,
+            spark.sql(s"SELECT * FROM VALUES ${data.trim.stripSuffix(";")}"))
         case "csv" | "csvwithnames" =>
           val ds = spark.createDataset(dropHeader(n))(Encoders.STRING)
           spark.read.schema(sub)

@@ -173,9 +173,13 @@ class HttpEndpointSpec extends AnyFunSuite with BeforeAndAfterAll {
     // CSV block with a quoted comma
     val enc4 = URLEncoder.encode("INSERT INTO ins_spec FORMAT CSV", "UTF-8")
     assert(http("POST", s"/?query=$enc4", "5,\"fi,ve\",5.5")._1 == 200)
+    // FORMAT Values with the tuple list as the body (CH's other
+    // inline form — the body goes through Spark's VALUES parser)
+    val enc5 = URLEncoder.encode("INSERT INTO ins_spec FORMAT Values", "UTF-8")
+    assert(http("POST", s"/?query=$enc5", "(6, 'six', 6.75)")._1 == 200)
     val out = get("SELECT k, s, v FROM ins_spec ORDER BY k")
     assert(out ==
-      "1\tone\t1.5\n2\ttwo\t\\N\n3\tth\\tree\t\\N\n4\tfour\t4.25\n5\tfi,ve\t5.5\n")
+      "1\tone\t1.5\n2\ttwo\t\\N\n3\tth\\tree\t\\N\n4\tfour\t4.25\n5\tfi,ve\t5.5\n6\tsix\t6.75\n")
   }
 
   test("INSERT INTO t SELECT routes the query side through the dialect rewriter") {

@@ -161,6 +161,23 @@ class SqlParitySpec extends AnyFunSuite {
     assert(got.count() == 4) // F, O, P + the all-NULL totals row
   }
 
+  test("ChSql: SETTINGS suffix — perf knobs ignored, semantic ones fail loudly") {
+    Engine.registerAll(spark, sf)
+    // performance-only knobs strip away; the query runs as-is
+    val ch = ChSql.sql(spark,
+      "SELECT count(*) AS n FROM region SETTINGS max_threads = 8, max_memory_usage = 10000000000")
+    assert(ch.collect().head.getLong(0) == 5)
+    // SETTINGS composes with FORMAT (CH grammar order: SETTINGS then FORMAT)
+    assert(ChSql.splitFormat("SELECT 1 SETTINGS max_threads = 4 FORMAT JSON")._2 ==
+      Some("JSON"))
+    assert(ChSql.rewrite(spark, "SELECT 1 SETTINGS max_threads = 4 FORMAT JSON") ==
+      "SELECT 1")
+    // a setting that could change semantics must not be silently dropped
+    val e = intercept[IllegalArgumentException](
+      ChSql.rewrite(spark, "SELECT 1 SETTINGS readonly = 1"))
+    assert(e.getMessage.contains("readonly"))
+  }
+
   test("ChSql dialect front door: FROM t FINAL text equals the b6 builder") {
     Engine.registerAll(spark, sf)
     val ch = ops.Basics.queries("b6b_final_sql")(spark, sf)
