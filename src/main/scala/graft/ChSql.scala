@@ -113,16 +113,33 @@ object ChSql {
     * physical-operator pin. Any setting NOT on the whitelist fails
     * loudly rather than silently dropping something semantic
     * (`readonly`, `insert_deduplicate`, format defaults, …). */
-  private val SettingsRe =
-    "(?is)\\s+SETTINGS\\s+([A-Za-z0-9_]+\\s*=\\s*[^,\\s]+(?:\\s*,\\s*[A-Za-z0-9_]+\\s*=\\s*[^,\\s]+)*)\\s*$".r
+  private val SettingsTailRe =
+    "(?is)^SETTINGS\\s+([A-Za-z0-9_]+\\s*=\\s*[^,\\s]+(?:\\s*,\\s*[A-Za-z0-9_]+\\s*=\\s*[^,\\s]+)*)\\s*$".r
   private val ignorableSettings = Set(
     "max_threads", "max_memory_usage", "max_block_size",
     "max_insert_block_size", "max_execution_time",
     "max_bytes_before_external_sort", "max_bytes_before_external_group_by",
     "use_uncompressed_cache", "optimize_read_in_order", "join_algorithm",
     "send_logs_level", "log_queries")
-  private def rewriteSettings(q: String): String =
-    SettingsRe.findFirstMatchIn(q) match {
+  private def rewriteSettings(q: String): String = {
+    // Locate the LAST `SETTINGS` keyword OUTSIDE string/backtick
+    // literals with the quote-aware scanner (ADVICE r18: the flat
+    // end-anchored regex matched inside a trailing string literal —
+    // `SELECT 'use SETTINGS max_threads = 8'` was mis-stripped); the
+    // suffix from there must still parse as a full settings list to
+    // end-of-text, else the text is left for Spark's parser to judge.
+    var i = 0
+    var at = -1
+    while (i < q.length) {
+      q.charAt(i) match {
+        case '\'' | '"' | '`' => i = skipQuoted(q, i)
+        case _ =>
+          if (wordAt(q, i, "SETTINGS")) at = i
+          i += 1
+      }
+    }
+    if (at < 0) q
+    else SettingsTailRe.findFirstMatchIn(q.substring(at)) match {
       case None => q
       case Some(m) =>
         m.group(1).split(",").foreach { kv =>
@@ -131,13 +148,85 @@ object ChSql {
             s"SETTINGS $k: not a performance-only knob this engine can safely ignore " +
               s"(accepted: ${ignorableSettings.toSeq.sorted.mkString(", ")})")
         }
-        q.substring(0, m.start)
+        q.substring(0, at).stripTrailing()
     }
+  }
+
+  /** CH PARAMETRIC aggregate syntax — `name(params)(args)` — is a
+    * grammar form Spark's parser rejects, so it rewrites at text level
+    * (the function NAMES themselves resolve via [[ChNames]]):
+    * `quantile(0.9)(x)` → `percentile(x, 0.9)`,
+    * `quantileTDigest(q)(x)` → `approx_percentile(x, q, 100)` (the
+    * engine's t-digest-class sketch), `quantiles(a,b)(x)` →
+    * `percentile(x, array(a,b))`, `uniqUpTo(n)(x)` →
+    * `least(count(DISTINCT x), n+1)` (CH's exact contract: precise up
+    * to n, n+1 past it). Parentheses balance through a hand scan
+    * (params/args may nest calls); quoted runs skip whole. Unknown
+    * parametric names pass through to fail loudly in Spark's parser. */
+  private val parametricMap: Map[String, (String, String) => String] = Map(
+    "quantile" -> ((p, x) => s"percentile($x, $p)"),
+    "quantileexact" -> ((p, x) => s"percentile($x, $p)"),
+    "quantiletdigest" -> ((p, x) => s"approx_percentile($x, $p, 100)"),
+    "quantileapprox" -> ((p, x) => s"approx_percentile($x, $p, 100)"),
+    "quantiles" -> ((p, x) => s"percentile($x, array($p))"),
+    "quantilesexact" -> ((p, x) => s"percentile($x, array($p))"),
+    "quantilestdigest" -> ((p, x) => s"approx_percentile($x, array($p), 100)"),
+    "uniqupto" -> ((p, x) => s"least(count(DISTINCT $x), $p + 1)"))
+
+  /** Index just past a balanced `(...)` group opening at `open`. */
+  private def balancedEnd(q: String, open: Int): Int = {
+    var i = open + 1
+    var depth = 1
+    while (i < q.length && depth > 0) {
+      q.charAt(i) match {
+        case '\'' | '"' | '`' => i = skipQuoted(q, i)
+        case '('              => depth += 1; i += 1
+        case ')'              => depth -= 1; i += 1
+        case _                => i += 1
+      }
+    }
+    require(depth == 0, s"unbalanced parentheses after offset $open in: $q")
+    i
+  }
+
+  private def rewriteParametricAggs(q0: String): String = {
+    var q = q0
+    var i = 0
+    while (i < q.length) {
+      q.charAt(i) match {
+        case '\'' | '"' | '`' => i = skipQuoted(q, i)
+        case c if c.isLetter || c == '_' =>
+          val start = i
+          while (i < q.length && isWordChar(q.charAt(i))) i += 1
+          val name = q.substring(start, i).toLowerCase
+          parametricMap.get(name) match {
+            case Some(tmpl) if i < q.length && q.charAt(i) == '(' =>
+              val pEnd = balancedEnd(q, i)
+              // second group must FOLLOW immediately (modulo spaces) —
+              // else this is a plain call like quantile(...) alone
+              var j = pEnd
+              while (j < q.length && q.charAt(j).isWhitespace) j += 1
+              if (j < q.length && q.charAt(j) == '(') {
+                val aEnd = balancedEnd(q, j)
+                val params = q.substring(i + 1, pEnd - 1).trim
+                val args = q.substring(j + 1, aEnd - 1).trim
+                val repl = tmpl(params, args)
+                q = q.substring(0, start) + repl + q.substring(aEnd)
+                i = start // rescan: args may hold nested parametric calls
+              }
+            case _ => ()
+          }
+        case _ => i += 1
+      }
+    }
+    q
+  }
 
   /** Rewrite CH-dialect text to plain Spark SQL (exposed for specs). */
   def rewrite(spark: SparkSession, text: String): String = {
     var q = splitFormat(text)._1 // FORMAT is an output hint, not plan
     q = rewriteSettings(q)
+    q = rewriteParametricAggs(q)
     q = rewriteGlobal(q)
     q = rewriteSample(q)
     q = rewriteArrayJoin(spark, q)

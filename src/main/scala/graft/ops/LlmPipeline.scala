@@ -259,13 +259,33 @@ object LlmPipeline {
     * verify stage and the verdict table) would double that again.
     * Staged rows are 16-byte hash + id; the write happens once per
     * session per sf dir. */
-  private val repPairsStaged = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Staged-once registry keyed path → SOURCE FINGERPRINT (file names
+    * + lengths + mtimes of the documents parquet). A plain staged-once
+    * set went stale if the source dir changed mid-session (ADVICE r18:
+    * appends/overwrites after the first stage silently reused the old
+    * snapshot); a listing change now invalidates and re-stages. */
+  private val repPairsStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sourceFingerprint(dir: String): String = {
+    def walk(f: java.io.File): Seq[String] = {
+      val kids = Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil)
+      if (kids.isEmpty) Seq(s"${f.getName}:${f.length}:${f.lastModified}")
+      else kids.flatMap(walk)
+    }
+    walk(new java.io.File(s"$dir/documents.parquet")).mkString("|")
+  }
+
   private[graft] def exactRepMap(spark: SparkSession, dir: String): DataFrame = {
     val path = Engine.scratch(spark, dir, "l37_rep_pairs")
-    if (repPairsStaged.add(path)) {
-      Engine.t(spark, dir, "documents")
-        .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
-        .write.mode("overwrite").parquet(path)
+    val fp = sourceFingerprint(dir)
+    repPairsStaged.synchronized {
+      if (repPairsStaged.get(path) != fp) {
+        Engine.t(spark, dir, "documents")
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+          .write.mode("overwrite").parquet(path)
+        repPairsStaged.put(path, fp): Unit
+      }
     }
     val pairs = spark.read.parquet(path)
     val reps = pairs.groupBy("h").agg(min("doc_id").as("rep_id"))

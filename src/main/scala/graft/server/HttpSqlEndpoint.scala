@@ -112,15 +112,18 @@ object HttpSqlEndpoint {
       var streamingOut: OutputStream = null
       try {
         val params = parseParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
-        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
+        // The body is NOT trimmed (ADVICE r18): with the INSERT head in
+        // the ?query= param the body is a raw data block, and trimming
+        // ate a leading tab (an empty first TSV field on a valid row)
+        // or the trailing newline. The SQL-only paths trim downstream
+        // (splitFormat / the INSERT regex tolerate the whitespace).
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
         val fromParam = params.getOrElse("query", "").trim
-        val text = (fromParam, body) match {
-          case ("", "") => ""
-          case (p, "")  => p
-          case ("", b)  => b
-          case (p, b)   => p + "\n" + b // CH: param is the query head, body the tail
-        }
-        if (text.isEmpty) respond(ex, 200, "Ok.\n", "text/plain")
+        val text =
+          if (fromParam.isEmpty) body
+          else if (body.trim.isEmpty) fromParam
+          else fromParam + "\n" + body // CH: param is the query head, body the tail
+        if (text.trim.isEmpty) respond(ex, 200, "Ok.\n", "text/plain")
         else InsertRe.findFirstMatchIn(text) match {
           case Some(m) =>
             val written = HttpIngest.insert(spark, m)
@@ -264,7 +267,10 @@ object HttpSqlEndpoint {
     * `registerAll` with a different sf dir) resets nothing here —
     * long-lived-server scope, one catalog per process. */
   private object HttpIngest {
-    private final case class State(orig: DataFrame, dir: String)
+    private final case class State(
+        orig: DataFrame, dir: String,
+        n: java.util.concurrent.atomic.AtomicInteger =
+          new java.util.concurrent.atomic.AtomicInteger())
     private val reg = new java.util.concurrent.ConcurrentHashMap[String, State]()
 
     def insert(spark: SparkSession, m: scala.util.matching.Regex.Match): Long = {
@@ -290,15 +296,25 @@ object HttpSqlEndpoint {
       val aligned = parsed.select(schema.map { f =>
         if (cols.contains(f.name)) col(f.name) else lit(null).cast(f.dataType).as(f.name)
       }: _*)
-      val n = aligned.count()
       val key = table.toLowerCase
       val st = reg.computeIfAbsent(key,
         _ => State(target, graft.Engine.scratch(spark, "http", s"ingest_$key")))
       st.synchronized {
-        aligned.write.mode("append").parquet(st.dir)
-        st.orig.unionByName(spark.read.parquet(st.dir)).createOrReplaceTempView(table)
+        // Each insert lands in its OWN subdirectory and the row count
+        // reads back the files actually written (ADVICE r18: count()
+        // then write re-executed a nondeterministic INSERT…SELECT
+        // source, reporting a count from a different execution). The
+        // write target is a fresh dir the current view doesn't
+        // reference, so `INSERT INTO t SELECT … FROM t` reads a
+        // consistent pre-insert snapshot; the view re-registers only
+        // after the write commits. Reading parquet counts from footers
+        // — metadata only, no second plan execution.
+        val sub = s"${st.dir}/b${st.n.incrementAndGet()}"
+        aligned.write.mode("overwrite").parquet(sub)
+        val written = spark.read.parquet(sub).count()
+        st.orig.unionByName(spark.read.parquet(s"${st.dir}/b*")).createOrReplaceTempView(table)
+        written
       }
-      n
     }
 
     /** Positional cast onto the target columns — shared by the VALUES
@@ -318,8 +334,13 @@ object HttpSqlEndpoint {
       * `yyyy-MM-dd HH:mm:ss` (the renderer's tsFmt), pinned on the
       * readers so ingest round-trips the endpoint's own output. */
     private def parseData(spark: SparkSession, sub: StructType, fmt: String, data: String): DataFrame = {
-      val allLines = data.split("\n").iterator
-        .map(_.stripSuffix("\r")).filter(_.nonEmpty).toSeq
+      // Split keeping interior empty lines; drop only LEADING blanks
+      // (the head-of-body separator after the SQL line) and the
+      // trailing artifact of a final newline. A mid-block empty line
+      // is a real row for a single-column table (one empty field,
+      // ADVICE r18) and an arity error — loud, like CH — otherwise.
+      val rawLines = data.split("\n", -1).toSeq.map(_.stripSuffix("\r"))
+      val allLines = rawLines.dropWhile(_.isEmpty).reverse.dropWhile(_.isEmpty).reverse
       def dropHeader(n: String) = if (n.endsWith("withnames")) allLines.drop(1) else allLines
       val n = norm(fmt)
       n match {
@@ -333,7 +354,9 @@ object HttpSqlEndpoint {
             .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
             .csv(ds)
         case "jsoneachrow" =>
-          val ds = spark.createDataset(allLines)(Encoders.STRING)
+          // blank lines between objects are separators, not rows (CH
+          // tolerates inter-object whitespace in JSONEachRow)
+          val ds = spark.createDataset(allLines.filter(_.nonEmpty))(Encoders.STRING)
           spark.read.schema(sub)
             .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
             .json(ds)

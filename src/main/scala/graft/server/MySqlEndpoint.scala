@@ -112,25 +112,60 @@ object MySqlEndpoint {
 
   // ---- packet framing: 3-byte LE length + 1-byte sequence ---------------
 
-  private def writePacket(out: OutputStream, seq: Int, payload: Array[Byte]): Unit = {
-    val n = payload.length
-    out.write(n & 0xff); out.write((n >> 8) & 0xff); out.write((n >> 16) & 0xff)
-    out.write(seq & 0xff)
-    out.write(payload)
+  /** Max payload per frame; payloads ≥ this SPLIT into 0xffffff-byte
+    * frames followed by a terminating shorter (possibly empty) frame,
+    * per the public MySQL protocol's packet-splitting rule (ADVICE
+    * r18: truncating the length to 3 bytes silently wrapped and
+    * corrupted the connection on any ≥16 MB row). Returns the next
+    * sequence id — split frames consume consecutive sequence numbers. */
+  private val MaxFrame = 0xffffff
+
+  private def writePacket(out: OutputStream, seq: Int, payload: Array[Byte]): Int = {
+    var off = 0
+    var s = seq
+    // emit ⌈len/MaxFrame⌉ frames, plus one empty terminator when the
+    // payload length is an exact multiple (the protocol's marker that
+    // no continuation follows)
+    var more = true
+    while (more) {
+      val n = math.min(MaxFrame, payload.length - off)
+      out.write(n & 0xff); out.write((n >> 8) & 0xff); out.write((n >> 16) & 0xff)
+      out.write(s & 0xff)
+      out.write(payload, off, n)
+      off += n
+      s += 1
+      more = n == MaxFrame // a full frame promises a continuation
+    }
+    s
   }
 
   private def readPacket(in: InputStream): (Int, Array[Byte]) = {
     def b(): Int = { val v = in.read(); if (v < 0) throw new EOFException; v }
-    val len = b() | (b() << 8) | (b() << 16)
-    val seq = b()
-    val buf = new Array[Byte](len)
-    var off = 0
-    while (off < len) {
-      val r = in.read(buf, off, len - off)
-      if (r < 0) throw new EOFException
-      off += r
+    def frame(): (Int, Int, Array[Byte]) = {
+      val len = b() | (b() << 8) | (b() << 16)
+      val seq = b()
+      val buf = new Array[Byte](len)
+      var off = 0
+      while (off < len) {
+        val r = in.read(buf, off, len - off)
+        if (r < 0) throw new EOFException
+        off += r
+      }
+      (len, seq, buf)
     }
-    (seq, buf)
+    val (len0, seq0, buf0) = frame()
+    if (len0 < MaxFrame) (seq0, buf0)
+    else { // split packet: reassemble continuation frames (mirror of writePacket)
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(buf0)
+      var more = true
+      while (more) {
+        val (len, _, buf) = frame()
+        bos.write(buf)
+        more = len == MaxFrame
+      }
+      (seq0, bos.toByteArray)
+    }
   }
 
   // ---- payload builders --------------------------------------------------
@@ -216,7 +251,9 @@ object MySqlEndpoint {
   private def writeResultSet(out: OutputStream, df: DataFrame): Unit = {
     val schema = df.schema
     var seq = 1
-    def send(payload: Array[Byte]): Unit = { writePacket(out, seq, payload); seq += 1 }
+    // writePacket returns the NEXT sequence id (split frames consume
+    // several) — thread it so a >16 MB row doesn't desync the stream
+    def send(payload: Array[Byte]): Unit = seq = writePacket(out, seq, payload)
     send(new P().lenenc(schema.length.toLong).bytes)
     schema.fields.foreach(f => send(columnDef(f.name, f.dataType)))
     send(eofPacket())

@@ -197,6 +197,38 @@ class HttpEndpointSpec extends AnyFunSuite with BeforeAndAfterAll {
       "0\tseed\n10\tAFRICA\n11\tAMERICA\n")
   }
 
+  test("TSV data block keeps a leading empty field and single-column blank lines (ADVICE r18)") {
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(("seed", 0L)).toDF("s", "k").createOrReplaceTempView("ins_tab")
+    // first row starts with an EMPTY first field — the old body-trim
+    // ate the leading tab and broke a valid row with an arity error
+    val enc = URLEncoder.encode("INSERT INTO ins_tab FORMAT TabSeparated", "UTF-8")
+    assert(http("POST", s"/?query=$enc", "\t1\nx\t2\n")._1 == 200)
+    assert(get("SELECT s, k FROM ins_tab ORDER BY k") == "seed\t0\n\t1\nx\t2\n")
+    // single-column table: a mid-block blank line is one empty-string
+    // row, not silently dropped
+    Seq("a").toDF("s").createOrReplaceTempView("ins_one")
+    val enc1 = URLEncoder.encode("INSERT INTO ins_one FORMAT TabSeparated", "UTF-8")
+    assert(http("POST", s"/?query=$enc1", "b\n\nc\n")._1 == 200)
+    assert(get("SELECT count(*) AS n FROM ins_one") == "4\n")
+    assert(get("SELECT count(*) AS e FROM ins_one WHERE s = ''") == "1\n")
+  }
+
+  test("INSERT INTO t SELECT FROM t reads a pre-insert snapshot, counts what was written") {
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(1L, 2L, 3L).toDF("k").createOrReplaceTempView("ins_self")
+    // the source executes ONCE (write-then-count-files, ADVICE r18);
+    // self-referencing INSERT must not re-read the dir it appends to
+    val enc = URLEncoder.encode("INSERT INTO ins_self SELECT k + 10 FROM ins_self", "UTF-8")
+    val (c, _, h) = http("POST", s"/?query=$enc")
+    assert(c == 200)
+    assert(h.exists { case (k, v) =>
+      k.equalsIgnoreCase("X-ClickHouse-Summary") && v.contains("\"written_rows\":\"3\"") })
+    assert(get("SELECT k FROM ins_self ORDER BY k") == "1\n2\n3\n11\n12\n13\n")
+  }
+
   test("INSERT into an unknown table → 404 / Code: 60") {
     val enc = URLEncoder.encode("INSERT INTO no_such_ingest_tbl VALUES (1)", "UTF-8")
     val (code, out, _) = http("POST", s"/?query=$enc")

@@ -36,7 +36,7 @@ class MySqlEndpointSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   // ---- independent client-side protocol helpers ----
-  private def readPacket(): Array[Byte] = {
+  private def readFrame(): (Int, Array[Byte]) = {
     def b(): Int = { val v = in.read(); if (v < 0) throw new EOFException; v }
     val len = b() | (b() << 8) | (b() << 16)
     b() // sequence id
@@ -46,7 +46,20 @@ class MySqlEndpointSpec extends AnyFunSuite with BeforeAndAfterAll {
       val r = in.read(buf, off, len - off); if (r < 0) throw new EOFException
       off += r
     }
-    buf
+    (len, buf)
+  }
+  /** Reassembles split packets per the protocol: a 0xffffff-byte frame
+    * promises a continuation; the terminating frame is shorter. */
+  private def readPacket(): Array[Byte] = {
+    val (len0, buf0) = readFrame()
+    if (len0 < 0xffffff) buf0
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(buf0)
+      var more = true
+      while (more) { val (len, buf) = readFrame(); bos.write(buf); more = len == 0xffffff }
+      bos.toByteArray
+    }
   }
   private def writePacket(seq: Int, payload: Array[Byte]): Unit = {
     val n = payload.length
@@ -144,6 +157,20 @@ class MySqlEndpointSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = readPacket()
     assert((p(0) & 0xff) == 0xff)
     assert(new String(p, UTF_8).contains("DB::Exception"))
+  }
+
+  test("a row past the 16 MB frame limit SPLITS per the protocol instead of wrapping") {
+    // 17,000,017-byte payload = two frames (0xffffff + remainder); a
+    // truncated 3-byte length would desync the connection (ADVICE r18)
+    val n = 17000000
+    val (names, rows) = query(s"SELECT repeat('x', $n) AS big, 7 AS tail")
+    assert(names == Seq("big", "tail"))
+    assert(rows.length == 1)
+    assert(rows.head.head.exists(s => s.length == n && s.forall(_ == 'x')))
+    assert(rows.head(1) == Some("7"))
+    // the connection survives: a follow-up query still works
+    val (_, r2) = query("SELECT 42 AS ok")
+    assert(r2 == Seq(Seq(Some("42"))))
   }
 
   test("timestamps and doubles render in CH text form over the wire") {

@@ -176,6 +176,16 @@ class SqlParitySpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       ChSql.rewrite(spark, "SELECT 1 SETTINGS readonly = 1"))
     assert(e.getMessage.contains("readonly"))
+    // a string literal CONTAINING the settings shape is data, not a
+    // clause (ADVICE r18: the flat regex stripped/rejected it)
+    assert(ChSql.rewrite(spark, "SELECT 'use SETTINGS max_threads = 8' AS s") ==
+      "SELECT 'use SETTINGS max_threads = 8' AS s")
+    assert(ChSql.sql(spark, "SELECT 'x SETTINGS readonly = 1' AS s")
+      .collect().head.getString(0) == "x SETTINGS readonly = 1")
+    // …and a real suffix AFTER such a literal still strips cleanly
+    assert(ChSql.rewrite(spark,
+      "SELECT 'see SETTINGS docs' AS s SETTINGS max_threads = 2") ==
+      "SELECT 'see SETTINGS docs' AS s")
   }
 
   test("ChSql dialect front door: FROM t FINAL text equals the b6 builder") {
