@@ -41,9 +41,41 @@ object ChSql {
   def registerFinal(table: String, keyCols: Seq[String], versionCol: String): Unit =
     finalReg.put(table.toLowerCase, (keyCols, versionCol))
 
-  /** Run CH-dialect SQL text. */
+  /** CH `EXPLAIN [AST|SYNTAX|PLAN|PIPELINE] q` (VERDICT r18 next #8)
+    * mapped onto the Catalyst stages that play the same roles —
+    * AST = the parsed (unresolved) logical plan, SYNTAX = the
+    * engine's rewritten query text (exactly what CH's EXPLAIN SYNTAX
+    * shows: the statement after its rewrites — here the ChSql
+    * dialect desugar), PLAN = the optimized logical plan,
+    * PIPELINE = the physical (executed) plan. One row per line in a
+    * single `explain` column, CH's output shape. Bare `EXPLAIN q`
+    * falls through to Spark's own EXPLAIN statement unchanged. */
+  private val ExplainRe =
+    "(?is)^\\s*EXPLAIN\\s+(AST|SYNTAX|PLAN|PIPELINE)\\s+(.+)$".r
+
+  private def explain(spark: SparkSession, mode: String, inner: String): DataFrame = {
+    import spark.implicits._
+    val text = mode.toUpperCase match {
+      case "SYNTAX" => rewrite(spark, inner)
+      case "AST" =>
+        spark.sessionState.sqlParser.parsePlan(rewrite(spark, inner)).treeString
+      case "PLAN" =>
+        spark.sql(rewrite(spark, inner)).queryExecution.optimizedPlan.treeString
+      case _ => // PIPELINE
+        spark.sql(rewrite(spark, inner)).queryExecution.executedPlan.treeString
+    }
+    text.split("\n").toSeq.toDF("explain")
+  }
+
+  /** Run CH-dialect SQL text (DDL → [[ChDdl]], CH EXPLAIN modes →
+    * [[explain]], everything else → rewrite + `spark.sql`). */
   def sql(spark: SparkSession, text: String): DataFrame =
-    spark.sql(rewrite(spark, text))
+    ChDdl.execute(spark, splitFormat(text)._1).getOrElse {
+      ExplainRe.findFirstMatchIn(splitFormat(text)._1) match {
+        case Some(m) => explain(spark, m.group(1), m.group(2))
+        case None    => spark.sql(rewrite(spark, text))
+      }
+    }
 
   /** `SELECT … INTO OUTFILE 'path' [FORMAT fmt]` — clickhouse-local's
     * export mode (the pinned binary's other front door besides the
@@ -166,11 +198,13 @@ object ChSql {
   private val parametricMap: Map[String, (String, String) => String] = Map(
     "quantile" -> ((p, x) => s"percentile($x, $p)"),
     "quantileexact" -> ((p, x) => s"percentile($x, $p)"),
-    "quantiletdigest" -> ((p, x) => s"approx_percentile($x, $p, 100)"),
-    "quantileapprox" -> ((p, x) => s"approx_percentile($x, $p, 100)"),
+    // CH's t-digest quantiles return Float64 — cast the input so
+    // approx_percentile doesn't return the (integer) input type
+    "quantiletdigest" -> ((p, x) => s"approx_percentile(CAST(($x) AS DOUBLE), $p, 100)"),
+    "quantileapprox" -> ((p, x) => s"approx_percentile(CAST(($x) AS DOUBLE), $p, 100)"),
     "quantiles" -> ((p, x) => s"percentile($x, array($p))"),
     "quantilesexact" -> ((p, x) => s"percentile($x, array($p))"),
-    "quantilestdigest" -> ((p, x) => s"approx_percentile($x, array($p), 100)"),
+    "quantilestdigest" -> ((p, x) => s"approx_percentile(CAST(($x) AS DOUBLE), array($p), 100)"),
     "uniqupto" -> ((p, x) => s"least(count(DISTINCT $x), $p + 1)"))
 
   /** Index just past a balanced `(...)` group opening at `open`. */
@@ -222,11 +256,62 @@ object ChSql {
     q
   }
 
+  /** Spark's parser owns the 3-arg `datediff(unit, start, end)` form
+    * as GRAMMAR (timestampdiff) and rejects CH's quoted unit before
+    * any registry lookup — and its complete-interval semantics differ
+    * from CH's boundary counting anyway. Reroute every dateDiff /
+    * date_diff call to the registered `chDateDiff` builder (ChNames),
+    * which serves the CH 3-arg form and falls through to Spark's
+    * 2-arg day difference. Quote-aware scan, word + `(` anchored. */
+  private def rewriteDateDiff(q0: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < q0.length) {
+      q0.charAt(i) match {
+        case '\'' | '"' | '`' =>
+          val e = skipQuoted(q0, i); sb.append(q0.substring(i, e)); i = e
+        case c if c.isLetter || c == '_' =>
+          val start = i
+          while (i < q0.length && isWordChar(q0.charAt(i))) i += 1
+          val w = q0.substring(start, i)
+          var j = i
+          while (j < q0.length && q0.charAt(j).isWhitespace) j += 1
+          val isCall = j < q0.length && q0.charAt(j) == '('
+          if (isCall && (w.equalsIgnoreCase("dateDiff") || w.equalsIgnoreCase("date_diff")))
+            sb.append("chDateDiff")
+          else if (isCall && w.equalsIgnoreCase("extract") && {
+            // CH extract(haystack, 'regex') has a TOP-LEVEL comma; the
+            // SQL-standard extract(field FROM ts) (which must stay
+            // Spark's) has FROM instead — inspect the balanced group
+            val end = balancedEnd(q0, j)
+            val body = q0.substring(j + 1, end - 1)
+            var k = 0
+            var depth = 0
+            var comma = false
+            while (k < body.length && !comma) {
+              body.charAt(k) match {
+                case '\'' | '"' | '`' => k = skipQuoted(body, k)
+                case '(' => depth += 1; k += 1
+                case ')' => depth -= 1; k += 1
+                case ',' if depth == 0 => comma = true
+                case _ => k += 1
+              }
+            }
+            comma
+          }) sb.append("chExtract")
+          else sb.append(w)
+        case c => sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
+
   /** Rewrite CH-dialect text to plain Spark SQL (exposed for specs). */
   def rewrite(spark: SparkSession, text: String): String = {
     var q = splitFormat(text)._1 // FORMAT is an output hint, not plan
     q = rewriteSettings(q)
     q = rewriteParametricAggs(q)
+    q = rewriteDateDiff(q)
     q = rewriteGlobal(q)
     q = rewriteSample(q)
     q = rewriteArrayJoin(spark, q)

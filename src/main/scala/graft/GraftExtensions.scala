@@ -11,6 +11,9 @@ import graft.expressions.{ArgMinL2F, DotProductF, L2SquaredF, MinHashBandsExpr, 
   * `spark.sql.extensions=graft.GraftExtensions` (Engine.session does). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // the ClickHouse-named scalar/aggregate surface, resolved through
+    // the SQL text front door (VERDICT r18 next #1) — see ChNames
+    ChNames.register(ext)
     ext.injectFunction((
       FunctionIdentifier("dot_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),

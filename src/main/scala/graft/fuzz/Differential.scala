@@ -554,6 +554,23 @@ object Differential {
   private def chnname(s: Long): String =
     s"fzchn${s}_${PlanGen.generateChNested(s).shape}"
 
+  /** Frozen CH-FUNCTION-NAME seeds (round 19, VERDICT r18 next #1),
+    * PINNED as literals: first seed of each sub-shape — date rollup
+    * (toYYYYMM/countIf/uniqExact), conditional row shape (multiIf/
+    * intDiv), parametric aggregate (quantile(q)(x)/argMax/sumIf) and
+    * the string family (lowerUTF8/replaceAll/positionUTF8/
+    * countSubstrings). Declared through [[viaChSql]]: CH-spelled TEXT
+    * → ChNames resolution + parametric rewrite → Spark → DuckDB,
+    * cross-engine every round. Same re-search contract in
+    * `DifferentialSpec`. */
+  val frozenChFnSeeds: Seq[Long] = Seq(1L, 3L, 5L, 7L)
+
+  private[graft] val chFnQuota = Map(
+    "chf_date" -> 1, "chf_cond" -> 1, "chf_agg" -> 1, "chf_str" -> 1)
+
+  private def chfname(s: Long): String =
+    s"fzchf${s}_${PlanGen.generateChFns(s).shape}"
+
   /** The search the pinned round-15 families were selected by —
     * exposed so the spec can re-run it against the literals. */
   private[graft] def searchQuota(quota: Map[String, Int], shapeOf: Long => String): Seq[Long] =
@@ -626,7 +643,8 @@ object Differential {
       frozenMapFnSeeds.map(s => mpname(s) -> viaSql(PlanGen.generateMapFn(s))).toMap ++
       frozenStrFnSeeds.map(s => sfname(s) -> viaSql(PlanGen.generateStrFn(s))).toMap ++
       frozenChSqlSeeds.map(s => chname(s) -> viaChSql(PlanGen.generateChSql(s))).toMap ++
-      frozenChNestedSeeds.map(s => chnname(s) -> viaChSql(PlanGen.generateChNested(s))).toMap
+      frozenChNestedSeeds.map(s => chnname(s) -> viaChSql(PlanGen.generateChNested(s))).toMap ++
+      frozenChFnSeeds.map(s => chfname(s) -> viaChSql(PlanGen.generateChFns(s))).toMap
 
   /** The DataFrame-API builders for the same frozen rows, keyed by the
     * same names — `DifferentialSpec` pins these equal to the SQL-text
@@ -671,7 +689,8 @@ object Differential {
       frozenMapFnSeeds.map(s => mpname(s) -> PlanGen.generateMapFn(s).build).toMap ++
       frozenStrFnSeeds.map(s => sfname(s) -> PlanGen.generateStrFn(s).build).toMap ++
       frozenChSqlSeeds.map(s => chname(s) -> PlanGen.generateChSql(s).build).toMap ++
-      frozenChNestedSeeds.map(s => chnname(s) -> PlanGen.generateChNested(s).build).toMap
+      frozenChNestedSeeds.map(s => chnname(s) -> PlanGen.generateChNested(s).build).toMap ++
+      frozenChFnSeeds.map(s => chfname(s) -> PlanGen.generateChFns(s).build).toMap
 
   def oracles: Map[String, String] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).duckSql).toMap ++
@@ -713,5 +732,6 @@ object Differential {
       frozenMapFnSeeds.map(s => mpname(s) -> PlanGen.generateMapFn(s).duckSql).toMap ++
       frozenStrFnSeeds.map(s => sfname(s) -> PlanGen.generateStrFn(s).duckSql).toMap ++
       frozenChSqlSeeds.map(s => chname(s) -> PlanGen.generateChSql(s).duckSql).toMap ++
-      frozenChNestedSeeds.map(s => chnname(s) -> PlanGen.generateChNested(s).duckSql).toMap
+      frozenChNestedSeeds.map(s => chnname(s) -> PlanGen.generateChNested(s).duckSql).toMap ++
+      frozenChFnSeeds.map(s => chfname(s) -> PlanGen.generateChFns(s).duckSql).toMap
 }

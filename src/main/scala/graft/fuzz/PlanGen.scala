@@ -2576,6 +2576,142 @@ object PlanGen {
       }
     }
 
+    /** CH FUNCTION-NAME plan (round 19, VERDICT r18 next #1): the
+      * query body is spelled with ClickHouse function names
+      * (toYYYYMM/countIf/uniqExact/multiIf/intDiv/quantile(q)(x)/
+      * argMax/string family) that resolve only through the engine's
+      * [[graft.ChNames]] registrations + the [[graft.ChSql]]
+      * parametric-syntax rewrite; `build` is the independently spelled
+      * Spark-function desugar and `duckSql` the DuckDB spelling — the
+      * three-legged contract of the other ch* families, now for the
+      * NAME surface rather than clause grammar. */
+    def runChFns(): Generated = {
+      // non-power-of-two draw: nextInt(2^k) takes the top bits of the
+      // first scrambled word, which are near-constant across
+      // SEQUENTIAL seeds — every seed 1..255 landed on one shape
+      rnd.nextInt(997) % 4 match {
+        case 0 => // date rollup: toYYYYMM/toYear/toStartOfMonth + countIf + uniqExact
+          val t = pick(Seq(lineitem, orders))
+          val d = t.date.get
+          val p = filterFor(t)
+          val p2 = onePred(t)
+          val ik = pick(t.ints)
+          val (gCh, gCol, gDuck) = rnd.nextInt(3) match {
+            case 0 => (s"toYYYYMM($d)",
+              (year(col(d)) * 100 + month(col(d))).cast("int"),
+              s"CAST(year($d) * 100 + month($d) AS INT)")
+            case 1 => (s"toYear($d)", year(col(d)), s"CAST(year($d) AS INT)")
+            case _ => (s"toStartOfMonth($d)",
+              date_trunc("month", col(d)).cast("date"),
+              s"CAST(date_trunc('month', $d) AS DATE)")
+          }
+          val chText =
+            s"SELECT $gCh AS g, count(*) AS n, countIf(${p2.sql}) AS ci, " +
+              s"uniqExact($ik) AS ue FROM ${t.name} WHERE ${p.sql} " +
+              s"GROUP BY g ORDER BY g"
+          val duckSql =
+            s"SELECT $gDuck AS g, count(*) AS n, " +
+              s"count(*) FILTER (WHERE ${p2.sql}) AS ci, " +
+              s"count(DISTINCT $ik) AS ue FROM ${t.name} WHERE ${p.sql} " +
+              s"GROUP BY 1 ORDER BY 1"
+          val build = (s: SparkSession, dir: String) =>
+            Engine.t(s, dir, t.name).filter(p.cond)
+              .groupBy(gCol.as("g"))
+              .agg(count(lit(1)).as("n"),
+                count(when(p2.cond, lit(1))).as("ci"),
+                count_distinct(col(ik)).as("ue"))
+              .orderBy("g")
+          Generated(seed, "chf_date", build, chText, duckSql)
+        case 1 => // conditionals: multiIf band + intDiv bucket, row-level
+          val t = pick(singles.filter(_.ints.size >= 2))
+          val p = filterFor(t)
+          val p1 = onePred(t)
+          val p2 = onePred(t)
+          val ik = pick(t.ints)
+          val m = 3 + rnd.nextInt(9)
+          val lim = 30 + rnd.nextInt(40)
+          val uk = t.unique.mkString(", ")
+          val chText =
+            s"SELECT $uk, multiIf(${p1.sql}, 'a', ${p2.sql}, 'b', 'z') AS band, " +
+              s"intDiv($ik, $m) AS q FROM ${t.name} WHERE ${p.sql} " +
+              s"ORDER BY $uk LIMIT $lim"
+          val duckSql =
+            s"SELECT $uk, CASE WHEN ${p1.sql} THEN 'a' WHEN ${p2.sql} THEN 'b' " +
+              s"ELSE 'z' END AS band, CAST(floor($ik / $m) AS BIGINT) AS q " +
+              s"FROM ${t.name} WHERE ${p.sql} ORDER BY $uk LIMIT $lim"
+          val build = (s: SparkSession, dir: String) =>
+            Engine.t(s, dir, t.name).filter(p.cond)
+              .select(t.unique.map(col) ++ Seq(
+                when(p1.cond, "a").when(p2.cond, "b").otherwise("z").as("band"),
+                call_function("div", col(ik), lit(m)).as("q")): _*)
+              .orderBy(t.unique.map(col): _*)
+              .limit(lim)
+          Generated(seed, "chf_cond", build, chText, duckSql)
+        case 2 => // aggregates: quantile(q)(x) parametric + argMax + sumIf
+          val t = pick(singles.filter(_.cats.nonEmpty))
+          val p = filterFor(t)
+          val p2 = onePred(t)
+          val g = pick(t.cats.keys.toSeq.sorted)
+          val v = pick(t.nums)
+          // argMax's ordering arg must be UNIQUE or engines pick
+          // different tie rows — fold the composite key into one value
+          // (lineitem: l_linenumber ∈ 1..7, so ×10 keeps it injective)
+          val (uk, ukCol) =
+            if (t.unique.size == 1) (t.unique.head, col(t.unique.head))
+            else (s"${t.unique.head} * 10 + ${t.unique(1)}",
+              col(t.unique.head) * 10 + col(t.unique(1)))
+          val q = Seq(0.25, 0.5, 0.75, 0.9)(rnd.nextInt(4))
+          val chText =
+            s"SELECT $g AS g, CAST(round(quantile($q)($v), 6) AS DOUBLE) AS med, " +
+              s"argMax($v, $uk) AS am, " +
+              s"CAST(sumIf(CAST($v AS DECIMAL(18,2)), ${p2.sql}) AS DOUBLE) AS si " +
+              s"FROM ${t.name} WHERE ${p.sql} GROUP BY g ORDER BY g"
+          val duckSql =
+            s"SELECT $g AS g, round(quantile_cont($v, $q), 6) AS med, " +
+              s"arg_max($v, $uk) AS am, " +
+              s"CAST(CAST(sum(CAST($v AS DECIMAL(18,2))) FILTER (WHERE ${p2.sql}) " +
+              s"AS VARCHAR) AS DOUBLE) AS si " +
+              s"FROM ${t.name} WHERE ${p.sql} GROUP BY 1 ORDER BY 1"
+          val build = (s: SparkSession, dir: String) =>
+            Engine.t(s, dir, t.name).filter(p.cond)
+              .groupBy(col(g).as("g"))
+              .agg(round(percentile(col(v), lit(q)), 6).cast("double").as("med"),
+                max_by(col(v), ukCol).as("am"),
+                sum(when(p2.cond, col(v).cast("decimal(18,2)"))).cast("double").as("si"))
+              .orderBy("g")
+          Generated(seed, "chf_agg", build, chText, duckSql)
+        case _ => // strings: lowerUTF8/replaceAll/positionUTF8/countSubstrings
+          val t = pick(singles.filter(_.cats.nonEmpty))
+          val p = filterFor(t)
+          val c = pick(t.cats.keys.toSeq.sorted)
+          // needle from the domain's actual letters so hits occur
+          val needle = pick(t.cats(c).flatMap(_.split("")).filter(_.matches("[A-Z]")).distinct.sorted)
+          val lim = 30 + rnd.nextInt(30)
+          val uk = t.unique.mkString(", ")
+          val chText =
+            s"SELECT $uk, lowerUTF8($c) AS lo, replaceAll($c, '$needle', '_') AS rep, " +
+              s"CAST(positionUTF8($c, '$needle') AS BIGINT) AS pos, " +
+              s"CAST(countSubstrings($c, '$needle') AS BIGINT) AS cs " +
+              s"FROM ${t.name} WHERE ${p.sql} ORDER BY $uk LIMIT $lim"
+          val duckSql =
+            s"SELECT $uk, lower($c) AS lo, replace($c, '$needle', '_') AS rep, " +
+              s"CAST(strpos($c, '$needle') AS BIGINT) AS pos, " +
+              s"CAST(length($c) - length(replace($c, '$needle', '')) AS BIGINT) AS cs " +
+              s"FROM ${t.name} WHERE ${p.sql} ORDER BY $uk LIMIT $lim"
+          val build = (s: SparkSession, dir: String) =>
+            Engine.t(s, dir, t.name).filter(p.cond)
+              .select(t.unique.map(col) ++ Seq(
+                lower(col(c)).as("lo"),
+                regexp_replace(col(c), java.util.regex.Pattern.quote(needle), "_").as("rep"),
+                locate(needle, col(c)).cast("long").as("pos"),
+                ((length(col(c)) - length(regexp_replace(col(c),
+                  java.util.regex.Pattern.quote(needle), ""))).cast("long")).as("cs")): _*)
+              .orderBy(t.unique.map(col): _*)
+              .limit(lim)
+          Generated(seed, "chf_str", build, chText, duckSql)
+      }
+    }
+
     /** Conditional-function plan (round 16) — the NULL-introducing /
       * NULL-eliminating scalar trio the CASE-based scalar family never
       * renders directly: greatest/least clamps, NULLIF, COALESCE
@@ -3579,4 +3715,9 @@ object PlanGen {
 
   /** NESTED CH-dialect text (subquery PREWHERE) — see [[Gen.runChNested]]. */
   def generateChNested(seed: Long): Generated = new Gen(seed).runChNested()
+
+  /** CH FUNCTION-NAME text (toYYYYMM/countIf/uniqExact/multiIf/
+    * quantile(q)(x)/…) resolving through [[graft.ChNames]] — see
+    * [[Gen.runChFns]]. */
+  def generateChFns(seed: Long): Generated = new Gen(seed).runChFns()
 }

@@ -328,6 +328,28 @@ object LlmPipeline {
         (col("doc_id") === col("label")).as("is_keeper"))
   }
 
+  /** The verdict table STAGED once per (session, sf, source
+    * fingerprint) — VERDICT r18 next #6: l37's rollup and l38's split
+    * both consume the same (doc_id, keep_id) artifact, and each
+    * consumer re-derived the whole pipeline (LSH bands, Jaccard
+    * verify, min-label rounds) from the corpus. At scale a pipeline
+    * persists this table anyway; downstream rows read the id-sized
+    * artifact, not the corpus again. Fingerprint-keyed like
+    * [[exactRepMap]], so a changed source re-stages. */
+  private val verdictsStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def dedupVerdictsStaged(spark: SparkSession, dir: String): DataFrame = {
+    val path = Engine.scratch(spark, dir, "l37_verdicts")
+    val fp = sourceFingerprint(dir)
+    verdictsStaged.synchronized {
+      if (verdictsStaged.get(path) != fp) {
+        dedupVerdicts(spark, dir).write.mode("overwrite").parquet(path)
+        verdictsStaged.put(path, fp): Unit
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   /** The train/val split coin: md5-hex-prefix threshold on the KEEPER
     * id (b5/l14's oracle-reproducible-hash precedent — NOT Spark
     * Murmur3, so DuckDB replays the exact assignment). First two hex
@@ -344,7 +366,7 @@ object LlmPipeline {
     * (LSH-graph, whole corpus); `LlmOpsSpec` plants a near-dup group
     * and asserts co-assignment. */
   def splitAssignments(spark: SparkSession, dir: String): DataFrame =
-    dedupVerdicts(spark, dir).withColumn("split", splitCoin(col("keep_id")))
+    dedupVerdictsStaged(spark, dir).withColumn("split", splitCoin(col("keep_id")))
 
   /** Declared l38: the FULL per-doc split assignment over the demo
     * component graph — every stage (pair graph, components, keeper,
@@ -368,16 +390,10 @@ object LlmPipeline {
     * makes it nonzero immediately. No oracle (LSH hash family is
     * engine-internal); the co-assignment spec is in `LlmOpsSpec`. */
   private def l38bSplitRollup(spark: SparkSession, dir: String): DataFrame = {
-    // Stage the assignment table ONCE: the verdict consumes it twice
-    // (leak check + volume rollup) and Spark recomputes the whole
-    // dedup pipeline (exact-rep window, LSH bands, Jaccard verify,
-    // min-label rounds) per consumer — the l13/l22 staging lesson. At
-    // scale a pipeline persists the split assignment anyway; the
-    // rollup reads the (doc_id, split, keep_id)-sized artifact, not
-    // the corpus twice.
-    val stagedPath = Engine.scratch(spark, dir, "l38b_assigned")
-    splitAssignments(spark, dir).write.mode("overwrite").parquet(stagedPath)
-    val assigned = spark.read.parquet(stagedPath)
+    // The assignment reads the STAGED verdict table (dedup runs once
+    // per session — the r19 stage-share); both consumers below scan
+    // the id-sized artifact, never the corpus.
+    val assigned = splitAssignments(spark, dir)
     val leaky = assigned.groupBy("keep_id")
       .agg(count_distinct(col("split")).as("n_splits"))
       .filter(col("n_splits") > 1)
@@ -522,7 +538,7 @@ object LlmPipeline {
   }
 
   private def l37DedupPipeline(spark: SparkSession, dir: String): DataFrame =
-    dedupVerdicts(spark, dir)
+    dedupVerdictsStaged(spark, dir)
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -87,8 +87,11 @@ object HttpSqlEndpoint {
 
   /** Start the endpoint on `port` (0 = ephemeral, for tests). Handler
     * threads are daemons: an abandoned endpoint (no stop()) must not
-    * pin a batch JVM open — ServerMain pins itself via join(). */
-  def start(spark: SparkSession, port: Int): Running = {
+    * pin a batch JVM open — ServerMain pins itself via join().
+    * `auth` defaults from CLICKHOUSE_USER/PASSWORD (reference
+    * `Dockerfile:300-302`); None = the auth-less default user. */
+  def start(spark: SparkSession, port: Int,
+      auth: Option[Auth] = Auth.fromEnv): Running = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8, r => {
       val t = new Thread(r, "graft-http-handler")
@@ -98,12 +101,37 @@ object HttpSqlEndpoint {
     server.createContext("/ping", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = respond(ex, 200, "Ok.\n", "text/plain")
     })
-    server.createContext("/", new QueryHandler(spark))
+    server.createContext("/", new QueryHandler(spark, auth))
     server.start()
     Running(server, server.getAddress.getPort)
   }
 
-  private final class QueryHandler(spark: SparkSession) extends HttpHandler {
+  private final class AuthFailed(msg: String) extends RuntimeException(msg)
+  private final class ReadOnly(msg: String) extends RuntimeException(msg)
+
+  /** The three credential carriers CH's HTTP interface accepts:
+    * X-ClickHouse-User/-Key headers, `user`/`password` URL params,
+    * and HTTP Basic auth. */
+  private def checkAuth(a: Auth, ex: HttpExchange, params: Map[String, String]): Unit = {
+    val h = ex.getRequestHeaders
+    val viaHeader = (Option(h.getFirst("X-ClickHouse-User")),
+      Option(h.getFirst("X-ClickHouse-Key")))
+    val viaParam = (params.get("user"), params.get("password"))
+    val viaBasic = Option(h.getFirst("Authorization"))
+      .filter(_.startsWith("Basic "))
+      .map(b => new String(java.util.Base64.getDecoder.decode(b.substring(6)), UTF_8))
+      .map(_.split(":", 2))
+      .map(arr => (Some(arr(0)), Some(if (arr.length > 1) arr(1) else "")))
+    val (u, p) = viaBasic.orElse(
+      Some(viaHeader).filter(_._1.isDefined)).orElse(
+      Some(viaParam).filter(_._1.isDefined))
+      .getOrElse((None, None))
+    if (!u.contains(a.user) || p.getOrElse("") != a.password)
+      throw new AuthFailed(
+        s"${a.user}: Authentication failed: password is incorrect, or there is no user with such name")
+  }
+
+  private final class QueryHandler(spark: SparkSession, auth: Option[Auth]) extends HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
       // Once the 200 header is out the status line is immutable; a
       // later failure must degrade to an in-body trailer, not a second
@@ -123,6 +151,11 @@ object HttpSqlEndpoint {
           if (fromParam.isEmpty) body
           else if (body.trim.isEmpty) fromParam
           else fromParam + "\n" + body // CH: param is the query head, body the tail
+        auth.foreach { a =>
+          checkAuth(a, ex, params)
+          if (a.readonly && graft.server.Auth.isWrite(text))
+            throw new ReadOnly("Cannot execute query in readonly mode")
+        }
         if (text.trim.isEmpty) respond(ex, 200, "Ok.\n", "text/plain")
         else InsertRe.findFirstMatchIn(text) match {
           case Some(m) =>
@@ -186,6 +219,8 @@ object HttpSqlEndpoint {
     * anything unrecognized reports 1002 UNKNOWN_EXCEPTION). */
   private def chErrorCode(e: Throwable): Int = e match {
     case _: LimitExceeded => 396 // LIMIT_EXCEEDED
+    case _: AuthFailed    => 516 // AUTHENTICATION_FAILED
+    case _: ReadOnly      => 164 // READONLY
     case _: org.apache.spark.sql.catalyst.parser.ParseException => 62 // SYNTAX_ERROR
     case a: org.apache.spark.sql.AnalysisException =>
       val cond = Option(a.getCondition).getOrElse("")
@@ -207,6 +242,8 @@ object HttpSqlEndpoint {
   private def httpStatus(chCode: Int): Int = chCode match {
     case 60                => 404
     case 46 | 47 | 62 | 73 => 400
+    case 516               => 403 // CH maps AUTHENTICATION_FAILED to Forbidden
+    case 164               => 403 // … and READONLY
     case _                 => 500
   }
 
@@ -258,6 +295,12 @@ object HttpSqlEndpoint {
       "(?:\\(([^)]*)\\)\\s*)?" +
       "(?:FORMAT\\s+([A-Za-z][A-Za-z0-9_]*)[ \\t]*\\r?\\n?(.*)|VALUES\\s+(.+)|((?:SELECT|WITH)\\b.+))$").r
 
+  /** Try `text` as an INSERT; Some(written rows) when it is one. The
+    * MySQL/PG doors route through this, so port-9004/9005 clients can
+    * ingest too (CH accepts INSERT on every protocol door). */
+  def ingest(spark: SparkSession, text: String): Option[Long] =
+    InsertRe.findFirstMatchIn(text).map(m => HttpIngest.insert(spark, m))
+
   /** The ingest path behind the wire protocol: parsed rows append to a
     * per-table parquet dir and the temp view is re-registered as
     * base ∪ ingested (fresh `spark.read.parquet` each time — a temp
@@ -299,7 +342,7 @@ object HttpSqlEndpoint {
       val key = table.toLowerCase
       val st = reg.computeIfAbsent(key,
         _ => State(target, graft.Engine.scratch(spark, "http", s"ingest_$key")))
-      st.synchronized {
+      val written = st.synchronized {
         // Each insert lands in its OWN subdirectory and the row count
         // reads back the files actually written (ADVICE r18: count()
         // then write re-executed a nondeterministic INSERT…SELECT
@@ -309,12 +352,27 @@ object HttpSqlEndpoint {
         // consistent pre-insert snapshot; the view re-registers only
         // after the write commits. Reading parquet counts from footers
         // — metadata only, no second plan execution.
-        val sub = s"${st.dir}/b${st.n.incrementAndGet()}"
-        aligned.write.mode("overwrite").parquet(sub)
-        val written = spark.read.parquet(sub).count()
-        st.orig.unionByName(spark.read.parquet(s"${st.dir}/b*")).createOrReplaceTempView(table)
-        written
+        val last = st.n.incrementAndGet()
+        val sub = s"${st.dir}/b$last"
+        // DDL-created tables carry a storage layout (ORDER BY /
+        // PARTITION BY — the K10 semantics): sort within partitions
+        // and directory-partition by the declared expression
+        val (laid, parts) = graft.ChDdl.layoutFor(aligned, table)
+        val w = laid.write.mode("overwrite")
+        (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(sub)
+        val n = spark.read.parquet(sub).count()
+        // each insert dir is its own partition-discovery root (a glob
+        // over partitioned subdirs trips CONFLICTING_DIRECTORY_
+        // STRUCTURES) — union the bounded per-insert list
+        val all = (1 to last)
+          .map(i => graft.ChDdl.readBack(spark.read.parquet(s"${st.dir}/b$i"), table))
+          .reduce(_.unionByName(_))
+        st.orig.unionByName(all).createOrReplaceTempView(table)
+        n
       }
+      // insert-driven MV maintenance (CH's incremental-MV contract)
+      graft.ChDdl.refreshMvs(spark)
+      written
     }
 
     /** Positional cast onto the target columns — shared by the VALUES

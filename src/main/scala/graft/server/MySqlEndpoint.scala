@@ -45,7 +45,8 @@ object MySqlEndpoint {
     def stop(): Unit = server.close() // accept loop exits on the SocketException
   }
 
-  def start(spark: SparkSession, port: Int): Running = {
+  def start(spark: SparkSession, port: Int,
+      auth: Option[Auth] = Auth.fromEnv): Running = {
     val server = new ServerSocket()
     server.bind(new InetSocketAddress("127.0.0.1", port))
     val acceptor = new Thread(() => {
@@ -54,7 +55,7 @@ object MySqlEndpoint {
         while (running) {
           try {
             val sock = server.accept()
-            val t = new Thread(() => serve(spark, sock), "graft-mysql-conn")
+            val t = new Thread(() => serve(spark, sock, auth), "graft-mysql-conn")
             t.setDaemon(true)
             t.start()
           } catch { case _: java.net.SocketException => running = false }
@@ -70,15 +71,44 @@ object MySqlEndpoint {
 
   private val connIds = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  private def serve(spark: SparkSession, sock: Socket): Unit = {
+  /** The 20-byte auth-plugin nonce the handshake carries (part 1 + 2). */
+  private val nonce = "12345678901234567890".getBytes(UTF_8)
+
+  private def serve(spark: SparkSession, sock: Socket, auth: Option[Auth]): Unit = {
     val in = new BufferedInputStream(sock.getInputStream)
     val out = new BufferedOutputStream(sock.getOutputStream)
     try {
       var seq = 0
       writePacket(out, seq, handshakeV10(connIds.incrementAndGet())); seq += 1
       out.flush()
-      readPacket(in) // HandshakeResponse41 — credentials ignored (CH default user)
-      writePacket(out, 2, okPacket())
+      val resp = readPacket(in)._2 // HandshakeResponse41
+      auth match {
+        case None => // auth-less default user (CH's own default): accept
+          writePacket(out, 2, okPacket())
+        case Some(a) =>
+          // caps(4) maxpacket(4) charset(1) reserved(23), then NUL-
+          // terminated user, then length-prefixed auth response
+          // (CLIENT_SECURE_CONNECTION form)
+          var off = 32
+          val ustart = off
+          while (off < resp.length && resp(off) != 0) off += 1
+          val user = new String(resp, ustart, off - ustart, UTF_8)
+          off += 1
+          val alen = if (off < resp.length) resp(off) & 0xff else 0
+          val scr = if (alen > 0) resp.slice(off + 1, off + 1 + alen)
+            else Array.emptyByteArray
+          val want = Auth.mysqlNativeScramble(a.password, nonce)
+          val ok = user == a.user &&
+            (if (a.password.isEmpty) alen == 0
+             else alen == want.length && java.util.Arrays.equals(scr, want))
+          if (!ok) {
+            writePacket(out, 2, errPacket(1045,
+              s"Access denied for user '$user' (using password: ${if (alen > 0) "YES" else "NO"})"))
+            out.flush()
+            return
+          }
+          writePacket(out, 2, okPacket())
+      }
       out.flush()
       var open = true
       while (open) {
@@ -92,15 +122,26 @@ object MySqlEndpoint {
           case 0x03 /* COM_QUERY */ =>
             val sql = new String(cmd, 1, cmd.length - 1, UTF_8)
             try {
-              val df = graft.ChSql.sql(spark, graft.ChSql.splitFormat(sql)._1)
-              df.schema // analyze before the first resultset byte goes out
-              writeResultSet(out, df)
+              if (auth.exists(_.readonly) && Auth.isWrite(sql))
+                throw new IllegalStateException("Cannot execute query in readonly mode")
+              sessionChatter(spark, sql) match {
+                case Some(Left(affected)) => // SET/BEGIN/… or INSERT → OK
+                  writePacket(out, 1, okPacket(affected)); out.flush()
+                case Some(Right(df)) => // @@vars / SHOW → synthetic resultset
+                  writeResultSet(out, df)
+                case None =>
+                  val df = graft.ChSql.sql(spark, graft.ChSql.splitFormat(sql)._1)
+                  df.schema // analyze before the first resultset byte goes out
+                  writeResultSet(out, df)
+              }
             } catch {
               case e: Throwable =>
                 writePacket(out, 1, errPacket(1064,
                   s"DB::Exception: ${Option(e.getMessage).getOrElse(e.toString)}"))
                 out.flush()
             }
+          case 0x04 /* COM_FIELD_LIST (legacy mysql CLI probe) */ =>
+            writePacket(out, 1, eofPacket()); out.flush()
           case _ =>
             writePacket(out, 1, errPacket(1047, "Unknown command")); out.flush()
         }
@@ -207,8 +248,98 @@ object MySqlEndpoint {
     p.bytes
   }
 
-  private def okPacket(): Array[Byte] =
-    new P().u1(0x00).lenenc(0).lenenc(0).u2(0x0002).u2(0).bytes
+  private def okPacket(affected: Long = 0): Array[Byte] =
+    new P().u1(0x00).lenenc(affected).lenenc(0).u2(0x0002).u2(0).bytes
+
+  // ---- real-client session chatter (VERDICT r18 next #2) ---------------
+
+  /** The session-establishment variables a stock `mysql` CLI / JDBC
+    * driver reads before its first real query. Values mirror what a
+    * MySQL-8-compatible server reports; `version_comment` identifies
+    * the engine like CH's MySQL door does. */
+  private val serverVars: Map[String, String] = Map(
+    "version_comment" -> "graft clickhouse-compatible analytics engine",
+    "version" -> "8.0.0-graft-clickhouse",
+    "max_allowed_packet" -> "67108864",
+    "sql_mode" -> "",
+    "autocommit" -> "1",
+    "auto_increment_increment" -> "1",
+    "lower_case_table_names" -> "0",
+    "character_set_client" -> "utf8mb4",
+    "character_set_connection" -> "utf8mb4",
+    "character_set_results" -> "utf8mb4",
+    "character_set_server" -> "utf8mb4",
+    "collation_server" -> "utf8mb4_general_ci",
+    "collation_connection" -> "utf8mb4_general_ci",
+    "init_connect" -> "",
+    "interactive_timeout" -> "28800",
+    "wait_timeout" -> "28800",
+    "net_write_timeout" -> "60",
+    "net_buffer_length" -> "16384",
+    "license" -> "Apache-2.0",
+    "system_time_zone" -> "UTC",
+    "time_zone" -> "SYSTEM",
+    "transaction_isolation" -> "REPEATABLE-READ",
+    "tx_isolation" -> "REPEATABLE-READ",
+    "performance_schema" -> "0",
+    "sql_auto_is_null" -> "0")
+
+  private val SetRe = "(?is)^\\s*SET\\s+.*$".r
+  private val UseRe = "(?is)^\\s*USE\\s+\\S+\\s*$".r
+  private val TxRe = "(?is)^\\s*(BEGIN|START\\s+TRANSACTION|COMMIT|ROLLBACK)\\s*$".r
+  private val AtVarRe = "@@(?:session\\.|global\\.)?([A-Za-z_]+)".r
+  private val SelectAtRe = "(?is)^\\s*SELECT\\s+(@@.+)$".r
+  private val ShowVarsRe =
+    "(?is)^\\s*SHOW\\s+(?:SESSION\\s+|GLOBAL\\s+)?VARIABLES(?:\\s+LIKE\\s+'([^']*)')?\\s*$".r
+  private val ShowDbsRe = "(?is)^\\s*SHOW\\s+DATABASES\\s*$".r
+  private val ShowTablesRe = "(?is)^\\s*SHOW\\s+(?:FULL\\s+)?TABLES\\s*$".r
+
+  /** Intercept the session chatter a real client opens with: Left =
+    * answer an OK packet (statements), Right = a synthetic resultset.
+    * Real queries return None and flow to the engine. */
+  private def sessionChatter(spark: SparkSession, sql: String)
+      : Option[Either[Long, DataFrame]] = {
+    val t = sql.trim.stripSuffix(";")
+    def like(pat: String)(s: String): Boolean =
+      s.matches(pat.replace("%", ".*").replace("_", "."))
+    t match {
+      case SetRe() | UseRe() | TxRe(_) => Some(Left(0L))
+      case SelectAtRe(exprs) if AtVarRe.findFirstIn(exprs).isDefined =>
+        // SELECT @@a [AS x][, @@b …] — answer from the var map; any
+        // non-@@ term in the list falls through to the engine
+        val parts = exprs.split(",").map(_.trim)
+        if (!parts.forall(p => p.startsWith("@@"))) None
+        else {
+          val cols = parts.toSeq.map { p =>
+            val name = AtVarRe.findFirstMatchIn(p).get.group(1)
+            val alias = "(?i)\\s+AS\\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\\s*$".r
+              .findFirstMatchIn(p).map(_.group(1)).getOrElse("@@" + name)
+            (alias, serverVars.getOrElse(name.toLowerCase, ""))
+          }
+          val schema = StructType(cols.map { case (a, _) =>
+            StructField(a, StringType, nullable = false) })
+          val row: Row = Row.fromSeq(cols.map(_._2))
+          Some(Right(spark.createDataFrame(
+            java.util.Collections.singletonList(row), schema)))
+        }
+      case ShowVarsRe(pat) =>
+        import spark.implicits._
+        val rows = serverVars.toSeq.sortBy(_._1)
+          .filter { case (k, _) => pat == null || like(pat)(k) }
+        Some(Right(rows.toDF("Variable_name", "Value")))
+      case ShowDbsRe() =>
+        import spark.implicits._
+        Some(Right(Seq("default").toDF("Database")))
+      case ShowTablesRe() =>
+        import spark.implicits._
+        val names = spark.catalog.listTables().collect()
+          .map(_.name).toSeq.sorted
+        Some(Right(names.toDF("Tables_in_default")))
+      case _ =>
+        // INSERT over the wire door → OK with affected rows
+        HttpSqlEndpoint.ingest(spark, t).map(n => Left(n))
+    }
+  }
 
   private def errPacket(code: Int, msg: String): Array[Byte] =
     new P().u1(0xff).u2(code).raw("#HY000".getBytes(UTF_8))

@@ -40,7 +40,8 @@ object PgEndpoint {
     def stop(): Unit = server.close()
   }
 
-  def start(spark: SparkSession, port: Int): Running = {
+  def start(spark: SparkSession, port: Int,
+      auth: Option[Auth] = Auth.fromEnv): Running = {
     val server = new ServerSocket()
     server.bind(new InetSocketAddress("127.0.0.1", port))
     val acceptor = new Thread(() => {
@@ -49,7 +50,7 @@ object PgEndpoint {
         while (running) {
           try {
             val sock = server.accept()
-            val t = new Thread(() => serve(spark, sock), "graft-pg-conn")
+            val t = new Thread(() => serve(spark, sock, auth), "graft-pg-conn")
             t.setDaemon(true)
             t.start()
           } catch { case _: java.net.SocketException => running = false }
@@ -101,20 +102,54 @@ object PgEndpoint {
   private val SslRequestCode = 80877103
   private val CancelRequestCode = 80877102
 
-  private def serve(spark: SparkSession, sock: Socket): Unit = {
+  private def serve(spark: SparkSession, sock: Socket, auth: Option[Auth]): Unit = {
     val in = new BufferedInputStream(sock.getInputStream)
     val out = new BufferedOutputStream(sock.getOutputStream)
     try {
       // startup phase: length-prefixed untagged messages; SSLRequest
       // may precede the StartupMessage — answer 'N' (plaintext only)
       var started = false
+      var startupUser = ""
       while (!started) {
         val len = i32(readN(in, 4), 0)
         val body = readN(in, len - 4)
         val code = i32(body, 0)
         if (code == SslRequestCode) { out.write('N'); out.flush() }
         else if (code == CancelRequestCode) return
-        else started = true // StartupMessage(196608) — params ignored
+        else { // StartupMessage(196608): read the user param
+          var off = 4
+          while (off < body.length && body(off) != 0) {
+            var e = off
+            while (body(e) != 0) e += 1
+            val k = new String(body, off, e - off, UTF_8)
+            var e2 = e + 1
+            while (e2 < body.length && body(e2) != 0) e2 += 1
+            val v = new String(body, e + 1, e2 - e - 1, UTF_8)
+            if (k == "user") startupUser = v
+            off = e2 + 1
+          }
+          started = true
+        }
+      }
+      auth.foreach { a =>
+        // AuthenticationCleartextPassword (R,3) → PasswordMessage 'p'
+        send(out, 'R', new M().u32(3).bytes)
+        out.flush()
+        val tag = in.read()
+        val ok = tag == 'p' && {
+          val len = i32(readN(in, 4), 0)
+          val body = readN(in, len - 4)
+          val pass = new String(body, 0, body.length - 1, UTF_8)
+          startupUser == a.user && pass == a.password
+        }
+        if (!ok) {
+          send(out, 'E', new M()
+            .u8('S').cstr("FATAL").u8('C').cstr("28P01")
+            .u8('M').cstr(s"password authentication failed for user \"$startupUser\"")
+            .u8(0).bytes)
+          out.flush()
+          return
+        }
       }
       send(out, 'R', new M().u32(0).bytes) // AuthenticationOk
       send(out, 'S', new M().cstr("server_version").cstr("16.0 (graft-clickhouse)").bytes)
@@ -123,6 +158,21 @@ object PgEndpoint {
       send(out, 'K', new M().u32(1).u32(0).bytes) // BackendKeyData
       send(out, 'Z', new M().u8('I').bytes)       // ReadyForQuery, idle
       out.flush()
+      // extended-protocol state: prepared statements and portals
+      // (named by the client; JDBC mostly uses the unnamed "" ones)
+      val stmts = scala.collection.mutable.Map.empty[String, String]
+      val portals = scala.collection.mutable.Map.empty[String, String]
+      def cstrAt(b: Array[Byte], off: Int): (String, Int) = {
+        var e = off
+        while (b(e) != 0) e += 1
+        (new String(b, off, e - off, UTF_8), e + 1)
+      }
+      def sendError(e: Throwable): Unit = {
+        val msg = s"DB::Exception: ${Option(e.getMessage).getOrElse(e.toString)}"
+        send(out, 'E', new M()
+          .u8('S').cstr("ERROR").u8('C').cstr("42601")
+          .u8('M').cstr(msg).u8(0).bytes)
+      }
       var open = true
       while (open) {
         val tag = in.read()
@@ -134,23 +184,60 @@ object PgEndpoint {
             case 'Q' =>
               val sql = new String(body, 0, body.length - 1, UTF_8) // strip trailing \0
               try {
-                val df = graft.ChSql.sql(spark, graft.ChSql.splitFormat(sql)._1)
-                df.schema // analyze before the first byte goes out
-                val n = writeResultSet(out, df)
-                send(out, 'C', new M().cstr(s"SELECT $n").bytes)
-              } catch {
-                case e: Throwable =>
-                  val msg = s"DB::Exception: ${Option(e.getMessage).getOrElse(e.toString)}"
-                  send(out, 'E', new M()
-                    .u8('S').cstr("ERROR").u8('C').cstr("42601")
-                    .u8('M').cstr(msg).u8(0).bytes)
-              }
+                if (auth.exists(_.readonly) && Auth.isWrite(sql))
+                  throw new IllegalStateException("cannot execute INSERT in a read-only transaction")
+                runSimple(spark, out, sql)
+              } catch { case e: Throwable => sendError(e) }
               send(out, 'Z', new M().u8('I').bytes)
               out.flush()
-            case _ => // unsupported (extended protocol etc.): report and stay up
+
+            // ---- extended protocol (what psql \prepare and every
+            // JDBC/npgsql driver speaks) — parameterless scope --------
+            case 'P' => // Parse: name, query, param-type count
+              val (name, o1) = cstrAt(body, 0)
+              val (sql, _) = cstrAt(body, o1)
+              stmts(name) = sql
+              send(out, '1', Array.emptyByteArray) // ParseComplete
+            case 'B' => // Bind: portal, statement, formats/params ignored
+              val (portal, o1) = cstrAt(body, 0)
+              val (stmt, o2) = cstrAt(body, o1)
+              val nFmt = ((body(o2) & 0xff) << 8) | (body(o2 + 1) & 0xff)
+              val nPar = ((body(o2 + 2 + 2 * nFmt) & 0xff) << 8) |
+                (body(o2 + 3 + 2 * nFmt) & 0xff)
+              require(nPar == 0,
+                "extended protocol: bind parameters are not supported (inline literals)")
+              portals(portal) = stmts.getOrElse(stmt,
+                throw new IllegalStateException(s"unknown prepared statement '$stmt'"))
+              send(out, '2', Array.emptyByteArray) // BindComplete
+            case 'D' => // Describe ('S' statement | 'P' portal)
+              val name = cstrAt(body, 1)._1
+              val sql = (if (body(0) == 'S') stmts.get(name) else portals.get(name))
+                .getOrElse(throw new IllegalStateException(s"unknown '$name'"))
+              chatter(spark, sql) match {
+                case Some(_) => send(out, 'n', Array.emptyByteArray) // NoData
+                case None =>
+                  val df = graft.ChSql.sql(spark, graft.ChSql.splitFormat(sql)._1)
+                  sendRowDescription(out, df.schema)
+              }
+            case 'E' => // Execute: portal, row cap (cap ignored — full result)
+              val (portal, _) = cstrAt(body, 0)
+              val sql = portals.getOrElse(portal,
+                throw new IllegalStateException(s"unknown portal '$portal'"))
+              try runExtended(spark, out, sql)
+              catch { case e: Throwable => sendError(e) }
+            case 'C' => // Close statement/portal
+              val name = cstrAt(body, 1)._1
+              if (body(0) == 'S') stmts.remove(name) else portals.remove(name)
+              send(out, '3', Array.emptyByteArray) // CloseComplete
+            case 'S' => // Sync — end of extended batch
+              send(out, 'Z', new M().u8('I').bytes)
+              out.flush()
+            case 'H' => // Flush
+              out.flush()
+            case _ =>
               send(out, 'E', new M()
                 .u8('S').cstr("ERROR").u8('C').cstr("0A000")
-                .u8('M').cstr(s"unsupported message '${tag.toChar}' (simple query protocol only)")
+                .u8('M').cstr(s"unsupported message '${tag.toChar}'")
                 .u8(0).bytes)
               send(out, 'Z', new M().u8('I').bytes)
               out.flush()
@@ -176,13 +263,16 @@ object PgEndpoint {
     case _              => 25   // text
   }
 
-  private def writeResultSet(out: OutputStream, df: DataFrame): Long = {
-    val schema = df.schema
+  private def sendRowDescription(out: OutputStream, schema: StructType): Unit = {
     val rd = new M().u16(schema.length)
     schema.fields.foreach { f =>
       rd.cstr(f.name).u32(0).u16(0).u32(pgOid(f.dataType)).u16(0xffff).u32(-1).u16(0)
     }
     send(out, 'T', rd.bytes)
+  }
+
+  private def writeDataRows(out: OutputStream, df: DataFrame): Long = {
+    val schema = df.schema
     var n = 0L
     val it = df.toLocalIterator()
     while (it.hasNext) {
@@ -200,4 +290,51 @@ object PgEndpoint {
     }
     n
   }
+
+  /** Session chatter a stock client (psql, JDBC) sends before and
+    * around real queries (VERDICT r18 next #2): transaction / SET /
+    * DEALLOCATE statements acknowledge as no-ops with the proper
+    * CommandComplete tag (a Spark session has no counterpart state to
+    * mutate), and INSERT routes to the shared ingest path. None =
+    * a real query for the engine. */
+  private def chatter(spark: SparkSession, sql: String): Option[String] = {
+    val t = sql.trim.stripSuffix(";").trim
+    val up = t.toUpperCase
+    if (up == "SET" || up.startsWith("SET ")) Some("SET")
+    else if (up.startsWith("RESET")) Some("RESET")
+    else if (up == "BEGIN" || up.startsWith("BEGIN ") ||
+      up.startsWith("START TRANSACTION")) Some("BEGIN")
+    else if (up == "COMMIT" || up == "END") Some("COMMIT")
+    else if (up == "ROLLBACK") Some("ROLLBACK")
+    else if (up.startsWith("DEALLOCATE")) Some("DEALLOCATE")
+    else if (up.startsWith("DISCARD")) Some("DISCARD ALL")
+    else HttpSqlEndpoint.ingest(spark, t).map(n => s"INSERT 0 $n")
+  }
+
+  /** Simple-protocol execution: RowDescription + DataRows +
+    * CommandComplete (or EmptyQueryResponse / chatter tags). */
+  private def runSimple(spark: SparkSession, out: OutputStream, sql: String): Unit =
+    if (sql.trim.stripSuffix(";").trim.isEmpty)
+      send(out, 'I', Array.emptyByteArray) // EmptyQueryResponse
+    else chatter(spark, sql) match {
+      case Some(tag) => send(out, 'C', new M().cstr(tag).bytes)
+      case None =>
+        val df = graft.ChSql.sql(spark, graft.ChSql.splitFormat(sql)._1)
+        df.schema // analyze before the first byte goes out
+        sendRowDescription(out, df.schema)
+        val n = writeDataRows(out, df)
+        send(out, 'C', new M().cstr(s"SELECT $n").bytes)
+    }
+
+  /** Extended-protocol Execute: DataRows only — the RowDescription
+    * went out with Describe, per the protocol. */
+  private def runExtended(spark: SparkSession, out: OutputStream, sql: String): Unit =
+    chatter(spark, sql) match {
+      case Some(tag) => send(out, 'C', new M().cstr(tag).bytes)
+      case None =>
+        val df = graft.ChSql.sql(spark, graft.ChSql.splitFormat(sql)._1)
+        df.schema
+        val n = writeDataRows(out, df)
+        send(out, 'C', new M().cstr(s"SELECT $n").bytes)
+    }
 }

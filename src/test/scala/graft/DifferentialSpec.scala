@@ -834,6 +834,35 @@ class DifferentialSpec extends AnyFunSuite {
       graft.fuzz.Differential.chNestedQuota, s => PlanGen.generateChNested(s).shape)
     assert(chn.sorted == graft.fuzz.Differential.frozenChNestedSeeds,
       s"generator moved the frozen chnested seeds: search=$chn — re-pin AND rename fzchn* rows")
+    val chf = graft.fuzz.Differential.searchQuota(
+      graft.fuzz.Differential.chFnQuota, s => PlanGen.generateChFns(s).shape)
+    assert(chf.sorted == graft.fuzz.Differential.frozenChFnSeeds,
+      s"generator moved the frozen chfn seeds: search=$chf — re-pin AND rename fzchf* rows")
+  }
+
+  test("100 CH-function-name plans: CH-spelled text equals the Spark desugar (r19)") {
+    // VERDICT r18 next #1: the CH NAME surface (ChNames registrations
+    // + the parametric-aggregate rewrite) — CH-spelled text through
+    // ChSql must equal an independently spelled Spark-function build,
+    // across tables, predicates, date extractors, parametric
+    // quantiles, and the string family.
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var nonEmpty = 0
+    for (seed <- 1L to 100L) {
+      val gen = PlanGen.generateChFns(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaCh = rows(graft.ChSql.sql(spark, gen.sparkSql))
+      if (viaApi.nonEmpty) nonEmpty += 1
+      assert(viaApi == viaCh,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} chsql rows=${viaCh.size}" +
+          s"\n  chText: ${gen.sparkSql}\n  duckSql: ${gen.duckSql}")
+    }
+    assert(Set("chf_date", "chf_cond", "chf_agg", "chf_str") == shapes.keySet.toSet,
+      s"chfn shape coverage hole: $shapes")
+    assert(nonEmpty >= 50, s"only $nonEmpty/100 chfn seeds non-empty")
   }
 
   test("frozen round-15 pivot/explode seeds: pinned literals match the search") {
