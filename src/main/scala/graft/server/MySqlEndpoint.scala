@@ -19,8 +19,15 @@ import org.apache.spark.sql.types._
   *   - HandshakeV10 greeting (protocol 10, CLIENT_PROTOCOL_41 |
   *     CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH |
   *     CLIENT_CONNECT_WITH_DB, `mysql_native_password` plugin bytes).
-  *     Credentials are accepted and ignored — CH's default user is
-  *     password-less; same here.
+  *     Without configured credentials any login is accepted (CH's
+  *     password-less default user); with CLICKHOUSE_USER/PASSWORD set
+  *     (r19, [[Auth]]) the client's `mysql_native_password` scramble
+  *     is validated against the handshake nonce — ERR 1045 on
+  *     mismatch — and a readonly profile rejects writes.
+  *   - Session chatter a stock mysql/JDBC client opens with (r19):
+  *     SET/USE/transaction no-ops, `SELECT @@var` resultsets, SHOW
+  *     VARIABLES/DATABASES/TABLES, COM_FIELD_LIST; INSERT routes to
+  *     the shared ingest and answers OK with affected rows.
   *   - COM_QUERY → the query text runs through the shared
   *     [[graft.ChSql]] dialect front door and streams back as a TEXT
   *     resultset: lenenc column count, ColumnDefinition41 per column

@@ -18,7 +18,16 @@ import org.apache.spark.sql.types._
   *   - SSLRequest answered `N` (plaintext), StartupMessage(3.0)
   *     accepted for any user/database → AuthenticationOk,
   *     ParameterStatus (`server_version`, `client_encoding`,
-  *     `DateStyle`), BackendKeyData, ReadyForQuery('I').
+  *     `DateStyle`), BackendKeyData, ReadyForQuery('I'). With
+  *     CLICKHOUSE_USER/PASSWORD set (r19, [[Auth]]) the startup
+  *     instead gets AuthenticationCleartextPassword and the 'p'
+  *     response is validated (28P01 on mismatch); a readonly profile
+  *     rejects writes.
+  *   - Extended protocol (r19): Parse/Bind/Describe/Execute/Close/
+  *     Sync/Flush for parameterless statements — the sequence JDBC
+  *     and npgsql drivers actually speak — plus SET/BEGIN/DEALLOCATE/
+  *     DISCARD/empty-query chatter with proper CommandComplete tags,
+  *     and INSERT via the shared ingest (`INSERT 0 n`).
   *   - Simple Query ('Q') → the text runs through the shared
   *     [[graft.ChSql]] dialect front door and streams back as
   *     RowDescription (Spark type → PG type OID) + DataRow per row
