@@ -182,7 +182,9 @@ object ChDdl {
       val name = m.group(1)
       val select = m.group(2)
       mvDefs.put(name.toLowerCase, select)
-      mvOrder.add(name.toLowerCase): Unit
+      // addIfAbsent: a re-CREATE (or an extended-protocol Describe
+      // followed by Execute) must not enroll the MV twice
+      mvOrder.addIfAbsent(name.toLowerCase): Unit
       materialize(spark, name, select)
       spark.emptyDataFrame
     }).orElse(DropRe.findFirstMatchIn(t).map { m =>

@@ -139,7 +139,9 @@ object MySqlEndpoint {
                 case None =>
                   val df = graft.ChSql.sql(spark, graft.ChSql.splitFormat(sql)._1)
                   df.schema // analyze before the first resultset byte goes out
-                  writeResultSet(out, df)
+                  if (df.columns.isEmpty) { // DDL: OK packet, like MySQL
+                    writePacket(out, 1, okPacket()); out.flush()
+                  } else writeResultSet(out, df)
               }
             } catch {
               case e: Throwable =>

@@ -320,8 +320,14 @@ object PgEndpoint {
     else HttpSqlEndpoint.ingest(spark, t).map(n => s"INSERT 0 $n")
   }
 
+  /** A DDL statement's PG command tag ("CREATE TABLE", "DROP TABLE",
+    * …): the first two keywords — what psql prints on success. */
+  private def ddlTag(sql: String): String =
+    sql.trim.split("\\s+").take(2).mkString(" ").toUpperCase
+
   /** Simple-protocol execution: RowDescription + DataRows +
-    * CommandComplete (or EmptyQueryResponse / chatter tags). */
+    * CommandComplete (or EmptyQueryResponse / chatter tags / a bare
+    * CommandComplete for DDL — whose result has no columns). */
   private def runSimple(spark: SparkSession, out: OutputStream, sql: String): Unit =
     if (sql.trim.stripSuffix(";").trim.isEmpty)
       send(out, 'I', Array.emptyByteArray) // EmptyQueryResponse
@@ -330,9 +336,13 @@ object PgEndpoint {
       case None =>
         val df = graft.ChSql.sql(spark, graft.ChSql.splitFormat(sql)._1)
         df.schema // analyze before the first byte goes out
-        sendRowDescription(out, df.schema)
-        val n = writeDataRows(out, df)
-        send(out, 'C', new M().cstr(s"SELECT $n").bytes)
+        if (df.columns.isEmpty) // DDL: command tag, no resultset
+          send(out, 'C', new M().cstr(ddlTag(sql)).bytes)
+        else {
+          sendRowDescription(out, df.schema)
+          val n = writeDataRows(out, df)
+          send(out, 'C', new M().cstr(s"SELECT $n").bytes)
+        }
     }
 
   /** Extended-protocol Execute: DataRows only — the RowDescription
@@ -343,7 +353,11 @@ object PgEndpoint {
       case None =>
         val df = graft.ChSql.sql(spark, graft.ChSql.splitFormat(sql)._1)
         df.schema
-        val n = writeDataRows(out, df)
-        send(out, 'C', new M().cstr(s"SELECT $n").bytes)
+        if (df.columns.isEmpty)
+          send(out, 'C', new M().cstr(ddlTag(sql)).bytes)
+        else {
+          val n = writeDataRows(out, df)
+          send(out, 'C', new M().cstr(s"SELECT $n").bytes)
+        }
     }
 }
