@@ -301,6 +301,18 @@ object HttpSqlEndpoint {
   def ingest(spark: SparkSession, text: String): Option[Long] =
     InsertRe.findFirstMatchIn(text).map(m => HttpIngest.insert(spark, m))
 
+  /** Pure classifier — is `text` an INSERT this door would ingest?
+    * (The PG Describe path must classify WITHOUT executing, ADVICE
+    * r19.) */
+  def isInsert(text: String): Boolean = InsertRe.findFirstMatchIn(text).isDefined
+
+  /** Drop the accumulated ingest state for `table` — invoked by the
+    * DDL handlers (TRUNCATE / DROP / ALTER, [[graft.ChDdl]]) so the
+    * next INSERT re-captures its base from the CURRENT view instead
+    * of re-unioning pre-DDL batch dirs (ADVICE r19: TRUNCATE used to
+    * resurrect old rows on the next insert). */
+  def resetIngest(table: String): Unit = HttpIngest.reset(table)
+
   /** The ingest path behind the wire protocol: parsed rows append to a
     * per-table parquet dir and the temp view is re-registered as
     * base ∪ ingested (fresh `spark.read.parquet` each time — a temp
@@ -315,6 +327,13 @@ object HttpSqlEndpoint {
         n: java.util.concurrent.atomic.AtomicInteger =
           new java.util.concurrent.atomic.AtomicInteger())
     private val reg = new java.util.concurrent.ConcurrentHashMap[String, State]()
+    // Every State generation gets a FRESH dir suffix: after a DDL reset
+    // the current view may still reference the previous generation's
+    // parquet files, so re-using (and overwriting) those paths would
+    // corrupt the live view's snapshot.
+    private val gen = new java.util.concurrent.atomic.AtomicInteger()
+
+    def reset(table: String): Unit = reg.remove(table.toLowerCase): Unit
 
     def insert(spark: SparkSession, m: scala.util.matching.Regex.Match): Long = {
       val table = m.group(1)
@@ -341,8 +360,9 @@ object HttpSqlEndpoint {
       }: _*)
       val key = table.toLowerCase
       val st = reg.computeIfAbsent(key,
-        _ => State(target, graft.Engine.scratch(spark, "http", s"ingest_$key")))
-      val written = st.synchronized {
+        _ => State(target,
+          graft.Engine.scratch(spark, "http", s"ingest_${key}_g${gen.incrementAndGet()}")))
+      val (written, delta) = st.synchronized {
         // Each insert lands in its OWN subdirectory and the row count
         // reads back the files actually written (ADVICE r18: count()
         // then write re-executed a nondeterministic INSERT…SELECT
@@ -368,10 +388,12 @@ object HttpSqlEndpoint {
           .map(i => graft.ChDdl.readBack(spark.read.parquet(s"${st.dir}/b$i"), table))
           .reduce(_.unionByName(_))
         st.orig.unionByName(all).createOrReplaceTempView(table)
-        n
+        (n, graft.ChDdl.readBack(spark.read.parquet(sub), table))
       }
-      // insert-driven MV maintenance (CH's incremental-MV contract)
-      graft.ChDdl.refreshMvs(spark)
+      // Insert-driven MV maintenance (CH's incremental-MV contract):
+      // the delta block is the parquet just written — deterministic
+      // (footer-backed), never a re-execution of the INSERT's source.
+      graft.ChDdl.onInsert(spark, table, delta)
       written
     }
 

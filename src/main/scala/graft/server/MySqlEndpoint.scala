@@ -78,15 +78,24 @@ object MySqlEndpoint {
 
   private val connIds = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** The 20-byte auth-plugin nonce the handshake carries (part 1 + 2). */
-  private val nonce = "12345678901234567890".getBytes(UTF_8)
+  /** The 20-byte auth-plugin nonce (part 1 + 2), generated FRESH per
+    * connection (ADVICE r19: a constant nonce defeats the
+    * challenge-response design — a sniffed scramble replays forever).
+    * Printable ASCII, never NUL, like MySQL's own salt bytes. */
+  private val nonceRng = new java.security.SecureRandom()
+  private def freshNonce(): Array[Byte] = {
+    val b = new Array[Byte](20)
+    nonceRng.nextBytes(b)
+    b.map(x => ((x & 0x7f) % 94 + 33).toByte)
+  }
 
   private def serve(spark: SparkSession, sock: Socket, auth: Option[Auth]): Unit = {
     val in = new BufferedInputStream(sock.getInputStream)
     val out = new BufferedOutputStream(sock.getOutputStream)
     try {
       var seq = 0
-      writePacket(out, seq, handshakeV10(connIds.incrementAndGet())); seq += 1
+      val nonce = freshNonce()
+      writePacket(out, seq, handshakeV10(connIds.incrementAndGet(), nonce)); seq += 1
       out.flush()
       val resp = readPacket(in)._2 // HandshakeResponse41
       auth match {
@@ -105,9 +114,12 @@ object MySqlEndpoint {
           val scr = if (alen > 0) resp.slice(off + 1, off + 1 + alen)
             else Array.emptyByteArray
           val want = Auth.mysqlNativeScramble(a.password, nonce)
-          val ok = user == a.user &&
+          // MessageDigest.isEqual = constant-time compare (no early
+          // exit to time-probe the scramble byte by byte)
+          val ok = java.security.MessageDigest.isEqual(
+              user.getBytes(UTF_8), a.user.getBytes(UTF_8)) &&
             (if (a.password.isEmpty) alen == 0
-             else alen == want.length && java.util.Arrays.equals(scr, want))
+             else java.security.MessageDigest.isEqual(scr, want))
           if (!ok) {
             writePacket(out, 2, errPacket(1045,
               s"Access denied for user '$user' (using password: ${if (alen > 0) "YES" else "NO"})"))
@@ -240,19 +252,19 @@ object MySqlEndpoint {
   // CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH
   private val caps: Long = 0x0008L | 0x0200L | 0x8000L | 0x80000L
 
-  private def handshakeV10(connId: Int): Array[Byte] = {
+  private def handshakeV10(connId: Int, nonce: Array[Byte]): Array[Byte] = {
     val p = new P
     p.u1(0x0a)                               // protocol version 10
     p.nulStr("8.0.0-graft-clickhouse")       // server version (CH reports 8.0-compat too)
     p.u4(connId.toLong)                      // connection id
-    p.raw("12345678".getBytes(UTF_8)); p.u1(0) // auth-plugin-data part 1 + filler
+    p.raw(nonce.slice(0, 8)); p.u1(0)        // auth-plugin-data part 1 + filler
     p.u2((caps & 0xffff).toInt)              // capability flags (lower)
     p.u1(33)                                 // charset utf8_general_ci
     p.u2(0x0002)                             // status: autocommit
     p.u2(((caps >> 16) & 0xffff).toInt)      // capability flags (upper)
     p.u1(21)                                 // auth plugin data length
     p.raw(new Array[Byte](10))               // reserved
-    p.raw("901234567890".getBytes(UTF_8)); p.u1(0) // auth-plugin-data part 2
+    p.raw(nonce.slice(8, 20)); p.u1(0)       // auth-plugin-data part 2
     p.nulStr("mysql_native_password")
     p.bytes
   }

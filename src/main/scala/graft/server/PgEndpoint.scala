@@ -181,7 +181,14 @@ object PgEndpoint {
         send(out, 'E', new M()
           .u8('S').cstr("ERROR").u8('C').cstr("42601")
           .u8('M').cstr(msg).u8(0).bytes)
+        out.flush()
       }
+      // Extended-protocol error state (ADVICE r19): after an error the
+      // backend answers ErrorResponse and DISCARDS messages until Sync
+      // (public FE/BE protocol §error handling) — a thrown Bind/
+      // Describe must not fall through to the connection-level catch
+      // and drop the socket (JDBC would see a connection reset).
+      var skipUntilSync = false
       var open = true
       while (open) {
         val tag = in.read()
@@ -189,6 +196,11 @@ object PgEndpoint {
         else {
           val len = i32(readN(in, 4), 0)
           val body = readN(in, len - 4)
+          // extended-protocol handler wrapper: honor the error state,
+          // convert any throw into ErrorResponse + skip-until-Sync
+          def ext(f: => Unit): Unit =
+            if (!skipUntilSync)
+              try f catch { case e: Throwable => sendError(e); skipUntilSync = true }
           tag match {
             case 'Q' =>
               val sql = new String(body, 0, body.length - 1, UTF_8) // strip trailing \0
@@ -202,12 +214,13 @@ object PgEndpoint {
 
             // ---- extended protocol (what psql \prepare and every
             // JDBC/npgsql driver speaks) — parameterless scope --------
-            case 'P' => // Parse: name, query, param-type count
+            case 'P' => ext { // Parse: name, query, param-type count
               val (name, o1) = cstrAt(body, 0)
               val (sql, _) = cstrAt(body, o1)
               stmts(name) = sql
               send(out, '1', Array.emptyByteArray) // ParseComplete
-            case 'B' => // Bind: portal, statement, formats/params ignored
+            }
+            case 'B' => ext { // Bind: portal, statement, formats/params ignored
               val (portal, o1) = cstrAt(body, 0)
               val (stmt, o2) = cstrAt(body, o1)
               val nFmt = ((body(o2) & 0xff) << 8) | (body(o2 + 1) & 0xff)
@@ -218,27 +231,46 @@ object PgEndpoint {
               portals(portal) = stmts.getOrElse(stmt,
                 throw new IllegalStateException(s"unknown prepared statement '$stmt'"))
               send(out, '2', Array.emptyByteArray) // BindComplete
-            case 'D' => // Describe ('S' statement | 'P' portal)
+            }
+            case 'D' => ext { // Describe ('S' statement | 'P' portal)
               val name = cstrAt(body, 1)._1
               val sql = (if (body(0) == 'S') stmts.get(name) else portals.get(name))
                 .getOrElse(throw new IllegalStateException(s"unknown '$name'"))
-              chatter(spark, sql) match {
-                case Some(_) => send(out, 'n', Array.emptyByteArray) // NoData
-                case None =>
-                  val df = graft.ChSql.sql(spark, graft.ChSql.splitFormat(sql)._1)
-                  sendRowDescription(out, df.schema)
+              // Describe('S') answers ParameterDescription first (none
+              // — the parameterless scope), per the protocol
+              if (body(0) == 'S') send(out, 't', new M().u16(0).bytes)
+              // CLASSIFY without executing (ADVICE r19: Describe used
+              // to run the statement — a stock JDBC Parse/Bind/
+              // Describe/Execute sequence inserted rows TWICE and DROP
+              // dropped at Describe then errored at Execute). Chatter/
+              // INSERT/mutating-DDL have no resultset → NoData; only
+              // genuine queries analyze (lazily — no side effects).
+              val bare = graft.ChSql.splitFormat(sql)._1
+              if (chatterTag(sql).isDefined ||
+                HttpSqlEndpoint.isInsert(bare) || graft.ChDdl.isDdl(bare))
+                send(out, 'n', Array.emptyByteArray) // NoData
+              else {
+                val df = graft.ChSql.sql(spark, bare)
+                sendRowDescription(out, df.schema)
               }
-            case 'E' => // Execute: portal, row cap (cap ignored — full result)
+            }
+            case 'E' => ext { // Execute: portal, row cap (cap ignored — full result)
               val (portal, _) = cstrAt(body, 0)
               val sql = portals.getOrElse(portal,
                 throw new IllegalStateException(s"unknown portal '$portal'"))
-              try runExtended(spark, out, sql)
-              catch { case e: Throwable => sendError(e) }
-            case 'C' => // Close statement/portal
+              // the readonly profile guards EVERY execution route, not
+              // just the simple-query path (ADVICE r19)
+              if (auth.exists(_.readonly) && Auth.isWrite(sql))
+                throw new IllegalStateException("cannot execute INSERT in a read-only transaction")
+              runExtended(spark, out, sql)
+            }
+            case 'C' => ext { // Close statement/portal
               val name = cstrAt(body, 1)._1
               if (body(0) == 'S') stmts.remove(name) else portals.remove(name)
               send(out, '3', Array.emptyByteArray) // CloseComplete
-            case 'S' => // Sync — end of extended batch
+            }
+            case 'S' => // Sync — end of extended batch, clears error state
+              skipUntilSync = false
               send(out, 'Z', new M().u8('I').bytes)
               out.flush()
             case 'H' => // Flush
@@ -306,7 +338,7 @@ object PgEndpoint {
     * CommandComplete tag (a Spark session has no counterpart state to
     * mutate), and INSERT routes to the shared ingest path. None =
     * a real query for the engine. */
-  private def chatter(spark: SparkSession, sql: String): Option[String] = {
+  private def chatterTag(sql: String): Option[String] = {
     val t = sql.trim.stripSuffix(";").trim
     val up = t.toUpperCase
     if (up == "SET" || up.startsWith("SET ")) Some("SET")
@@ -317,8 +349,15 @@ object PgEndpoint {
     else if (up == "ROLLBACK") Some("ROLLBACK")
     else if (up.startsWith("DEALLOCATE")) Some("DEALLOCATE")
     else if (up.startsWith("DISCARD")) Some("DISCARD ALL")
-    else HttpSqlEndpoint.ingest(spark, t).map(n => s"INSERT 0 $n")
+    else None
   }
+
+  /** The EXECUTING form — classification (pure, shared with Describe)
+    * plus the INSERT route through the shared ingest. */
+  private def chatter(spark: SparkSession, sql: String): Option[String] =
+    chatterTag(sql).orElse(
+      HttpSqlEndpoint.ingest(spark, sql.trim.stripSuffix(";").trim)
+        .map(n => s"INSERT 0 $n"))
 
   /** A DDL statement's PG command tag ("CREATE TABLE", "DROP TABLE",
     * …): the first two keywords — what psql prints on success. */

@@ -173,9 +173,26 @@ class DdlAuthSpec extends AnyFunSuite {
       out.write((p.length >> 16) & 0xff); out.write(seq & 0xff)
       out.write(p); out.flush()
     }
-    /** HandshakeResponse41 with optional mysql_native_password scramble. */
-    def login(user: String, scramble: Array[Byte]): Array[Byte] = {
-      readPkt() // greeting
+    /** Auth-plugin nonce (part 1 + 2) parsed from the HandshakeV10
+      * greeting — per-connection since r20, so the client must read it
+      * off the wire like a real one. */
+    private def parseNonce(greeting: Array[Byte]): Array[Byte] = {
+      var off = 1
+      while (greeting(off) != 0) off += 1 // server version
+      off += 1 + 4                        // NUL + connection id
+      val part1 = greeting.slice(off, off + 8)
+      off += 8 + 1 + 2 + 1 + 2 + 2 + 1 + 10 // filler caps charset status caps2 alen reserved
+      val part2 = greeting.slice(off, off + 12)
+      part1 ++ part2
+    }
+    /** HandshakeResponse41 with optional mysql_native_password scramble
+      * computed against the greeting's own nonce. */
+    def login(user: String, password: Option[String]): Array[Byte] = {
+      val greeting = readPkt()
+      val scramble = password match {
+        case Some(p) => Auth.mysqlNativeScramble(p, parseNonce(greeting))
+        case None    => Array.emptyByteArray
+      }
       val b = java.nio.ByteBuffer.allocate(160).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       b.putInt((0x0200L | 0x8000L | 0x80000L).toInt).putInt(1 << 24)
         .put(33.toByte).put(new Array[Byte](23))
@@ -236,7 +253,7 @@ class DdlAuthSpec extends AnyFunSuite {
     val running = MySqlEndpoint.start(spark, 0, auth = None)
     val c = new MyClient(running.port)
     try {
-      assert((c.login("default", Array.emptyByteArray)(0) & 0xff) == 0x00)
+      assert((c.login("default", None)(0) & 0xff) == 0x00)
       // the exact opening sequence mysql/JDBC send
       assert(c.query("SET NAMES utf8mb4").left.exists(p => (p(0) & 0xff) == 0x00))
       assert(c.query("SET autocommit=1").left.exists(p => (p(0) & 0xff) == 0x00))
@@ -268,7 +285,7 @@ class DdlAuthSpec extends AnyFunSuite {
     val running = MySqlEndpoint.start(spark, 0, auth = None)
     val c = new MyClient(running.port)
     try {
-      c.login("default", Array.emptyByteArray)
+      c.login("default", None)
       val ok = c.query("INSERT INTO my_ins VALUES (2, 'b'), (3, 'c')").left.toOption.get
       assert((ok(0) & 0xff) == 0x00)
       assert(c.lenenc(ok, 1)._1 == 2L) // affected rows
@@ -280,10 +297,9 @@ class DdlAuthSpec extends AnyFunSuite {
   test("MySQL door: mysql_native_password accept + reject; readonly rejects writes") {
     val running = MySqlEndpoint.start(spark, 0,
       auth = Some(Auth("analyst", "s3cret", readonly = true)))
-    val nonce = "12345678901234567890".getBytes("UTF-8")
     val good = new MyClient(running.port)
     try {
-      val ok = good.login("analyst", Auth.mysqlNativeScramble("s3cret", nonce))
+      val ok = good.login("analyst", Some("s3cret"))
       assert((ok(0) & 0xff) == 0x00, "correct scramble must log in")
       val err = good.query("INSERT INTO region VALUES (9, 'X')").left.toOption.get
       assert((err(0) & 0xff) == 0xff && new String(err, "UTF-8").contains("readonly"))
@@ -291,7 +307,7 @@ class DdlAuthSpec extends AnyFunSuite {
     } finally good.close()
     val bad = new MyClient(running.port)
     try {
-      val err = bad.login("analyst", Auth.mysqlNativeScramble("wrong", nonce))
+      val err = bad.login("analyst", Some("wrong"))
       assert((err(0) & 0xff) == 0xff, "wrong password must get ERR 1045")
       assert(new String(err, "UTF-8").contains("Access denied"))
     } finally { bad.close(); running.stop() }
@@ -396,6 +412,98 @@ class DdlAuthSpec extends AnyFunSuite {
       assert(msgs.exists { case ('C', b) => new String(b, "UTF-8").startsWith("SELECT 5")
         case _ => false })
       assert(tags.last == 'Z')
+    } finally { c.close(); running.stop() }
+  }
+
+  test("PG door: Describe is metadata-only — P/B/D/E inserts ONCE, DROP drops at Execute") {
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((1L, "a")).toDF("k", "s").createOrReplaceTempView("pg_dstate")
+    val running = PgEndpoint.start(spark, 0, auth = None)
+    val c = new PgClient(running.port)
+    try {
+      c.startup("default")
+      c.untilReady()
+      def extended(sql: String): Seq[(Char, Array[Byte])] = {
+        c.send('P', c.cstr("") ++ c.cstr(sql) ++ Array[Byte](0, 0))
+        c.send('B', c.cstr("") ++ c.cstr("") ++ Array[Byte](0, 0, 0, 0, 0, 0))
+        c.send('D', Array[Byte]('P'.toByte) ++ c.cstr(""))
+        c.send('E', c.cstr("") ++ Array[Byte](0, 0, 0, 0))
+        c.send('S', Array.emptyByteArray)
+        c.untilReady()
+      }
+      // the JDBC-shaped sequence must insert exactly ONE row (ADVICE
+      // r19: Describe executed the INSERT too → rows landed twice)
+      val ins = extended("INSERT INTO pg_dstate VALUES (2, 'b')")
+      assert(ins.exists { case ('C', b) => new String(b, "UTF-8").startsWith("INSERT 0 1")
+        case _ => false })
+      assert(spark.table("pg_dstate").count() == 2, "Describe must not run the INSERT")
+      // DDL: Describe answers NoData without executing; the drop
+      // happens at Execute (ADVICE r19: DROP dropped at Describe then
+      // errored at Execute)
+      ChSql.sql(spark, "CREATE TABLE pg_ddl_t (k Int64) ENGINE = MergeTree ORDER BY k")
+      val dr = extended("DROP TABLE pg_ddl_t")
+      assert(dr.exists(_._1 == 'n'), "Describe(DROP) must answer NoData")
+      assert(dr.exists { case ('C', b) => new String(b, "UTF-8").startsWith("DROP TABLE")
+        case _ => false }, "Execute must complete the DROP cleanly")
+      intercept[Exception](spark.table("pg_ddl_t").count())
+    } finally { c.close(); running.stop() }
+  }
+
+  test("PG door: extended-protocol errors answer ErrorResponse + skip to Sync, session survives") {
+    val running = PgEndpoint.start(spark, 0, auth = None)
+    val c = new PgClient(running.port)
+    try {
+      c.startup("default")
+      c.untilReady()
+      // Bind to a statement that was never parsed → ErrorResponse (not
+      // a dropped socket, ADVICE r19); Describe/Execute after the error
+      // are discarded until Sync per the protocol's error state
+      c.send('B', c.cstr("") ++ c.cstr("nope") ++ Array[Byte](0, 0, 0, 0, 0, 0))
+      c.send('D', Array[Byte]('P'.toByte) ++ c.cstr(""))
+      c.send('E', c.cstr("") ++ Array[Byte](0, 0, 0, 0))
+      c.send('S', Array.emptyByteArray)
+      val msgs = c.untilReady()
+      assert(msgs.count(_._1 == 'E') == 1, "exactly one ErrorResponse, discarded follow-ups")
+      assert(msgs.last._1 == 'Z', "Sync must still answer ReadyForQuery")
+      // …and the SAME connection keeps working
+      c.send('Q', c.cstr("SELECT 1"))
+      assert(c.untilReady().count(_._1 == 'D') == 1)
+      // an analysis error at Describe (unknown table) behaves the same
+      c.send('P', c.cstr("") ++ c.cstr("SELECT * FROM no_such_table_xyz") ++ Array[Byte](0, 0))
+      c.send('B', c.cstr("") ++ c.cstr("") ++ Array[Byte](0, 0, 0, 0, 0, 0))
+      c.send('D', Array[Byte]('P'.toByte) ++ c.cstr(""))
+      c.send('S', Array.emptyByteArray)
+      val msgs2 = c.untilReady()
+      assert(msgs2.count(_._1 == 'E') == 1 && msgs2.last._1 == 'Z')
+      c.send('Q', c.cstr("SELECT 2"))
+      assert(c.untilReady().count(_._1 == 'D') == 1)
+    } finally { c.close(); running.stop() }
+  }
+
+  test("PG door: readonly profile guards the extended protocol too") {
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((1L, "a")).toDF("k", "s").createOrReplaceTempView("pg_rozz")
+    val running = PgEndpoint.start(spark, 0, auth = Some(Auth("ro", "", readonly = true)))
+    val c = new PgClient(running.port)
+    try {
+      c.startup("ro")
+      val (t, b) = c.readMsg()
+      assert(t == 'R' && c.i32(b) == 3)
+      c.send('p', c.cstr(""))
+      c.untilReady()
+      // INSERT via Parse/Bind/Execute must be rejected (ADVICE r19:
+      // the check lived only in the simple-query path)
+      c.send('P', c.cstr("") ++ c.cstr("INSERT INTO pg_rozz VALUES (9, 'x')") ++ Array[Byte](0, 0))
+      c.send('B', c.cstr("") ++ c.cstr("") ++ Array[Byte](0, 0, 0, 0, 0, 0))
+      c.send('D', Array[Byte]('P'.toByte) ++ c.cstr(""))
+      c.send('E', c.cstr("") ++ Array[Byte](0, 0, 0, 0))
+      c.send('S', Array.emptyByteArray)
+      val msgs = c.untilReady()
+      assert(msgs.exists { case ('E', bb) => new String(bb, "UTF-8").contains("read-only")
+        case _ => false }, "extended-protocol INSERT must hit the readonly wall")
+      assert(spark.table("pg_rozz").count() == 1, "no row may land")
     } finally { c.close(); running.stop() }
   }
 
