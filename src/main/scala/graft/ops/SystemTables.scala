@@ -180,6 +180,85 @@ object SystemTables {
       .toDF("ordinal", "column_name")
   }
 
+  /** Register the CH `system.*` introspection relations against the
+    * CURRENT catalog (VERDICT r19 next #7): a tab-completing client or
+    * BI tool issues `SELECT … FROM system.columns WHERE table = '…'`
+    * at the wire doors; [[graft.ChSql]] rewrites the `system.` prefix
+    * onto these views and re-registers them per reference so they
+    * always reflect the live catalog. Driver-side METADATA only —
+    * bounded by catalog size, no data scan (the a17/a19 precedent).
+    * Schemas follow the public CH system-table docs (the columns
+    * clients actually filter on): tables(database, name, engine),
+    * columns(database, table, name, type, position — 1-based like
+    * CH), databases(name), one(dummy). */
+  def registerSystemViews(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val names = spark.catalog.listTables().collect().map(_.name)
+      .filterNot(_.startsWith("__graft")).sorted.toSeq
+    def engineOf(t: String): String =
+      if (graft.ChDdl.tableDef(t).isDefined) "MergeTree" else "View"
+    names.map(t => ("default", t, engineOf(t)))
+      .toDF("database", "name", "engine")
+      .createOrReplaceTempView("__graft_system_tables")
+    names.flatMap { t =>
+      val fields = scala.util.Try(spark.table(t).schema.fields.toSeq)
+        .getOrElse(Seq.empty)
+      fields.zipWithIndex.map { case (f, i) =>
+        ("default", t, f.name,
+          graft.server.HttpSqlEndpoint.chTypeName(f.dataType, f.nullable),
+          (i + 1).toLong)
+      }
+    }.toDF("database", "table", "name", "type", "position")
+      .createOrReplaceTempView("__graft_system_columns")
+    Seq("default").toDF("name").createOrReplaceTempView("__graft_system_databases")
+    Seq(0).toDF("dummy").createOrReplaceTempView("__graft_system_one")
+  }
+
+  /** A25 (VERDICT r19 next #7): `system.columns` interrogated over the
+    * HTTP door the way a BI tool does — `WHERE database = … AND
+    * table = …` (with `table`, an ANSI-reserved word in Spark, handled
+    * by the ChSql scope-aware quoting). In-code requires pin
+    * system.tables and system.one on the same session; the DuckDB
+    * oracle is pragma_table_info over the same parquet, so the two
+    * engines' independent schema readers must agree. */
+  private def a25SystemColumns(spark: SparkSession, dir: String): DataFrame = {
+    Engine.registerAll(spark, dir)
+    val running = graft.server.HttpSqlEndpoint.start(spark, 0)
+    try {
+      def post(stmt: String): String = {
+        val conn = new java.net.URL(running.url + "/")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(stmt.getBytes("UTF-8"))
+        require(conn.getResponseCode == 200, {
+          val err = new String(conn.getErrorStream.readAllBytes(), "UTF-8")
+          s"HTTP ${conn.getResponseCode}: $err (stmt: $stmt)"
+        })
+        val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        body
+      }
+      // the probe queries a stock client opens with
+      require(post("SELECT 1 FROM system.one FORMAT TabSeparated") == "1\n")
+      val tabs = post(
+        "SELECT name FROM system.tables WHERE database = 'default' ORDER BY name FORMAT TabSeparated")
+      require(tabs.split("\n").contains("orders"), s"system.tables must list orders: $tabs")
+      val body = post(
+        """SELECT CAST(position AS INT) AS ordinal, name AS column_name
+          |FROM system.columns
+          |WHERE database = 'default' AND table = 'orders'
+          |ORDER BY ordinal FORMAT TabSeparatedWithNames""".stripMargin)
+      val lines = body.split("\n").filter(_.nonEmpty)
+      require(lines.head == "ordinal\tcolumn_name", s"unexpected TSV header: ${lines.head}")
+      import spark.implicits._
+      lines.tail.toSeq.map { l =>
+        val f = l.split("\t", -1)
+        (f(0).toInt, f(1))
+      }.toDF("ordinal", "column_name")
+    } finally running.stop()
+  }
+
   /** A19: `system.tables` — the catalog relation: every registered
     * table with its column count and row count. Proves registerAll
     * wires the whole sf directory into the catalog (the reference's
@@ -413,6 +492,112 @@ object SystemTables {
     } finally running.stop()
   }
 
+  /** K25 (VERDICT r19 next #1): the MATERIALIZED MV path,
+    * oracle-certified end-to-end over HTTP. The MV here is the
+    * re-aggregatable single-source GROUP BY shape, so maintenance is
+    * INCREMENTAL: each insert's block aggregates alone and merges into
+    * the stored Parquet target (reads only target + block — CH's
+    * AggregatingMergeTree collapse; reference `Dockerfile:102-126`
+    * insert-driven MVs). Three inserts drive two incremental merges;
+    * the query then asserts the materialization plan property in-line
+    * (every input file of the MV read is the MV's own target — zero
+    * source scans) before returning the MV rows for the DuckDB oracle
+    * to hash against a full recompute over the same literals. */
+  private val k25Seq = new java.util.concurrent.atomic.AtomicInteger()
+  private def k25MvMaterialized(spark: SparkSession, dir: String): DataFrame = {
+    Engine.registerAll(spark, dir)
+    val n = k25Seq.incrementAndGet()
+    val tbl = s"k25_src_$n"
+    val mv = s"k25_rollup_$n"
+    val running = graft.server.HttpSqlEndpoint.start(spark, 0)
+    try {
+      def post(stmt: String): String = {
+        val conn = new java.net.URL(running.url + "/")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(stmt.getBytes("UTF-8"))
+        require(conn.getResponseCode == 200, {
+          val err = new String(conn.getErrorStream.readAllBytes(), "UTF-8")
+          s"HTTP ${conn.getResponseCode}: $err (stmt: $stmt)"
+        })
+        val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        body
+      }
+      post(s"CREATE TABLE $tbl (site String, v Int64) ENGINE = MergeTree ORDER BY site")
+      post(s"""CREATE MATERIALIZED VIEW $mv AS
+              |SELECT site, count(*) AS hits, sum(v) AS total,
+              |  min(v) AS lo, max(v) AS hi
+              |FROM $tbl GROUP BY site""".stripMargin)
+      post(s"INSERT INTO $tbl VALUES ('alpha', 3), ('alpha', 5), ('beta', 7)")
+      post(s"INSERT INTO $tbl FORMAT TabSeparated\nalpha\t2\ngamma\t9\n")
+      post(s"INSERT INTO $tbl VALUES ('beta', 1), ('gamma', 6)")
+      // the materialization proof, plan-pinned: the MV read scans its
+      // own Parquet target and nothing else
+      require(graft.ChDdl.mvModeFor(mv).exists(_.startsWith("AggInc")),
+        "k25 MV must classify incremental")
+      val files = spark.table(mv).inputFiles
+      require(files.nonEmpty && files.forall(_.contains(s"/mv_${mv}_")),
+        s"MV read must hit only its materialized target: ${files.mkString(", ")}")
+      val body = post(
+        s"SELECT site, hits, total, lo, hi FROM $mv ORDER BY site FORMAT TabSeparatedWithNames")
+      val lines = body.split("\n").filter(_.nonEmpty)
+      require(lines.head == "site\thits\ttotal\tlo\thi",
+        s"unexpected TSV header: ${lines.head}")
+      import spark.implicits._
+      lines.tail.toSeq.map { l =>
+        val f = l.split("\t", -1)
+        (f(0), f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong)
+      }.toDF("site", "hits", "total", "lo", "hi")
+    } finally running.stop()
+  }
+
+  /** K26 (VERDICT r19 next #2): an init script containing ALTER TABLE
+    * replayed over the HTTP door — ADD COLUMN with a DEFAULT (the A15
+    * schema-evolution semantics: existing rows read the default),
+    * DELETE WHERE and UPDATE … WHERE (the K11 mutation-as-rewrite
+    * semantics, all assignments against the original row). The DuckDB
+    * oracle replays the same mutation chain over the same literals. */
+  private val k26Seq = new java.util.concurrent.atomic.AtomicInteger()
+  private def k26AlterHttp(spark: SparkSession, dir: String): DataFrame = {
+    Engine.registerAll(spark, dir)
+    val n = k26Seq.incrementAndGet()
+    val tbl = s"k26_t_$n"
+    val running = graft.server.HttpSqlEndpoint.start(spark, 0)
+    try {
+      def post(stmt: String): String = {
+        val conn = new java.net.URL(running.url + "/")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(stmt.getBytes("UTF-8"))
+        require(conn.getResponseCode == 200, {
+          val err = new String(conn.getErrorStream.readAllBytes(), "UTF-8")
+          s"HTTP ${conn.getResponseCode}: $err (stmt: $stmt)"
+        })
+        val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        body
+      }
+      post(s"CREATE TABLE $tbl (k Int64, v Int64) ENGINE = MergeTree ORDER BY k")
+      post(s"INSERT INTO $tbl VALUES (1, 10), (2, 20), (3, 30)")
+      post(s"ALTER TABLE $tbl ADD COLUMN tag String DEFAULT 'old'")
+      post(s"INSERT INTO $tbl VALUES (4, 40, 'new'), (5, 55, 'new')")
+      post(s"ALTER TABLE $tbl DELETE WHERE v >= 50")
+      post(s"ALTER TABLE $tbl UPDATE v = v + 100 WHERE tag = 'old'")
+      val body = post(
+        s"SELECT k, v, tag FROM $tbl ORDER BY k FORMAT TabSeparatedWithNames")
+      val lines = body.split("\n").filter(_.nonEmpty)
+      require(lines.head == "k\tv\ttag", s"unexpected TSV header: ${lines.head}")
+      import spark.implicits._
+      lines.tail.toSeq.map { l =>
+        val f = l.split("\t", -1)
+        (f(0).toLong, f(1).toLong, f(2))
+      }.toDF("k", "v", "tag")
+    } finally running.stop()
+  }
+
   /** A22 (VERDICT r17 missing #2): the MYSQL WIRE-PROTOCOL door,
     * round-tripped and oracle-certified. The reference exposes 9004
     * for ClickHouse's MySQL-compatible endpoint (`Dockerfile:205`);
@@ -576,6 +761,9 @@ object SystemTables {
     "a23_pg_wire" -> (a23PgWire _),
     "a24_ch_functions_http" -> (a24ChFunctionsHttp _),
     "k24_ddl_http" -> (k24DdlHttp _),
+    "k25_mv_materialized" -> (k25MvMaterialized _),
+    "k26_alter_http" -> (k26AlterHttp _),
+    "a25_system_columns" -> (a25SystemColumns _),
     "a19_tables" -> (a19Tables _),
     "a17_columns" -> (a17Columns _),
     "a11_build_options" -> (a11BuildOptions _),
@@ -609,6 +797,24 @@ object SystemTables {
         |  ('2024-02-01 23:59:59', 'gamma', 9, '1.05')) t(ts, site, clicks, price)
         |GROUP BY 1, 2
         |ORDER BY site, d""".stripMargin,
+    "k25_mv_materialized" ->
+      """SELECT site, count(*) AS hits, CAST(sum(v) AS BIGINT) AS total,
+        |  CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi
+        |FROM (VALUES
+        |  ('alpha', 3), ('alpha', 5), ('beta', 7),
+        |  ('alpha', 2), ('gamma', 9),
+        |  ('beta', 1), ('gamma', 6)) t(site, v)
+        |GROUP BY site
+        |ORDER BY site""".stripMargin,
+    "k26_alter_http" ->
+      """SELECT CAST(k AS BIGINT) AS k,
+        |  CAST(CASE WHEN tag = 'old' THEN v + 100 ELSE v END AS BIGINT) AS v,
+        |  tag
+        |FROM (SELECT * FROM (VALUES
+        |    (1, 10, 'old'), (2, 20, 'old'), (3, 30, 'old'),
+        |    (4, 40, 'new'), (5, 55, 'new')) t(k, v, tag)
+        |  WHERE NOT (v >= 50))
+        |ORDER BY k""".stripMargin,
     "a24_ch_functions_http" ->
       """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS ym,
         |  count(DISTINCT o_custkey) AS buyers,
@@ -654,6 +860,9 @@ object SystemTables {
         |  UNION ALL SELECT 'supplier', 4, count(*) FROM supplier)
         |ORDER BY table_name""".stripMargin,
     "a17_columns" ->
+      """SELECT CAST(cid + 1 AS INT) AS ordinal, name AS column_name
+        |FROM pragma_table_info('orders') ORDER BY ordinal""".stripMargin,
+    "a25_system_columns" ->
       """SELECT CAST(cid + 1 AS INT) AS ordinal, name AS column_name
         |FROM pragma_table_info('orders') ORDER BY ordinal""".stripMargin,
     // a12/i5 emit deterministic summary invariants, so the oracle is

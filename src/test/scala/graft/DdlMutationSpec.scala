@@ -121,6 +121,30 @@ class DdlMutationSpec extends AnyFunSuite {
     sql("DROP TABLE mvm_mu")
   }
 
+  test("system.tables/columns/databases/one resolve from SQL text (all doors share ChSql)") {
+    sql("CREATE TABLE mvm_sys (k Int64, s Nullable(String)) ENGINE = MergeTree ORDER BY k")
+    assert(rows("SELECT 1 FROM system.one") == Seq(Seq(1)))
+    assert(rows("SELECT name FROM system.databases") == Seq(Seq("default")))
+    assert(rows("SELECT engine FROM system.tables WHERE name = 'mvm_sys'") ==
+      Seq(Seq("MergeTree")))
+    // the BI-tool shape: `table` is ANSI-reserved in Spark but must
+    // work as the CH filter column; types come back as CH names
+    assert(rows(
+      """SELECT name, type, CAST(position AS INT) AS p FROM system.columns
+        |WHERE database = 'default' AND table = 'mvm_sys' ORDER BY p""".stripMargin) ==
+      Seq(Seq("k", "Int64", 1), Seq("s", "Nullable(String)", 2)))
+    // the views track the LIVE catalog: ALTER widens, DROP removes
+    sql("ALTER TABLE mvm_sys ADD COLUMN extra UInt32")
+    assert(rows("SELECT count(*) AS c FROM system.columns WHERE table = 'mvm_sys'") ==
+      Seq(Seq(3L)))
+    sql("DROP TABLE mvm_sys")
+    assert(rows("SELECT count(*) AS c FROM system.tables WHERE name = 'mvm_sys'") ==
+      Seq(Seq(0L)))
+    // a literal containing the dotted name is data, not a relation
+    assert(rows("SELECT 'see system.columns docs' AS s") ==
+      Seq(Seq("see system.columns docs")))
+  }
+
   test("ALTER over the HTTP door; readonly profile rejects it with Code: 164") {
     def http(running: HttpSqlEndpoint.Running, q: String,
         headers: Map[String, String] = Map.empty): (Int, String) = {

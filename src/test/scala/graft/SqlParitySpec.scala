@@ -188,6 +188,25 @@ class SqlParitySpec extends AnyFunSuite {
       "SELECT 'see SETTINGS docs' AS s")
   }
 
+  test("ChSql: FORMAT tail split is quote-aware (VERDICT r19 next #4)") {
+    // a FORMAT-lookalike inside a trailing string literal is DATA — the
+    // same scanner fix SETTINGS got in r19, now shared by all three
+    // trailing-clause locators
+    assert(ChSql.splitFormat("SELECT 'append FORMAT JSON'") ==
+      ("SELECT 'append FORMAT JSON'", None))
+    assert(ChSql.sql(spark, "SELECT 'append FORMAT JSON' AS s")
+      .collect().head.getString(0) == "append FORMAT JSON")
+    assert(ChSql.splitFormat("SELECT `weird FORMAT CSV` FROM t")._2.isEmpty)
+    // a REAL suffix after such a literal still splits
+    assert(ChSql.splitFormat("SELECT 'x FORMAT CSV' AS s FORMAT JSONEachRow") ==
+      ("SELECT 'x FORMAT CSV' AS s", Some("JSONEachRow")))
+    // word boundaries: EXPLAIN FORMATTED / date_format untouched
+    assert(ChSql.splitFormat("EXPLAIN FORMATTED SELECT 1")._2.isEmpty)
+    assert(ChSql.splitFormat("SELECT date_format(now(), 'yyyy')")._2.isEmpty)
+    // the plain suffix still works, case-insensitively, with semicolon
+    assert(ChSql.splitFormat("SELECT 1 format Pretty;") == ("SELECT 1", Some("Pretty")))
+  }
+
   test("ChSql dialect front door: FROM t FINAL text equals the b6 builder") {
     Engine.registerAll(spark, sf)
     val ch = ops.Basics.queries("b6b_final_sql")(spark, sf)
