@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, ArrayExists, ArrayFilter, ArrayForAll, ArrayTransform, Cast, Expression, ExpressionInfo, LambdaFunction, Literal, UnresolvedNamedLambdaVariable}
+import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, ArrayExists, ArrayFilter, ArrayForAll, ArrayTransform, Cast, EvalMode, Expression, ExpressionInfo, LambdaFunction, Literal, UnresolvedNamedLambdaVariable}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -216,7 +216,34 @@ object ChNames {
       lit(chDateFormat(litString(a(1), "formatDateTime format"))))),
     "parseDateTimeBestEffort" -> (a => Cast(a(0), TimestampType)),
     "today" -> (_ => fn("current_date")),
-    "yesterday" -> (_ => fn("date_sub", fn("current_date"), lit(1))))
+    "yesterday" -> (_ => fn("date_sub", fn("current_date"), lit(1))),
+    // ---- r20 widening (VERDICT r19 next #5) ----
+    // Spark's weekofyear IS the ISO week number
+    "toISOWeek" -> (a => fn("weekofyear", a(0))),
+    // ISO year = calendar year of that ISO week's Thursday
+    "toISOYear" -> (a => fn("year",
+      fn("date_add", fn("date_sub", Cast(a(0), DateType), fn("weekday", a(0))), lit(3)))),
+    "toLastDayOfMonth" -> (a => fn("last_day", a(0))),
+    "addQuarters" -> (a => addUnits(a(0), fn("*", a(1), lit(3)),
+      months = fn("*", a(1), lit(3)))),
+    "subtractQuarters" -> (a => addUnits(a(0), neg(fn("*", a(1), lit(3))),
+      months = neg(fn("*", a(1), lit(3))))),
+    "toRelativeYearNum" -> (a => fn("year", a(0))),
+    "toRelativeMonthNum" -> (a =>
+      fn("+", fn("*", fn("year", a(0)), lit(12)), fn("month", a(0)))),
+    "toRelativeDayNum" -> (a =>
+      fn("datediff", Cast(a(0), DateType), Cast(lit("1970-01-01"), DateType))),
+    "timeSlot" -> (a => trunSecs(a(0), 1800)),
+    "toStartOfSecond" -> (a => fn("date_trunc", lit("second"), a(0))),
+    "toDateTime64" -> (a => Cast(a(0), TimestampType)),
+    "toDate32" -> (a => Cast(a(0), DateType)),
+    "fromUnixTimestamp64Milli" -> (a => fn("timestamp_millis", a(0))),
+    "toUnixTimestamp64Milli" -> (a => fn("unix_millis", Cast(a(0), TimestampType))),
+    "parseDateTimeBestEffortOrNull" -> (a =>
+      Cast(a(0), TimestampType, None, EvalMode.TRY)),
+    "parseDateTime" -> (a => fn("to_timestamp", a(0),
+      lit(chDateFormat(litString(a(1), "parseDateTime format"))))),
+    "monthName" -> (a => fn("date_format", a(0), lit("MMMM"))))
 
   private def dateDiffUnits(a: Seq[Expression]): Expression = {
       val unit = litString(a(0), "dateDiff unit").toUpperCase
@@ -261,7 +288,19 @@ object ChNames {
     "toString" -> (a => Cast(a(0), StringType)),
     "toDecimal32" -> (a => Cast(a(0), DecimalType(9, litInt(a(1), "toDecimal32 scale")))),
     "toDecimal64" -> (a => Cast(a(0), DecimalType(18, litInt(a(1), "toDecimal64 scale")))),
-    "toDecimal128" -> (a => Cast(a(0), DecimalType(38, litInt(a(1), "toDecimal128 scale")))))
+    "toDecimal128" -> (a => Cast(a(0), DecimalType(38, litInt(a(1), "toDecimal128 scale")))),
+    // OrZero/OrNull variants (r20): CH's non-throwing casts map onto
+    // Spark's TRY eval mode
+    "toInt32OrNull" -> (a => Cast(a(0), IntegerType, None, EvalMode.TRY)),
+    "toInt64OrNull" -> (a => Cast(a(0), LongType, None, EvalMode.TRY)),
+    "toFloat64OrNull" -> (a => Cast(a(0), DoubleType, None, EvalMode.TRY)),
+    "toInt32OrZero" -> (a =>
+      fn("coalesce", Cast(a(0), IntegerType, None, EvalMode.TRY), lit(0))),
+    "toInt64OrZero" -> (a =>
+      fn("coalesce", Cast(a(0), LongType, None, EvalMode.TRY), lit(0L))),
+    "toFloat64OrZero" -> (a =>
+      fn("coalesce", Cast(a(0), DoubleType, None, EvalMode.TRY), lit(0.0d))),
+    "toTypeName" -> (a => fn("typeof", a(0))))
 
   // ---- conditionals / misc ----------------------------------------------
 
@@ -292,7 +331,16 @@ object ChNames {
     "negate" -> (a => fn("negative", a(0))),
     "exp2" -> (a => fn("power", lit(2.0d), a(0))),
     "exp10" -> (a => fn("power", lit(10.0d), a(0))),
-    "roundBankers" -> (a => fn("bround", a: _*)))
+    "roundBankers" -> (a => fn("bround", a: _*)),
+    // r20 widening
+    "intExp2" -> (a => Cast(fn("shiftleft", lit(1L), a(0)), LongType)),
+    "intExp10" -> (a => Cast(fn("power", lit(10.0d), a(0)), LongType)),
+    "isFinite" -> (a => fn("and", fn("not", fn("isnan", Cast(a(0), DoubleType))),
+      fn("<", fn("abs", Cast(a(0), DoubleType)), lit(Double.PositiveInfinity)))),
+    "isInfinite" -> (a =>
+      fn("=", fn("abs", Cast(a(0), DoubleType)), lit(Double.PositiveInfinity))),
+    "generateUUIDv4" -> (_ => fn("uuid")),
+    "randCanonical" -> (a => fn("rand", a: _*)))
 
   // ---- strings ----------------------------------------------------------
 
@@ -344,7 +392,27 @@ object ChNames {
     "notLike" -> (a => fn("not", fn("like", a(0), a(1)))),
     "notILike" -> (a => fn("not", fn("ilike", a(0), a(1)))),
     "base64Encode" -> (a => fn("base64", Cast(a(0), BinaryType))),
-    "base64Decode" -> (a => Cast(fn("unbase64", a(0)), StringType)))
+    "base64Decode" -> (a => Cast(fn("unbase64", a(0)), StringType)),
+    // r20 widening
+    "tokens" -> (a => fn("array_remove",
+      fn("split", a(0), lit("[^A-Za-z0-9_]+")), lit(""))),
+    // CH format('{} and {}', a, b) — literal template, {} placeholders
+    "format" -> (a => {
+      val tmpl = litString(a(0), "format template")
+      require(!tmpl.matches("(?s).*\\{\\d+\\}.*"),
+        "format: positional {n} placeholders are not supported")
+      fn("format_string",
+        (lit(tmpl.replace("%", "%%").replace("{}", "%s")) +: a.drop(1)): _*)
+    }),
+    "appendTrailingCharIfAbsent" -> (a =>
+      fn("if", fn("endswith", a(0), a(1)), a(0), fn("concat", a(0), a(1)))),
+    "concatAssumeInjective" -> (a => fn("concat", a: _*)),
+    "reverseUTF8" -> (a => fn("reverse", a(0))),
+    "countMatches" -> (a =>
+      fn("size", fn("regexp_extract_all", a(0), a(1), lit(0)))),
+    "isIPv4String" -> (a => fn("rlike", a(0),
+      lit("^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}" +
+        "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"))))
 
   // ---- arrays (CH higher-order forms put the lambda FIRST) ---------------
 
@@ -417,6 +485,24 @@ object ChNames {
       case "count" => fn("size", a(1))
       case "avg" => fn("/", arrSum(a(1)), Cast(fn("size", a(1)), DoubleType))
       case o => throw new IllegalArgumentException(s"arrayReduce: unsupported aggregate '$o'")
+    }),
+    // r20 widening
+    "arrayWithConstant" -> (a => fn("array_repeat", a(1), a(0))),
+    "arrayProduct" -> (a => {
+      val acc = UnresolvedNamedLambdaVariable(Seq("__ch_acc"))
+      val x = UnresolvedNamedLambdaVariable(Seq("__ch_x"))
+      new ArrayAggregate(a(0), lit(1.0d), LambdaFunction(fn("*", acc, x), Seq(acc, x)))
+    }),
+    // cumulative sum in DOUBLE (the arraySum precedent)
+    "arrayCumSum" -> (a => {
+      val acc = UnresolvedNamedLambdaVariable(Seq("__ch_acc"))
+      val x = UnresolvedNamedLambdaVariable(Seq("__ch_x"))
+      new ArrayAggregate(a(0),
+        fn("slice", fn("array", lit(0.0d)), lit(1), lit(0)), // empty Array(Double)
+        LambdaFunction(fn("array_append", acc,
+          // try_element_at: ANSI mode throws on index -1 of an empty acc
+          fn("+", fn("coalesce", fn("try_element_at", acc, lit(-1)), lit(0.0d)),
+            Cast(x, DoubleType))), Seq(acc, x)))
     }))
 
   // ---- maps / json --------------------------------------------------------
@@ -441,7 +527,14 @@ object ChNames {
       fn("json_array_length", a(0)), fn("size", fn("json_object_keys", a(0))))),
     "JSONExtractKeys" -> (a => fn("json_object_keys", a(0))),
     "simpleJSONExtractString" -> (a => fn("get_json_object", a(0), jsonPath(a(1)))),
-    "visitParamExtractString" -> (a => fn("get_json_object", a(0), jsonPath(a(1)))))
+    "visitParamExtractString" -> (a => fn("get_json_object", a(0), jsonPath(a(1)))),
+    // r20 widening: the typed form — JSONExtract(json, 'key', 'Int64')
+    // — with the CH type grammar mapped by the shared chType
+    "JSONExtract" -> (a => Cast(fn("get_json_object", a(0), jsonPath(a(1))),
+      ChDdl.chType(litString(a(2), "JSONExtract type"))._1)),
+    "JSONExtractUInt" -> (a =>
+      Cast(fn("get_json_object", a(0), jsonPath(a(1))), LongType)),
+    "mapFromArrays" -> (a => fn("map_from_arrays", a(0), a(1))))
 
   // ---- hash / encoding / bits ---------------------------------------------
 
@@ -483,7 +576,13 @@ object ChNames {
         Cast(fn("get", fn("split", a(0), lit("\\.")), lit(i)), LongType)
       fn("+", fn("*", fn("+", fn("*", fn("+", fn("*", oct(0), lit(256L)), oct(1)),
         lit(256L)), oct(2)), lit(256L)), oct(3))
-    }))
+    }),
+    // r20 widening
+    "topLevelDomain" -> (a => fn("regexp_extract",
+      fn("coalesce", fn("parse_url", a(0), lit("HOST")), lit("")),
+      lit("\\.([^.]+)$"), lit(1))),
+    "encodeURLComponent" -> (a => fn("url_encode", a(0))),
+    "decodeURLComponent" -> (a => fn("url_decode", a(0))))
 
   // ---- aggregates ------------------------------------------------------------
 
@@ -520,7 +619,19 @@ object ChNames {
       fn("sum", fn("if", fn("isnull", a(0)), nul, Cast(a(1), DoubleType))))),
     "groupBitAnd" -> (a => fn("bit_and", a(0))),
     "groupBitOr" -> (a => fn("bit_or", a(0))),
-    "groupBitXor" -> (a => fn("bit_xor", a(0))))
+    "groupBitXor" -> (a => fn("bit_xor", a(0))),
+    // r20 widening: the countDistinct spelling + more -If combinators
+    "countDistinct" -> (a => UnresolvedFunction("count", a.toSeq, isDistinct = true)),
+    "anyIf" -> (a => fn("first", fn("if", a(1), a(0), nul), lit(true))),
+    "uniqIf" -> (a => fn("approx_count_distinct", fn("if", a(1), a(0), nul))),
+    "uniqExactIf" -> (a => UnresolvedFunction("count",
+      Seq(fn("if", a(1), a(0), nul)), isDistinct = true)),
+    "argMaxIf" -> (a => fn("max_by",
+      fn("if", a(2), a(0), nul), fn("if", a(2), a(1), nul))),
+    "argMinIf" -> (a => fn("min_by",
+      fn("if", a(2), a(0), nul), fn("if", a(2), a(1), nul))),
+    "groupArrayIf" -> (a => fn("collect_list", fn("if", a(1), a(0), nul))),
+    "sumWithOverflow" -> (a => fn("sum", a(0))))
 
   val builders: Seq[(String, B)] =
     dateTime ++ conversions ++ conditionals ++ strings ++ arrays ++

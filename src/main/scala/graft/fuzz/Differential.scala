@@ -571,6 +571,17 @@ object Differential {
   private def chfname(s: Long): String =
     s"fzchf${s}_${PlanGen.generateChFns(s).shape}"
 
+  /** Frozen seeds for CH-function-name family 2 (round 20, the r20
+    * ChNames widening — ISO calendar, countDistinct, format/
+    * countMatches string helpers), first seed of each sub-shape.
+    * Same three-legged contract as [[frozenChFnSeeds]]. */
+  val frozenChFn2Seeds: Seq[Long] = Seq(1L, 3L)
+
+  private[graft] val chFn2Quota = Map("chf2_cal" -> 1, "chf2_str" -> 1)
+
+  private def chf2name(s: Long): String =
+    s"fzchf2x${s}_${PlanGen.generateChFns2(s).shape}"
+
   /** The search the pinned round-15 families were selected by —
     * exposed so the spec can re-run it against the literals. */
   private[graft] def searchQuota(quota: Map[String, Int], shapeOf: Long => String): Seq[Long] =
@@ -644,7 +655,8 @@ object Differential {
       frozenStrFnSeeds.map(s => sfname(s) -> viaSql(PlanGen.generateStrFn(s))).toMap ++
       frozenChSqlSeeds.map(s => chname(s) -> viaChSql(PlanGen.generateChSql(s))).toMap ++
       frozenChNestedSeeds.map(s => chnname(s) -> viaChSql(PlanGen.generateChNested(s))).toMap ++
-      frozenChFnSeeds.map(s => chfname(s) -> viaChSql(PlanGen.generateChFns(s))).toMap
+      frozenChFnSeeds.map(s => chfname(s) -> viaChSql(PlanGen.generateChFns(s))).toMap ++
+      frozenChFn2Seeds.map(s => chf2name(s) -> viaChSql(PlanGen.generateChFns2(s))).toMap
 
   /** The DataFrame-API builders for the same frozen rows, keyed by the
     * same names — `DifferentialSpec` pins these equal to the SQL-text
@@ -690,7 +702,8 @@ object Differential {
       frozenStrFnSeeds.map(s => sfname(s) -> PlanGen.generateStrFn(s).build).toMap ++
       frozenChSqlSeeds.map(s => chname(s) -> PlanGen.generateChSql(s).build).toMap ++
       frozenChNestedSeeds.map(s => chnname(s) -> PlanGen.generateChNested(s).build).toMap ++
-      frozenChFnSeeds.map(s => chfname(s) -> PlanGen.generateChFns(s).build).toMap
+      frozenChFnSeeds.map(s => chfname(s) -> PlanGen.generateChFns(s).build).toMap ++
+      frozenChFn2Seeds.map(s => chf2name(s) -> PlanGen.generateChFns2(s).build).toMap
 
   def oracles: Map[String, String] =
     frozenSeeds.map(s => name(s) -> PlanGen.generate(s).duckSql).toMap ++
@@ -733,5 +746,6 @@ object Differential {
       frozenStrFnSeeds.map(s => sfname(s) -> PlanGen.generateStrFn(s).duckSql).toMap ++
       frozenChSqlSeeds.map(s => chname(s) -> PlanGen.generateChSql(s).duckSql).toMap ++
       frozenChNestedSeeds.map(s => chnname(s) -> PlanGen.generateChNested(s).duckSql).toMap ++
-      frozenChFnSeeds.map(s => chfname(s) -> PlanGen.generateChFns(s).duckSql).toMap
+      frozenChFnSeeds.map(s => chfname(s) -> PlanGen.generateChFns(s).duckSql).toMap ++
+      frozenChFn2Seeds.map(s => chf2name(s) -> PlanGen.generateChFns2(s).duckSql).toMap
 }

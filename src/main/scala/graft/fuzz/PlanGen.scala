@@ -2712,6 +2712,84 @@ object PlanGen {
       }
     }
 
+    /** CH-FUNCTION-NAME family 2 (round 20, VERDICT r19 next #5): the
+      * r20 ChNames widening exercised three-legged like [[runChFns]] —
+      * CH-spelled TEXT / independent Spark build / DuckDB oracle. A
+      * SEPARATE family (not a 5th sub-shape of runChFns) so the
+      * frozen chf seeds keep their shapes. Covers the ISO-calendar
+      * extractors (toISOYear/toISOWeek — DuckDB's isoyear/week are
+      * the cross-engine referee), toLastDayOfMonth,
+      * toRelativeMonthNum, the countDistinct spelling, and the new
+      * string helpers (format '{}' templates — DuckDB's fmt syntax
+      * matches — appendTrailingCharIfAbsent, countMatches,
+      * reverseUTF8). */
+    def runChFns2(): Generated = {
+      rnd.nextInt(997) % 2 match {
+        case 0 => // ISO-calendar rollup + countDistinct
+          val t = pick(Seq(lineitem, orders))
+          val d = t.date.get
+          val p = filterFor(t)
+          val ik = pick(t.ints)
+          val (gCh, gCol, gDuck) = rnd.nextInt(3) match {
+            case 0 => (s"toISOYear($d) * 100 + toISOWeek($d)",
+              (year(date_add(date_sub(col(d).cast("date"), weekday(col(d))), 3)) * 100 +
+                weekofyear(col(d))),
+              s"CAST(isoyear($d) * 100 + week($d) AS INT)")
+            case 1 => (s"toLastDayOfMonth($d)",
+              last_day(col(d)),
+              s"last_day(CAST($d AS DATE))")
+            case _ => (s"toRelativeMonthNum($d)",
+              (year(col(d)) * 12 + month(col(d))),
+              s"CAST(year($d) * 12 + month($d) AS INT)")
+          }
+          val chText =
+            s"SELECT $gCh AS g, countDistinct($ik) AS cd, count(*) AS n " +
+              s"FROM ${t.name} WHERE ${p.sql} GROUP BY g ORDER BY g"
+          val duckSql =
+            s"SELECT $gDuck AS g, count(DISTINCT $ik) AS cd, count(*) AS n " +
+              s"FROM ${t.name} WHERE ${p.sql} GROUP BY 1 ORDER BY 1"
+          val build = (s: SparkSession, dir: String) =>
+            Engine.t(s, dir, t.name).filter(p.cond)
+              .groupBy(gCol.as("g"))
+              .agg(count_distinct(col(ik)).as("cd"), count(lit(1)).as("n"))
+              .orderBy("g")
+          Generated(seed, "chf2_cal", build, chText, duckSql)
+        case _ => // string helpers, row-level
+          val t = pick(singles.filter(_.cats.nonEmpty))
+          val p = filterFor(t)
+          val c = pick(t.cats.keys.toSeq.sorted)
+          val ik = pick(t.ints)
+          val needle = pick(t.cats(c).flatMap(_.split("")).filter(_.matches("[A-Z]")).distinct.sorted)
+          val lim = 30 + rnd.nextInt(30)
+          val uk = t.unique.mkString(", ")
+          val chText =
+            s"SELECT $uk, format('{}:{}', $c, $ik) AS f, " +
+              s"appendTrailingCharIfAbsent($c, '$needle') AS ap, " +
+              s"CAST(countMatches($c, '$needle') AS BIGINT) AS cm, " +
+              s"reverseUTF8($c) AS rv " +
+              s"FROM ${t.name} WHERE ${p.sql} ORDER BY $uk LIMIT $lim"
+          val duckSql =
+            s"SELECT $uk, format('{}:{}', $c, $ik) AS f, " +
+              s"CASE WHEN $c LIKE '%$needle' THEN $c ELSE $c || '$needle' END AS ap, " +
+              s"CAST(len(regexp_extract_all($c, '$needle')) AS BIGINT) AS cm, " +
+              s"reverse($c) AS rv " +
+              s"FROM ${t.name} WHERE ${p.sql} ORDER BY $uk LIMIT $lim"
+          val build = (s: SparkSession, dir: String) =>
+            Engine.t(s, dir, t.name).filter(p.cond)
+              .select(t.unique.map(col) ++ Seq(
+                format_string("%s:%s", col(c), col(ik)).as("f"),
+                when(col(c).endsWith(needle), col(c))
+                  .otherwise(concat(col(c), lit(needle))).as("ap"),
+                call_function("size",
+                  call_function("regexp_extract_all", col(c), lit(needle), lit(0)))
+                  .cast("long").as("cm"),
+                reverse(col(c)).as("rv")): _*)
+              .orderBy(t.unique.map(col): _*)
+              .limit(lim)
+          Generated(seed, "chf2_str", build, chText, duckSql)
+      }
+    }
+
     /** Conditional-function plan (round 16) — the NULL-introducing /
       * NULL-eliminating scalar trio the CASE-based scalar family never
       * renders directly: greatest/least clamps, NULLIF, COALESCE
@@ -3720,4 +3798,8 @@ object PlanGen {
     * quantile(q)(x)/…) resolving through [[graft.ChNames]] — see
     * [[Gen.runChFns]]. */
   def generateChFns(seed: Long): Generated = new Gen(seed).runChFns()
+
+  /** CH-function-name family 2 — the r20 ChNames widening; see
+    * [[Gen.runChFns2]]. */
+  def generateChFns2(seed: Long): Generated = new Gen(seed).runChFns2()
 }

@@ -262,6 +262,116 @@ class ChNamesSpec extends AnyFunSuite {
     assert(one("SELECT 'quantile(0.5)(x)'") == "quantile(0.5)(x)")
   }
 
+  // ---- r20 widening (VERDICT r19 next #5) ------------------------------
+
+  test("r20 dates: ISO week/year, last day, quarters, relative nums, slots") {
+    // 2024-01-01 is a Monday in ISO week 1 of 2024; 2023-01-01 is a
+    // Sunday in ISO week 52 of ISO year 2022
+    assert(one("SELECT toISOWeek(DATE'2024-01-01')") == 1)
+    assert(one("SELECT toISOWeek(DATE'2023-01-01')") == 52)
+    assert(one("SELECT toISOYear(DATE'2023-01-01')") == 2022)
+    assert(one("SELECT toISOYear(DATE'2024-12-31')") == 2025) // ISO week 1 of 2025
+    assert(one("SELECT toLastDayOfMonth(DATE'2024-02-07')").toString == "2024-02-29")
+    assert(one("SELECT addQuarters(DATE'2024-01-15', 2)").toString.startsWith("2024-07-15"))
+    assert(one("SELECT subtractQuarters(DATE'2024-01-15', 1)").toString.startsWith("2023-10-15"))
+    assert(one("SELECT toRelativeMonthNum(DATE'2024-03-07')") == 2024 * 12 + 3)
+    assert(one("SELECT toRelativeDayNum(DATE'1970-01-03')") == 2)
+    assert(one("SELECT timeSlot(TIMESTAMP'2024-03-07 13:44:15')").toString ==
+      "2024-03-07 13:30:00.0")
+    assert(one("SELECT monthName(DATE'2024-03-07')") == "March")
+    assert(one("SELECT toUnixTimestamp64Milli(TIMESTAMP'1970-01-02 00:00:01')") == 86401000L)
+    assert(one("SELECT fromUnixTimestamp64Milli(86400000)").toString ==
+      "1970-01-02 00:00:00.0")
+    assert(one("SELECT parseDateTime('07/03/2024', '%d/%m/%Y')").toString ==
+      "2024-03-07 00:00:00.0")
+    assert(one("SELECT parseDateTimeBestEffortOrNull('not a date')") == null)
+  }
+
+  test("r20 conversions: OrZero/OrNull via TRY casts, toTypeName") {
+    assert(one("SELECT toInt64OrZero('42')") == 42L)
+    assert(one("SELECT toInt64OrZero('abc')") == 0L)
+    assert(one("SELECT toInt64OrNull('abc')") == null)
+    assert(one("SELECT toInt32OrNull('7')") == 7)
+    assert(one("SELECT toFloat64OrZero('2.5')") == 2.5)
+    assert(one("SELECT toFloat64OrNull('x')") == null)
+    assert(one("SELECT toTypeName(1 + 1)") == "int")
+  }
+
+  test("r20 math/misc: intExp2/10, isFinite/isInfinite, uuid shapes") {
+    assert(one("SELECT intExp2(10)") == 1024L)
+    assert(one("SELECT intExp10(3)") == 1000L)
+    assert(one("SELECT isFinite(1.5)") == true)
+    assert(one("SELECT isFinite(CAST('Infinity' AS DOUBLE))") == false)
+    assert(one("SELECT isFinite(CAST('NaN' AS DOUBLE))") == false)
+    assert(one("SELECT isInfinite(CAST('-Infinity' AS DOUBLE))") == true)
+    assert(one("SELECT isInfinite(2.0)") == false)
+    assert(one("SELECT generateUUIDv4()").toString.length == 36)
+    val r = one("SELECT randCanonical()").asInstanceOf[Double]
+    assert(r >= 0.0 && r < 1.0)
+  }
+
+  test("r20 strings: tokens, format, countMatches, trailing char, IP/URL helpers") {
+    assert(one("SELECT tokens('a, b; c-d')") ==
+      Seq("a", "b", "c", "d"))
+    assert(one("SELECT format('{} owes {} cents', 'bob', 42)") == "bob owes 42 cents")
+    assert(one("SELECT format('100% of {}', 'x')") == "100% of x")
+    assert(one("SELECT appendTrailingCharIfAbsent('dir', '/')") == "dir/")
+    assert(one("SELECT appendTrailingCharIfAbsent('dir/', '/')") == "dir/")
+    assert(one("SELECT concatAssumeInjective('a', 'b', 'c')") == "abc")
+    assert(one("SELECT reverseUTF8('abc')") == "cba")
+    assert(one("SELECT countMatches('a1b22c333', '[0-9]+')") == 3)
+    assert(one("SELECT isIPv4String('192.168.0.1')") == true)
+    assert(one("SELECT isIPv4String('256.1.1.1')") == false)
+    assert(one("SELECT isIPv4String('a.b.c.d')") == false)
+    assert(one("SELECT topLevelDomain('https://news.example.com/p')") == "com")
+    assert(one("SELECT encodeURLComponent('a b&c')") == "a+b%26c")
+    assert(one("SELECT decodeURLComponent('a+b%26c')") == "a b&c")
+  }
+
+  test("r20 arrays: arrayWithConstant, arrayProduct, arrayCumSum") {
+    assert(one("SELECT arrayWithConstant(3, 'x')") == Seq("x", "x", "x"))
+    assert(one("SELECT arrayProduct(array(2, 3, 4))") == 24.0)
+    assert(one("SELECT arrayCumSum(array(1, 2, 3))") == Seq(1.0, 3.0, 6.0))
+    assert(one("SELECT arrayCumSum(array())") == Seq())
+  }
+
+  test("r20 json: typed JSONExtract with the CH type grammar, mapFromArrays") {
+    val j = """'{"a": 7, "b": "x", "c": 2.5}'"""
+    assert(one(s"SELECT JSONExtract($j, 'a', 'Int64')") == 7L)
+    assert(one(s"SELECT JSONExtract($j, 'b', 'String')") == "x")
+    assert(one(s"SELECT JSONExtract($j, 'c', 'Float64')") == 2.5)
+    assert(one(s"SELECT JSONExtract($j, 'a', 'Nullable(Int32)')") == 7)
+    assert(one(s"SELECT JSONExtractUInt($j, 'a')") == 7L)
+    assert(one("SELECT mapFromArrays(array('k1', 'k2'), array(1, 2))") ==
+      Map("k1" -> 1, "k2" -> 2))
+  }
+
+  test("r20 aggregates: countDistinct spelling and the widened -If family") {
+    Engine.registerAll(spark, TestSpark.sf)
+    val df = ChSql.sql(spark,
+      """SELECT countDistinct(o_orderstatus) AS ds,
+        |  uniqExactIf(o_custkey, o_totalprice > 100000) AS ue,
+        |  anyIf(o_orderstatus, o_orderpriority = '1-URGENT') AS a1,
+        |  argMaxIf(o_orderstatus, o_totalprice, o_orderkey % 2 = 0) AS am,
+        |  sumWithOverflow(o_custkey) AS so
+        |FROM orders""".stripMargin)
+    val r = df.collect().head
+    // independent Spark-spelled twin
+    val tw = spark.sql(
+      """SELECT count(DISTINCT o_orderstatus),
+        |  count(DISTINCT CASE WHEN o_totalprice > 100000 THEN o_custkey END),
+        |  first(CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderstatus END, true),
+        |  max_by(CASE WHEN o_orderkey % 2 = 0 THEN o_orderstatus END,
+        |         CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END),
+        |  sum(o_custkey)
+        |FROM orders""".stripMargin).collect().head
+    assert(r.toSeq == tw.toSeq)
+    // groupArrayIf keeps only matching rows
+    assert(one("SELECT array_sort(groupArrayIf(x, x > 1)) FROM (SELECT explode(array(1,2,3)) AS x)") ==
+      Seq(2, 3))
+    assert(one("SELECT uniqIf(x, x > 1) FROM (SELECT explode(array(1,2,3,3)) AS x)") == 2L)
+  }
+
   test("a full CH-spelled analytics body runs end-to-end on testdata") {
     Engine.registerAll(spark, TestSpark.sf)
     val df = ChSql.sql(spark,

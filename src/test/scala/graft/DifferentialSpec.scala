@@ -838,6 +838,34 @@ class DifferentialSpec extends AnyFunSuite {
       graft.fuzz.Differential.chFnQuota, s => PlanGen.generateChFns(s).shape)
     assert(chf.sorted == graft.fuzz.Differential.frozenChFnSeeds,
       s"generator moved the frozen chfn seeds: search=$chf — re-pin AND rename fzchf* rows")
+    val chf2 = graft.fuzz.Differential.searchQuota(
+      graft.fuzz.Differential.chFn2Quota, s => PlanGen.generateChFns2(s).shape)
+    assert(chf2.sorted == graft.fuzz.Differential.frozenChFn2Seeds,
+      s"generator moved the frozen chfn2 seeds: search=$chf2 — re-pin AND rename fzchf2x* rows")
+  }
+
+  test("60 CH-function-name-2 plans: r20 widening text equals the Spark desugar") {
+    // VERDICT r19 next #5: the r20 ChNames widening (ISO calendar,
+    // countDistinct spelling, format/countMatches/reverseUTF8/
+    // appendTrailingCharIfAbsent) — CH-spelled text through ChSql must
+    // equal an independently spelled Spark-function build.
+    Engine.registerAll(spark, sf)
+    val shapes = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var nonEmpty = 0
+    for (seed <- 1L to 60L) {
+      val gen = PlanGen.generateChFns2(seed)
+      shapes(gen.shape) += 1
+      val viaApi = rows(gen.build(spark, sf))
+      val viaCh = rows(graft.ChSql.sql(spark, gen.sparkSql))
+      if (viaApi.nonEmpty) nonEmpty += 1
+      assert(viaApi == viaCh,
+        s"\nseed=${gen.seed} shape=${gen.shape} DIVERGED" +
+          s"\n  api rows=${viaApi.size} chsql rows=${viaCh.size}" +
+          s"\n  chText: ${gen.sparkSql}\n  duckSql: ${gen.duckSql}")
+    }
+    assert(Set("chf2_cal", "chf2_str") == shapes.keySet.toSet,
+      s"chfn2 shape coverage hole: $shapes")
+    assert(nonEmpty >= 30, s"only $nonEmpty/60 chfn2 seeds non-empty")
   }
 
   test("100 CH-function-name plans: CH-spelled text equals the Spark desugar (r19)") {
