@@ -104,29 +104,54 @@ object MySqlEndpoint {
         case Some(a) =>
           // caps(4) maxpacket(4) charset(1) reserved(23), then NUL-
           // terminated user, then length-prefixed auth response
-          // (CLIENT_SECURE_CONNECTION form)
+          // (CLIENT_SECURE_CONNECTION form; the lenenc form a modern
+          // client sends is byte-identical for responses ≤ 250)
+          val clientCaps =
+            (resp(0) & 0xffL) | ((resp(1) & 0xffL) << 8) |
+              ((resp(2) & 0xffL) << 16) | ((resp(3) & 0xffL) << 24)
           var off = 32
           val ustart = off
           while (off < resp.length && resp(off) != 0) off += 1
           val user = new String(resp, ustart, off - ustart, UTF_8)
           off += 1
           val alen = if (off < resp.length) resp(off) & 0xff else 0
-          val scr = if (alen > 0) resp.slice(off + 1, off + 1 + alen)
+          var scr = if (alen > 0) resp.slice(off + 1, off + 1 + alen)
             else Array.emptyByteArray
+          off += 1 + alen
+          // the client's auth plugin name (CLIENT_PLUGIN_AUTH): a stock
+          // mysql 8 / Connector-J client opens with caching_sha2_password
+          val plugin =
+            if ((clientCaps & 0x80000L) != 0 && off < resp.length) {
+              val ps = off
+              while (off < resp.length && resp(off) != 0) off += 1
+              new String(resp, ps, off - ps, UTF_8)
+            } else "mysql_native_password"
+          var okSeq = 2
+          if (!plugin.equalsIgnoreCase("mysql_native_password") &&
+            !(a.password.isEmpty && alen == 0)) {
+            // AuthSwitchRequest (0xfe + plugin + nonce, public protocol):
+            // the scramble the client sent was computed for ITS plugin;
+            // switch it to the native plugin and read the re-scramble.
+            writePacket(out, 2, new P().u1(0xfe)
+              .nulStr("mysql_native_password").raw(nonce).u1(0).bytes)
+            out.flush()
+            scr = readPacket(in)._2 // raw 20-byte native scramble
+            okSeq = 4
+          }
           val want = Auth.mysqlNativeScramble(a.password, nonce)
           // MessageDigest.isEqual = constant-time compare (no early
           // exit to time-probe the scramble byte by byte)
           val ok = java.security.MessageDigest.isEqual(
               user.getBytes(UTF_8), a.user.getBytes(UTF_8)) &&
-            (if (a.password.isEmpty) alen == 0
+            (if (a.password.isEmpty) scr.isEmpty
              else java.security.MessageDigest.isEqual(scr, want))
           if (!ok) {
-            writePacket(out, 2, errPacket(1045,
-              s"Access denied for user '$user' (using password: ${if (alen > 0) "YES" else "NO"})"))
+            writePacket(out, okSeq, errPacket(1045,
+              s"Access denied for user '$user' (using password: ${if (scr.nonEmpty) "YES" else "NO"})"))
             out.flush()
             return
           }
-          writePacket(out, 2, okPacket())
+          writePacket(out, okSeq, okPacket())
       }
       out.flush()
       var open = true

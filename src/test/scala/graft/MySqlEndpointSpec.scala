@@ -178,4 +178,136 @@ class MySqlEndpointSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT TIMESTAMP'2024-03-01 12:30:00' AS t, CAST(2.5 AS DOUBLE) AS d")
     assert(rows == Seq(Seq(Some("2024-03-01 12:30:00"), Some("2.5"))))
   }
+
+  /** The HandshakeResponse41 a STOCK `mysql` 8.0 CLI emits on the wire
+    * (VERDICT r19 next #6 — no mysql binary or JDBC jar exists in this
+    * sandbox, verified again this round, so the door is pinned against
+    * the real client's captured byte SHAPE instead): the full mysql-8
+    * capability set incl. CLIENT_DEPRECATE_EOF / CONNECT_ATTRS /
+    * PLUGIN_AUTH_LENENC, charset 255 (utf8mb4_0900_ai_ci), a 32-byte
+    * caching_sha2_password scramble, the plugin name, and the
+    * connection-attributes blob (_client_name/_os/program_name) — all
+    * per the public Protocol::HandshakeResponse41 documentation. */
+  private def mysql8LoginFixture(user: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def u4(v: Long): Unit = { bos.write(v.toInt & 0xff); bos.write((v >> 8).toInt & 0xff)
+      bos.write((v >> 16).toInt & 0xff); bos.write((v >> 24).toInt & 0xff) }
+    // LONG_PASSWORD|LONG_FLAG|LOCAL_FILES|PROTOCOL_41|INTERACTIVE|
+    // TRANSACTIONS|SECURE_CONNECTION|MULTI_STATEMENTS|MULTI_RESULTS|
+    // PS_MULTI_RESULTS|PLUGIN_AUTH|CONNECT_ATTRS|PLUGIN_AUTH_LENENC|
+    // CAN_HANDLE_EXPIRED|SESSION_TRACK|DEPRECATE_EOF
+    u4(0x01L | 0x04L | 0x80L | 0x200L | 0x400L | 0x2000L | 0x8000L |
+      0x10000L | 0x20000L | 0x40000L | 0x80000L | 0x100000L | 0x200000L |
+      0x400000L | 0x800000L | 0x1000000L)
+    u4(16777216L)              // max packet
+    bos.write(255)             // charset utf8mb4_0900_ai_ci
+    bos.write(new Array[Byte](23))
+    bos.write(user.getBytes(UTF_8)); bos.write(0)
+    bos.write(32)              // lenenc auth-response length
+    bos.write(Array.fill[Byte](32)(0x5a)) // caching_sha2 scramble bytes
+    bos.write("caching_sha2_password".getBytes(UTF_8)); bos.write(0)
+    val attrs = new java.io.ByteArrayOutputStream()
+    def attr(k: String, v: String): Unit = {
+      attrs.write(k.length); attrs.write(k.getBytes(UTF_8))
+      attrs.write(v.length); attrs.write(v.getBytes(UTF_8))
+    }
+    attr("_os", "Linux"); attr("_client_name", "libmysql")
+    attr("_client_version", "8.0.36"); attr("program_name", "mysql")
+    bos.write(attrs.size()) // lenenc attrs total length (< 251)
+    attrs.writeTo(bos)
+    bos.toByteArray
+  }
+
+  test("stock mysql-8 byte shape: caching_sha2 open → AuthSwitch → native scramble (r20)") {
+    import graft.server.Auth
+    val authed = MySqlEndpoint.start(spark, 0,
+      auth = Some(Auth("analyst", "s3cret")))
+    val s2 = new Socket("127.0.0.1", authed.port)
+    try {
+      val in2 = new BufferedInputStream(s2.getInputStream)
+      val out2 = new BufferedOutputStream(s2.getOutputStream)
+      def rd(): Array[Byte] = {
+        def b(): Int = { val v = in2.read(); if (v < 0) throw new EOFException; v }
+        val len = b() | (b() << 8) | (b() << 16); b()
+        val buf = new Array[Byte](len)
+        var off = 0
+        while (off < len) { val r = in2.read(buf, off, len - off); assert(r >= 0); off += r }
+        buf
+      }
+      def wr(seq: Int, p: Array[Byte]): Unit = {
+        out2.write(p.length & 0xff); out2.write((p.length >> 8) & 0xff)
+        out2.write((p.length >> 16) & 0xff); out2.write(seq & 0xff)
+        out2.write(p); out2.flush()
+      }
+      rd() // greeting
+      wr(1, mysql8LoginFixture("analyst"))
+      // the server must NOT accept the sha2 scramble — it answers
+      // AuthSwitchRequest to mysql_native_password with its nonce
+      val sw = rd()
+      assert((sw(0) & 0xff) == 0xfe, "expected AuthSwitchRequest (0xfe)")
+      val plugin = new String(sw.drop(1).takeWhile(_ != 0), UTF_8)
+      assert(plugin == "mysql_native_password")
+      val nonce = sw.drop(1 + plugin.length + 1).take(20)
+      wr(3, Auth.mysqlNativeScramble("s3cret", nonce))
+      assert((rd()(0) & 0xff) == 0x00, "switched native scramble must log in")
+      // the authenticated session serves queries
+      wr(0, Array[Byte](0x03) ++ "SELECT 6 * 7 AS x".getBytes(UTF_8))
+      val head = rd()
+      assert((head(0) & 0xff) == 1) // one column
+      rd() // column def
+      rd() // EOF
+      assert(new String(rd(), UTF_8).contains("42"))
+    } finally { s2.close() }
+    // same fixture with a WRONG re-scramble → ERR 1045 after the switch
+    val s3 = new Socket("127.0.0.1", authed.port)
+    try {
+      val in3 = new BufferedInputStream(s3.getInputStream)
+      val out3 = new BufferedOutputStream(s3.getOutputStream)
+      def rd(): Array[Byte] = {
+        def b(): Int = { val v = in3.read(); if (v < 0) throw new EOFException; v }
+        val len = b() | (b() << 8) | (b() << 16); b()
+        val buf = new Array[Byte](len)
+        var off = 0
+        while (off < len) { val r = in3.read(buf, off, len - off); assert(r >= 0); off += r }
+        buf
+      }
+      def wr(seq: Int, p: Array[Byte]): Unit = {
+        out3.write(p.length & 0xff); out3.write((p.length >> 8) & 0xff)
+        out3.write((p.length >> 16) & 0xff); out3.write(seq & 0xff)
+        out3.write(p); out3.flush()
+      }
+      rd() // greeting
+      wr(1, mysql8LoginFixture("analyst"))
+      val sw = rd()
+      assert((sw(0) & 0xff) == 0xfe)
+      val plugin = new String(sw.drop(1).takeWhile(_ != 0), UTF_8)
+      val nonce = sw.drop(1 + plugin.length + 1).take(20)
+      wr(3, Auth.mysqlNativeScramble("wrong", nonce))
+      val err = rd()
+      assert((err(0) & 0xff) == 0xff && new String(err, UTF_8).contains("Access denied"))
+    } finally { s3.close(); authed.stop() }
+  }
+
+  test("stock mysql-8 byte shape against the auth-less door logs straight in (r20)") {
+    val open = MySqlEndpoint.start(spark, 0, auth = None)
+    val s2 = new Socket("127.0.0.1", open.port)
+    try {
+      val in2 = new BufferedInputStream(s2.getInputStream)
+      val out2 = new BufferedOutputStream(s2.getOutputStream)
+      def rd(): Array[Byte] = {
+        def b(): Int = { val v = in2.read(); if (v < 0) throw new EOFException; v }
+        val len = b() | (b() << 8) | (b() << 16); b()
+        val buf = new Array[Byte](len)
+        var off = 0
+        while (off < len) { val r = in2.read(buf, off, len - off); assert(r >= 0); off += r }
+        buf
+      }
+      rd() // greeting
+      out2.write(Array[Byte]((mysql8LoginFixture("default").length & 0xff).toByte,
+        ((mysql8LoginFixture("default").length >> 8) & 0xff).toByte,
+        ((mysql8LoginFixture("default").length >> 16) & 0xff).toByte, 1))
+      out2.write(mysql8LoginFixture("default")); out2.flush()
+      assert((rd()(0) & 0xff) == 0x00, "auth-less door accepts the mysql-8 shape directly")
+    } finally { s2.close(); open.stop() }
+  }
 }
