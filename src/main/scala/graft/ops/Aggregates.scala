@@ -995,19 +995,59 @@ object Aggregates {
       .groupBy("x", "y").agg(count(lit(1)).as("cnt"))
       .write.mode("overwrite").parquet(pairPath)
     val pairs = spark.read.parquet(pairPath)
-    def uMap(vc: String, stage: String): DataFrame = {
-      val byVal = pairs.groupBy(col(vc).as("v")).agg(sum("cnt").as("cnt"))
-      val (staged, _) = stagedCumOffsets(spark, dir, stage, byVal, "v", Seq("cnt"))
-      val w = Window.partitionBy("__pid").orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      staged
-        .withColumn("off", col("__off_cnt") + coalesce(sum("cnt").over(w), lit(0L)))
-        .select(col("v").as(vc),
-          (lit(2) * col("off") + col("cnt") + 1).cast("decimal(19,0)").as(s"u$vc"))
+    // ONE staged pass for BOTH marginal rank maps (VERDICT r19 next
+    // #8 — the previous shape ran stagedCumOffsets per marginal: two
+    // stage writes, two driver offset collects): the distinct-value
+    // rollups union with a tag; range-staging on (tag, v) keeps each
+    // tag's values contiguous and ordered, so per-(partition, tag)
+    // starting offsets reconstruct each marginal's exact cumulative
+    // counts — the same u(v) = 2·offset + cnt + 1 integers as before
+    // (the oracle hash is the proof), at one write + one collect.
+    val marg = pairs.groupBy(col("x").as("v")).agg(sum("cnt").as("cnt"))
+      .withColumn("tag", lit(0))
+      .unionByName(pairs.groupBy(col("y").as("v")).agg(sum("cnt").as("cnt"))
+        .withColumn("tag", lit(1)))
+    val stagedPath = Engine.scratch(spark, dir, "d36_ranks")
+    marg.repartitionByRange(Engine.stagingWidth(spark), col("tag"), col("v"))
+      .sortWithinPartitions("tag", "v")
+      .withColumn("__pid", spark_partition_id())
+      .write.mode("overwrite").parquet(stagedPath)
+    val stagedDf = spark.read.parquet(stagedPath)
+    // per-(partition, tag) counts → per-(partition, tag) base offsets,
+    // accumulated in (tag, pid) order with a reset at each tag change
+    val per = stagedDf.groupBy("__pid", "tag").agg(sum("cnt").as("cnt"))
+      .collect()
+      .map(r => (r.getInt(r.fieldIndex("__pid")), r.getInt(r.fieldIndex("tag")),
+        r.getLong(r.fieldIndex("cnt"))))
+      .sortBy { case (pid, tag, _) => (tag, pid) }
+    val offRows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var run = 0L
+    var curTag = -1
+    per.foreach { case (pid, tag, c) =>
+      if (tag != curTag) { run = 0L; curTag = tag }
+      offRows += Row(pid, tag, run)
+      run += c
     }
+    val offSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("tag",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__off",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows.toSeq, 1), offSchema)
+    val w = Window.partitionBy("__pid", "tag").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val uAll = stagedDf.join(broadcast(offDf), Seq("__pid", "tag"))
+      .withColumn("off", col("__off") + coalesce(sum("cnt").over(w), lit(0L)))
+      .select(col("tag"), col("v"),
+        (lit(2) * col("off") + col("cnt") + 1).cast("decimal(19,0)").as("u"))
     val withU = pairs
-      .join(uMap("x", "d36_rx"), "x")
-      .join(uMap("y", "d36_ry"), "y")
+      .join(uAll.filter(col("tag") === 0)
+        .select(col("v").as("x"), col("u").as("ux")), "x")
+      .join(uAll.filter(col("tag") === 1)
+        .select(col("v").as("y"), col("u").as("uy")), "y")
     val cd = col("cnt").cast("decimal(19,0)")
     val s = withU.agg(
       sum(col("cnt")).as("n"),
