@@ -529,19 +529,40 @@ object LlmVector {
   }
 
   def kmeansFit(df: DataFrame, k: Int, iters: Int): (Seq[Array[Double]], Seq[Double]) = {
+    // Init sample grows with k (r20 — the k ≤ 64 clamp this lifted was
+    // l44's sf100 scale cliff: capped k broke SemDeDup's k ∝ n
+    // contract and the pair stage went quadratic). The hash order
+    // makes the sample a uniform deterministic draw.
+    val sampleN = math.max(256, 4 * k)
     val sample: Array[Array[Double]] = df
-      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(256)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleN)
       .select("embedding").collect()
       .map(_.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
     def l2sq(a: Array[Double], b: Array[Double]): Double = l2sqArr(a, b)
     require(sample.nonEmpty, "kmeansFit: empty corpus — nothing to sample for init")
-    var cents: Vector[Array[Double]] = Vector(sample.head)
-    var exhausted = false // fewer than k distinct sample points: stop rather than seed duplicates
-    while (cents.length < k && !exhausted) {
-      val far = sample.maxBy(v => cents.map(c => l2sq(v, c)).min)
-      if (cents.map(c => l2sq(far, c)).min == 0.0) exhausted = true
-      else cents = cents :+ far
-    }
+    var cents: Vector[Array[Double]] =
+      if (k <= 64) {
+        // maximin (k-center) init: strong spread, O(k²·|sample|)
+        // driver CPU — fine at small k
+        var cs: Vector[Array[Double]] = Vector(sample.head)
+        var exhausted = false // fewer than k distinct sample points: stop rather than seed duplicates
+        while (cs.length < k && !exhausted) {
+          val far = sample.maxBy(v => cs.map(c => l2sq(v, c)).min)
+          if (cs.map(c => l2sq(far, c)).min == 0.0) exhausted = true
+          else cs = cs :+ far
+        }
+        cs
+      } else {
+        // large k: maximin's O(k²·|sample|) driver scan is the
+        // bottleneck — seed from the FIRST k DISTINCT hash-ordered
+        // sample points instead (a uniform random init; Lloyd rounds
+        // own the refinement). Distinctness keeps the no-duplicate-
+        // seed invariant of the maximin path.
+        val seen = scala.collection.mutable.LinkedHashSet.empty[Seq[Double]]
+        sample.iterator.takeWhile(_ => seen.size < k)
+          .foreach(v => seen.add(v.toSeq): Unit)
+        seen.iterator.map(_.toArray).toVector
+      }
     val vecMean = udaf(new VecMean)
     val wcss = Seq.newBuilder[Double]
     for (_ <- 0 until iters) {
@@ -716,16 +737,27 @@ object LlmVector {
     // iteration would pay the build 6× (count + 4 iterations + final
     // assign). The l22/l41 multi-consumer staging rule.
     val cPath = Engine.scratch(spark, dir, "l44_corpus")
-    base.unionByName(planted).write.mode("overwrite").parquet(cPath)
+    // Stage at FULL cluster width (r20): the n×k assignment kernel is
+    // the dominant FLOP cost once k follows n, and the source parquet's
+    // file count (≈ bytes / maxPartitionBytes) under-parallelizes it —
+    // observed at sf100 as 4 assign tasks on a 32-core session.
+    base.unionByName(planted)
+      .repartition(Engine.stagingWidth(spark))
+      .write.mode("overwrite").parquet(cPath)
     val all = spark.read.parquet(cPath)
-    // SemDeDup's scale contract is k ∝ n (cluster size ~constant, so
-    // Σ n_c² stays LINEAR in the corpus): target ~250 vectors per
-    // cluster, floored at 8 so the test corpora still split, capped
-    // at 64 because kmeansFit's maximin init draws from a 256-point
-    // hash sample — beyond that the init sample (and the driver's
-    // k×dim centroid state, still only MBs at k=8000/dim=64) must
-    // grow with k; the clamp documents where that redesign starts.
-    val k = math.max(8, math.min(64, (all.count() / 250).toInt))
+    // r20 (the sf100 cliff): the old k ≤ 64 clamp froze cluster size,
+    // so the pair stage Σ n_c² ≈ n²/k went QUADRATIC (~10¹¹ dot
+    // products at sf100, observed as a 30-minute single-task agg). But
+    // k ∝ n is wrong too on this engine: brute-force ASSIGNMENT costs
+    // n·k, which is quadratic again when k follows n. The balance
+    // point is k = √n — assignment n·k and pair stage n²/k both land
+    // at n^1.5, each fully parallel (n·k over the row partitions,
+    // n²/k over the k cluster keys). kmeansFit grows its init sample
+    // with k (hash-sample init past k=64). The 4096 cap bounds the
+    // broadcast centroid matrix (4096×64 doubles ≈ 2 MB); past it —
+    // corpora beyond ~16M vectors — assignment should ride an ANN
+    // index (l12's IVF shape), the documented next tier.
+    val k = math.max(8, math.min(4096, math.sqrt(all.count().toDouble).toInt))
     val (cents, _) = kmeansFit(all, k, 4)
     val mPath = Engine.scratch(spark, dir, "l44_asg")
     kmeansAssign(all, cents)

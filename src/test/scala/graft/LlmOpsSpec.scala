@@ -390,6 +390,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(cents.forall(c => c.max > 9.0 && c.count(_ > 1.0) == 1))
   }
 
+  test("kmeansFit large-k hash-sample init (r20): distinct seeds, WCSS non-increasing, k follows n") {
+    // The k ≤ 64 clamp this path replaced was l44's sf100 scale cliff
+    // (frozen cluster size → quadratic pair stage); past k=64 the init
+    // seeds from the first k DISTINCT hash-ordered sample points
+    // instead of the O(k²·sample) maximin scan.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    val rows = (0 until 600).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 10f))
+    } :+ (600L, Array.fill(dim)(0f)) :+ (601L, Array.fill(dim)(0f)) // dup content
+    val df = rows.toDF("vec_id", "embedding")
+    val (cents, wcss) = LlmVector.kmeansFit(df, 100, 3)
+    assert(cents.length == 100, s"expected 100 seeds, got ${cents.length}")
+    // no duplicate seeds even with duplicate content in the sample
+    assert(cents.map(_.toSeq).distinct.length == cents.length)
+    assert(wcss.zip(wcss.tail).forall { case (a, b) => b <= a * (1 + 1e-9) },
+      s"WCSS must be non-increasing: $wcss")
+    // assignments use every broadcast centroid slot validly
+    val cl = LlmVector.kmeansAssign(df, cents).select("cluster").distinct().collect()
+      .map(_.getInt(0))
+    assert(cl.forall(c => c >= 0 && c < 100))
+    // a corpus smaller than k seeds only the distinct points available
+    val tiny = rows.take(10).toDF("vec_id", "embedding")
+    val (tc, _) = LlmVector.kmeansFit(tiny, 100, 1)
+    assert(tc.length == 10)
+  }
+
   test("l4/mm5 multiplicity-weighted counts equal rep-less enumeration under replication") {
     import spark.implicits._
     val base = Seq(
