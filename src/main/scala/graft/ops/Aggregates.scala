@@ -971,90 +971,65 @@ object Aggregates {
     * with flat rank()/count() windows and exits each sum through the
     * VARCHAR→DOUBLE bridge).
     *
-    * Shape (r16): the five sufficient sums only need PER-VALUE-PAIR
-    * weights, never the raw rows — so the table is scanned ONCE into a
-    * staged (x, y, cnt) rollup (the l41/l24b staging rule: it feeds
-    * both marginal rank maps and the final moment pass, and without
-    * the materialization Catalyst recomputes the full-table groupBy
-    * per consumer). Both rank-map joins then run against the rollup,
-    * whose row count is the DISTINCT pair count ≤ n; the x-side map is
-    * value-bounded here (50 quantity levels) so AQE broadcasts it at
-    * runtime, while the declared plan stays a plain scale-safe
-    * equi-join for the continuous case. The earlier form joined both
-    * maps back to every raw row — two full-table shuffle joins and
-    * three lineitem scans; this one pays one scan + one rollup
-    * shuffle, and the weighted sums Σ cnt·u, Σ cnt·u² are the same
-    * exact integers.
+    * Shape (r20): marginal-factored sums — su/suu aggregate from the
+    * x-marginal u-map, sv/svv from the y-marginal, and the one joint
+    * term factors through the per-distinct-y rollup
+    * (suv = Σ_y uy·Σ_{rows with y} ux), so no joint (x, y) table is
+    * ever staged and no u-map joins back to row-width data. See the
+    * in-body comment for the r19→r20 diff and the exactness bounds.
     * Ref: DanielCasali/clickhouseocp pins ClickHouse v25.7
     * (`rankCorr`), Dockerfile:102-126. */
   private def d36Spearman(spark: SparkSession, dir: String): DataFrame = {
-    val pairPath = Engine.scratch(spark, dir, "d36_pairs")
-    Engine.t(spark, dir, "lineitem")
+    // r20 reshape (guide §2.3/§2.4 — shuffle fewer bytes, remove the
+    // join-back): the r19 form staged a (x, y, cnt) pair rollup and
+    // joined BOTH u-maps back to it; measured at sf0.1 the pair rollup
+    // compresses nothing (599 646 pairs from 600 572 rows —
+    // l_extendedprice is near-unique), so the query paid a full-width
+    // staging write (1.4 s warm) plus a 600 k × 583 k sort-merge
+    // join-back (the dominant term of the 2.0 s tail). The five
+    // sufficient sums never need the joint table: su/suu are pure
+    // x-marginal sums, sv/svv pure y-marginal sums, and the one joint
+    // term factors through the y-rollup —
+    //   suv = Σ_rows ux·uy = Σ_y uy · (Σ_{rows with y} ux) = Σ_y uy·sxy
+    // so the per-distinct-y rollup CARRIES sxy = Σ ux and the staged
+    // y-pass aggregates suv directly: no pair staging, no join-back.
+    // The x-side u-map attaches to the row stream by a plain equi-join
+    // (value-bounded here — 50 quantity levels — so AQE broadcasts it;
+    // stays a scale-safe shuffle join for a continuous x). Every sum
+    // is the same exact DECIMAL(38,0) integer as the r19 form
+    // (u ≤ 2n, sxy ≤ 2n², suv ≤ 4n³ — exact past 10¹² rows) and the
+    // last-mile double expression is unchanged, so the oracle hash
+    // pins equivalence.
+    val rows = Engine.t(spark, dir, "lineitem")
       .select(CH.dec(col("l_quantity")).as("x"),
         CH.dec(col("l_extendedprice")).as("y"))
-      .groupBy("x", "y").agg(count(lit(1)).as("cnt"))
-      .write.mode("overwrite").parquet(pairPath)
-    val pairs = spark.read.parquet(pairPath)
-    // ONE staged pass for BOTH marginal rank maps (VERDICT r19 next
-    // #8 — the previous shape ran stagedCumOffsets per marginal: two
-    // stage writes, two driver offset collects): the distinct-value
-    // rollups union with a tag; range-staging on (tag, v) keeps each
-    // tag's values contiguous and ordered, so per-(partition, tag)
-    // starting offsets reconstruct each marginal's exact cumulative
-    // counts — the same u(v) = 2·offset + cnt + 1 integers as before
-    // (the oracle hash is the proof), at one write + one collect.
-    val marg = pairs.groupBy(col("x").as("v")).agg(sum("cnt").as("cnt"))
-      .withColumn("tag", lit(0))
-      .unionByName(pairs.groupBy(col("y").as("v")).agg(sum("cnt").as("cnt"))
-        .withColumn("tag", lit(1)))
-    val stagedPath = Engine.scratch(spark, dir, "d36_ranks")
-    marg.repartitionByRange(Engine.stagingWidth(spark), col("tag"), col("v"))
-      .sortWithinPartitions("tag", "v")
-      .withColumn("__pid", spark_partition_id())
-      .write.mode("overwrite").parquet(stagedPath)
-    val stagedDf = spark.read.parquet(stagedPath)
-    // per-(partition, tag) counts → per-(partition, tag) base offsets,
-    // accumulated in (tag, pid) order with a reset at each tag change
-    val per = stagedDf.groupBy("__pid", "tag").agg(sum("cnt").as("cnt"))
-      .collect()
-      .map(r => (r.getInt(r.fieldIndex("__pid")), r.getInt(r.fieldIndex("tag")),
-        r.getLong(r.fieldIndex("cnt"))))
-      .sortBy { case (pid, tag, _) => (tag, pid) }
-    val offRows = scala.collection.mutable.ArrayBuffer.empty[Row]
-    var run = 0L
-    var curTag = -1
-    per.foreach { case (pid, tag, c) =>
-      if (tag != curTag) { run = 0L; curTag = tag }
-      offRows += Row(pid, tag, run)
-      run += c
-    }
-    val offSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("__pid",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("tag",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("__off",
-        org.apache.spark.sql.types.LongType, nullable = false)))
-    val offDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(offRows.toSeq, 1), offSchema)
-    val w = Window.partitionBy("__pid", "tag").orderBy("v")
+    val wOff = Window.partitionBy("__pid").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val uAll = stagedDf.join(broadcast(offDf), Seq("__pid", "tag"))
-      .withColumn("off", col("__off") + coalesce(sum("cnt").over(w), lit(0L)))
-      .select(col("tag"), col("v"),
-        (lit(2) * col("off") + col("cnt") + 1).cast("decimal(19,0)").as("u"))
-    val withU = pairs
-      .join(uAll.filter(col("tag") === 0)
-        .select(col("v").as("x"), col("u").as("ux")), "x")
-      .join(uAll.filter(col("tag") === 1)
-        .select(col("v").as("y"), col("u").as("uy")), "y")
-    val cd = col("cnt").cast("decimal(19,0)")
-    val s = withU.agg(
-      sum(col("cnt")).as("n"),
-      sum(cd * col("ux")).as("su"), sum(cd * col("uy")).as("sv"),
-      sum(cd * col("ux") * col("ux")).as("suu"),
-      sum(cd * col("uy") * col("uy")).as("svv"),
-      sum(cd * col("ux") * col("uy")).as("suv"))
+    def uCol = (lit(2) * (col("__off_cnt") + coalesce(sum("cnt").over(wOff), lit(0L)))
+      + col("cnt") + 1).cast("decimal(19,0)")
+    // x marginal: distinct-value rollup → staged cumulative offsets →
+    // exact doubled average rank u(v)
+    val xVal = rows.groupBy(col("x").as("v")).agg(count(lit(1)).as("cnt"))
+    val (xStaged, _) = stagedCumOffsets(spark, dir, "d36_xrank", xVal, "v", Seq("cnt"))
+    val xMap = xStaged.withColumn("ux", uCol)
+    // su/suu from the x marginal alone (value-count-sized aggregate)
+    val cxd = col("cnt").cast("decimal(19,0)")
+    val sx = xMap.agg(
+      sum(cxd * col("ux")).as("su"),
+      sum(cxd * col("ux") * col("ux")).as("suu"))
+    // y rollup over the ux-attached row stream: cnt + the joint term
+    val byY = rows.join(xMap.select(col("v").as("x"), col("ux")), "x")
+      .groupBy(col("y").as("v"))
+      .agg(count(lit(1)).as("cnt"), sum(col("ux")).as("sxy"))
+    val (yStaged, _) = stagedCumOffsets(spark, dir, "d36_yrank", byY, "v", Seq("cnt"))
+    val cyd = col("cnt").cast("decimal(19,0)")
+    val s = yStaged.withColumn("uy", uCol)
+      .agg(
+        sum(col("cnt")).as("n"),
+        sum(cyd * col("uy")).as("sv"),
+        sum(cyd * col("uy") * col("uy")).as("svv"),
+        sum(col("uy") * col("sxy")).as("suv"))
+      .crossJoin(sx)
     val nd = col("n").cast("double")
     def d(c: String) = col(c).cast("double")
     val num = nd * d("suv") - d("su") * d("sv")

@@ -261,8 +261,8 @@ object Events {
     * recency / frequency / monetary per customer, each quartiled
     * (ntile with a total-order tiebreak so bucket edges are
     * deterministic), customers grouped by RFM code. One shuffle for
-    * the per-customer rollup; the three ntiles share one global sort
-    * at dim-table cardinality. */
+    * the per-customer rollup; the three ntiles share ONE tagged
+    * distributed-rank staging pass (r20). */
   private def e15RfmSegmentation(spark: SparkSession, dir: String): DataFrame = {
     // Per-customer rollup GROWS with the data, so the r13 form's three
     // bare global ntile windows were three single-task sorts of the
@@ -282,15 +282,33 @@ object Events {
         sum(graft.CH.dec(col("o_totalprice"))).as("monetary"))
       .write.mode("overwrite").parquet(perPath)
     val per = spark.read.parquet(perPath)
-    def bucket(keyCol: String, out: String) =
-      DistRank.ntile(spark, dir, s"e15_rank_$out",
-        per.select("o_custkey", keyCol),
-        Seq(col(keyCol).desc, col("o_custkey")), 4, out)
-        .select(col("o_custkey"), col(out))
+    // r20: ONE staged rank pass for all three quartiles (the d36
+    // shared-marginal trick): the three keyed copies union with a tag
+    // and ride [[DistRank.groupedNtile]] with the tag as the group key
+    // — one range exchange + one stage write + one offset collect where
+    // the r16 form ran DistRank.ntile three times (three stage writes,
+    // three collects, three join-backs). Each key casts to a common
+    // DECIMAL(38,6) carrier exactly (unix_date int / long count /
+    // decimal sum all embed losslessly), so the (key desc,
+    // custkey) order — and therefore every bucket edge — is
+    // bit-identical to the per-key form (unix_micros for the timestamp
+    // key); DuckDB's three flat ntile windows stay the oracle that
+    // pins it.
+    val key = col("key")
+    val tagged = per.select(col("o_custkey"), lit(0).as("tag"),
+        unix_micros(col("last_order")).cast("decimal(38,6)").as("key"))
+      .unionByName(per.select(col("o_custkey"), lit(1).as("tag"),
+        col("freq").cast("decimal(38,6)").as("key")))
+      .unionByName(per.select(col("o_custkey"), lit(2).as("tag"),
+        col("monetary").cast("decimal(38,6)").as("key")))
+    val buckets = DistRank.groupedNtile(spark, dir, "e15_rank_all", tagged,
+      Seq("tag"), Seq(key.desc, col("o_custkey")), 4, "b")
+    val wide = buckets.groupBy("o_custkey").agg(
+      max(when(col("tag") === 0, col("b"))).as("r"),
+      max(when(col("tag") === 1, col("b"))).as("f"),
+      max(when(col("tag") === 2, col("b"))).as("m"))
     per.select("o_custkey", "monetary")
-      .join(bucket("last_order", "r"), "o_custkey")
-      .join(bucket("freq", "f"), "o_custkey")
-      .join(bucket("monetary", "m"), "o_custkey")
+      .join(wide, "o_custkey")
       .withColumn("segment", concat(col("r"), col("f"), col("m")))
       .groupBy("segment")
       .agg(count(lit(1)).as("n_customers"),
