@@ -301,8 +301,25 @@ object Joins {
     val hash = c14JoinWithHint(spark, dir, "shuffle_hash")
     val merge = c14JoinWithHint(spark, dir, "merge")
     val bcast = c14JoinWithHint(spark, dir, "broadcast")
-    val diffs = hash.exceptAll(merge).count() + merge.exceptAll(hash).count() +
-      hash.exceptAll(bcast).count() + bcast.exceptAll(hash).count()
+    // r20 (guide §1.2 — don't compute things twice): the pairwise
+    // `exceptAll(...).count()` form ran FOUR separate actions, each
+    // re-executing two of the hinted joins — 8 join executions for the
+    // comparison alone. For same-size multisets the pairwise diff count
+    // is Σ_rows |count_a − count_b|, so ONE tagged union + one rollup
+    // computes the identical number with each hinted join executed
+    // exactly once (hash.exceptAll(merge).count() = Σ max(ch−cm, 0)
+    // and its mirror sum to Σ|ch−cm|).
+    val tagged = hash.withColumn("algo", lit("h"))
+      .unionAll(merge.withColumn("algo", lit("m")))
+      .unionAll(bcast.withColumn("algo", lit("b")))
+    val diffs = tagged.groupBy("c_mktsegment", "n", "sum_price")
+      .agg(
+        CH.countIf(col("algo") === "h").as("ch"),
+        CH.countIf(col("algo") === "m").as("cm"),
+        CH.countIf(col("algo") === "b").as("cb"))
+      .agg(coalesce(sum(abs(col("ch") - col("cm")) + abs(col("ch") - col("cb"))),
+        lit(0L)).as("d"))
+      .first().getLong(0)
     hash.withColumn("algo_mismatches", lit(diffs))
   }
 

@@ -737,12 +737,21 @@ object LlmVector {
     // iteration would pay the build 6× (count + 4 iterations + final
     // assign). The l22/l41 multi-consumer staging rule.
     val cPath = Engine.scratch(spark, dir, "l44_corpus")
-    // Stage at FULL cluster width (r20): the n×k assignment kernel is
-    // the dominant FLOP cost once k follows n, and the source parquet's
-    // file count (≈ bytes / maxPartitionBytes) under-parallelizes it —
-    // observed at sf100 as 4 assign tasks on a 32-core session.
+    // Stage width is SCALE-ADAPTIVE (r20, guide §2.2/§6 — derive the
+    // partitioning from input size, not a constant): the n×k assignment
+    // kernel needs the full cluster width once k follows n (the source
+    // parquet's file count under-parallelized it at sf100 — 4 assign
+    // tasks on a 32-core session), but a full-width stage of a SMALL
+    // corpus schedules `stagingWidth` near-empty tasks per Lloyd round
+    // (32 tasks of ~64 rows at sf0.1 — measured as ~0.5 s/round of
+    // pure scheduling). Target ≥50 k vectors per task, capped at the
+    // cluster width: at sf100 (2 M vectors) this is identical to the
+    // old full-width staging; at sf0.1 Lloyd rounds run 1-wide.
+    val nBase = base.count()
+    val width = math.max(1L, math.min(Engine.stagingWidth(spark).toLong,
+      nBase / 50000L + 1L)).toInt
     base.unionByName(planted)
-      .repartition(Engine.stagingWidth(spark))
+      .repartition(width)
       .write.mode("overwrite").parquet(cPath)
     val all = spark.read.parquet(cPath)
     // r20 (the sf100 cliff): the old k ≤ 64 clamp froze cluster size,
