@@ -360,13 +360,37 @@ abstract class CentroidScan extends BinaryExpression {
     * silently mis-clustering. */
   override def nullable: Boolean = true
 
+  // r20 (guide §1.2 per-task work): the k×dim centroid operand is the
+  // SAME object for every row (kmeansAssign passes one flattened
+  // literal), but the original kernel read it element-wise through
+  // ArrayData virtual calls — k·dim megamorphic accessor calls per ROW
+  // dominated Lloyd rounds once k follows √n (measured ~4× on the
+  // sf10 corpus). Both paths now extract the operand into a primitive
+  // double[] ONCE per distinct operand object (reference-compared
+  // cache — a literal hits every row) and the row vector once per row;
+  // the arithmetic and its order are unchanged, so assignments are
+  // bit-identical (VectorExpressionSpec pins eval ≡ codegen).
+  @transient private var cachedSrc: ArrayData = _
+  @transient private var cachedCents: Array[Double] = _
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val vec = a.asInstanceOf[ArrayData]
     val cents = b.asInstanceOf[ArrayData]
     val dim = vec.numElements()
     if (dim == 0 || cents.numElements() % dim != 0) return null
-    val k = cents.numElements() / dim
+    if (!(cents eq cachedSrc)) {
+      cachedCents = cents.toDoubleArray()
+      cachedSrc = cents
+    }
+    val cs = cachedCents
+    val k = cs.length / dim
     val fl = vecElem(left).get == FloatType
+    val v = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      v(j) = if (fl) vec.getFloat(j).toDouble else vec.getDouble(j)
+      j += 1
+    }
     var best = Double.PositiveInfinity
     var bestC = 0
     var c = 0
@@ -374,8 +398,7 @@ abstract class CentroidScan extends BinaryExpression {
       var s = 0.0
       var i = 0
       while (i < dim) {
-        val x = if (fl) vec.getFloat(i).toDouble else vec.getDouble(i)
-        val d = x - cents.getDouble(c * dim + i)
+        val d = v(i) - cs(c * dim + i)
         s += d * d
         i += 1
       }
@@ -386,7 +409,12 @@ abstract class CentroidScan extends BinaryExpression {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val getter = if (vecElem(left).get == FloatType) "getFloat" else "getDouble"
+    val toArr = if (vecElem(left).get == FloatType) "toFloatArray" else "toDoubleArray"
+    val va = ctx.freshName("va")
+    val vaT = if (vecElem(left).get == FloatType) "float[]" else "double[]"
+    val srcRef = ctx.addMutableState(
+      "org.apache.spark.sql.catalyst.util.ArrayData", "centScanSrc")
+    val centsRef = ctx.addMutableState("double[]", "centScanCents")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val dim = ctx.freshName("dim")
       val k = ctx.freshName("k")
@@ -401,13 +429,18 @@ abstract class CentroidScan extends BinaryExpression {
          |if ($dim == 0 || $b.numElements() % $dim != 0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int $k = $b.numElements() / $dim;
+         |  if ($b != $srcRef) {
+         |    $centsRef = $b.toDoubleArray();
+         |    $srcRef = $b;
+         |  }
+         |  $vaT $va = $a.$toArr();
+         |  int $k = $centsRef.length / $dim;
          |  double $best = Double.POSITIVE_INFINITY;
          |  int $bestC = 0;
          |  for (int $c = 0; $c < $k; $c++) {
          |    double $s = 0.0;
          |    for (int $i = 0; $i < $dim; $i++) {
-         |      double $d = (double) $a.$getter($i) - $b.getDouble($c * $dim + $i);
+         |      double $d = (double) $va[$i] - $centsRef[$c * $dim + $i];
          |      $s += $d * $d;
          |    }
          |    if ($s < $best) { $best = $s; $bestC = $c; }

@@ -744,12 +744,18 @@ object LlmVector {
     // tasks on a 32-core session), but a full-width stage of a SMALL
     // corpus schedules `stagingWidth` near-empty tasks per Lloyd round
     // (32 tasks of ~64 rows at sf0.1 — measured as ~0.5 s/round of
-    // pure scheduling). Target ≥50 k vectors per task, capped at the
-    // cluster width: at sf100 (2 M vectors) this is identical to the
-    // old full-width staging; at sf0.1 Lloyd rounds run 1-wide.
+    // pure scheduling). Each Lloyd round costs n·k·dim FLOPs with
+    // k = √n, so the width targets ~2·10⁸ FLOPs per assignment task —
+    // a first row-count-only formula (n / 50 k) throttled sf10 to 5
+    // tasks of >1 GFLOP each and measured 5.7× slower than full
+    // width. sf0.1: 2 060 × 45 × 64 ≈ 6 MFLOP → width 1; sf10:
+    // 200 k × 448 × 64 ≈ 5.7 GFLOP → width 29; sf100 caps at the
+    // cluster width, preserving the sf100 under-parallelization fix.
     val nBase = base.count()
+    val dim = base.select(size(col("embedding"))).head().getInt(0)
+    val flops = nBase.toDouble * math.sqrt(nBase.toDouble) * dim
     val width = math.max(1L, math.min(Engine.stagingWidth(spark).toLong,
-      nBase / 50000L + 1L)).toInt
+      (flops / 2e8).toLong + 1L)).toInt
     base.unionByName(planted)
       .repartition(width)
       .write.mode("overwrite").parquet(cPath)

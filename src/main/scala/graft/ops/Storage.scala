@@ -20,22 +20,47 @@ object Storage {
   private def scratch(spark: SparkSession, dir: String, name: String): String =
     Engine.scratch(spark, dir, name)
 
+  /** Writer-parallelism salt for the partitioned writes (k10 / k10b /
+    * k14): how many concurrent writer buckets each partition DIRECTORY
+    * gets. r20 (guide §6 — size output files to 128 MB–1 GB, §2.2 —
+    * derive partitioning from input size): the old fixed 4-way salt
+    * quadrupled the file count at every scale (320 files for 5 MB of
+    * sf0.1 orders — the write was 2× slower on pure file/commit
+    * overhead) while at sf100 it CUT files to ~47 MB, under the band.
+    * One bucket per 256 MB of per-directory bytes (source bytes from
+    * the scan's own statistics, spread over the ~80 yyyymm directories
+    * the 1992–1998 testdata spans — TESTDATA.md; a deployment sizes
+    * the divisor to its real partition layout), capped at 32. Salt 1
+    * until a directory would exceed 256 MB — exactly the guide's file
+    * band — and hot-month writer parallelism past it. Overridable via
+    * `spark.graft.writeSaltBuckets` for cluster rehearsal. */
+  private def writeSalt(spark: SparkSession, df: DataFrame, key: Column,
+      dirs: Long = 80L): Column = {
+    val buckets = spark.conf.getOption("spark.graft.writeSaltBuckets")
+      .map(_.toLong).getOrElse {
+        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        (bytes / dirs / (256L << 20)).toLong + 1L
+      }
+    pmod(hash(key), lit(math.max(1L, math.min(32L, buckets)).toInt))
+  }
+
   /** K10: partitioned + sorted DDL write, read back through partition
     * pruning (only 3 of ~80 yyyymm dirs are touched).
     *
     * The pre-shuffle key is (yyyymm, salt-of-orderkey), NOT yyyymm
     * alone: hashing by the partition key alone gives exactly one write
     * task per output directory, so a hot month serializes the whole
-    * stage (the classic skewed-writer shape at 100 TB). The 4-way salt
-    * keeps rows for one month clustered into a handful of sorted files
-    * per directory (bounded file count, min/max row-group skipping
-    * intact) while letting up to 4 tasks write a hot month in
-    * parallel; a deployment sizes the salt to target-file-size. */
+    * stage (the classic skewed-writer shape at 100 TB). The
+    * [[writeSalt]] buckets keep rows for one month clustered into a
+    * bounded number of sorted files per directory (min/max row-group
+    * skipping intact) while letting multiple tasks write a hot month
+    * in parallel once a directory exceeds the target file size. */
   private def k10PartitionedWrite(spark: SparkSession, dir: String): DataFrame = {
     val out = scratch(spark, dir, "k10_parts")
-    Engine.t(spark, dir, "orders")
+    val orders = Engine.t(spark, dir, "orders")
+    orders
       .withColumn("yyyymm", CH.toYYYYMM(col("o_orderdate")))
-      .repartition(col("yyyymm"), pmod(hash(col("o_orderkey")), lit(4)))
+      .repartition(col("yyyymm"), writeSalt(spark, orders, col("o_orderkey")))
       .sortWithinPartitions("yyyymm", "o_orderkey")
       .write.mode("overwrite").partitionBy("yyyymm").parquet(out)
     spark.read.parquet(out)
@@ -61,8 +86,9 @@ object Storage {
     // unshuffled partitionBy write has every input task touch every
     // yyyymm directory (tasks × ~80 small files), the small-files
     // shape that kills the downstream scan at 100 TB.
-    val salt = pmod(hash(col("o_orderkey")), lit(4))
-    Engine.t(spark, dir, "orders")
+    val orders = Engine.t(spark, dir, "orders")
+    val salt = writeSalt(spark, orders, col("o_orderkey"))
+    orders
       .withColumn("yyyymm", CH.toYYYYMM(col("o_orderdate")))
       .repartition(col("yyyymm"), salt)
       .write.mode("overwrite").partitionBy("yyyymm").parquet(base)
@@ -193,9 +219,10 @@ object Storage {
     * untouched. */
   private def k14DropPartition(spark: SparkSession, dir: String): DataFrame = {
     val out = scratch(spark, dir, "k14_parts")
-    Engine.t(spark, dir, "orders")
+    val orders = Engine.t(spark, dir, "orders")
+    orders
       .withColumn("yyyymm", CH.toYYYYMM(col("o_orderdate")))
-      .repartition(col("yyyymm"), pmod(hash(col("o_orderkey")), lit(4)))
+      .repartition(col("yyyymm"), writeSalt(spark, orders, col("o_orderkey")))
       .write.mode("overwrite").partitionBy("yyyymm").parquet(out)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     Seq(199701, 199702).foreach { m =>

@@ -94,10 +94,19 @@ object Streaming {
     * hundred keys is pure overhead at test scale (and the knob a real
     * deployment sizes to its key cardinality). Run the bounded replay
     * with 8, restore after. */
-  private def withStreamingPartitions[T](spark: SparkSession, n: Int = 8)(body: => T): T = {
+  private def withStreamingPartitions[T](spark: SparkSession, n: Int = 4)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
+    // r20: default 8 → 4 and conf-overridable. Every state partition
+    // is a store instance paying its own delta-file commit per
+    // micro-batch (a stream-stream join runs FOUR stores per
+    // partition), and the bounded replays hold a few hundred keys —
+    // the per-batch commit fan-out, not state size, is the cost. A
+    // deployment sizes this to its key cardinality via
+    // `spark.graft.streamStatePartitions`.
+    val width = spark.conf.getOption("spark.graft.streamStatePartitions")
+      .map(_.toInt).getOrElse(n)
+    spark.conf.set(key, width.toString)
     try body finally spark.conf.set(key, prev)
   }
 

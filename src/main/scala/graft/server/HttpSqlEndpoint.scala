@@ -377,7 +377,12 @@ object HttpSqlEndpoint {
         // DDL-created tables carry a storage layout (ORDER BY /
         // PARTITION BY — the K10 semantics): sort within partitions
         // and directory-partition by the declared expression
-        val (laid, parts) = graft.ChDdl.layoutFor(aligned, table)
+        // ONE file per insert block (r20, guide §6 small-files): the
+        // block is driver-resident by wire-protocol nature, but a
+        // LocalRelation write otherwise fans out one task per slice
+        // (3-5 near-empty files per insert, re-read by EVERY later
+        // view re-registration). CH itself writes one part per insert.
+        val (laid, parts) = graft.ChDdl.layoutFor(aligned.coalesce(1), table)
         val w = laid.write.mode("overwrite")
         (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(sub)
         val n = spark.read.parquet(sub).count()
