@@ -861,13 +861,25 @@ object LlmPipeline {
     * is vocabulary-sized and broadcasts (l23). DuckDB's flat
     * partitioned ntile is the oracle that pins the decomposition. */
   private def l46CcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Engine.t(spark, dir, "documents")
+    // r20 (the l22/l41 multi-consumer staging rule): the token explode
+    // feeds BOTH the vocabulary frequency table and the per-doc score
+    // join, so Catalyst replayed the corpus scan + split + explode
+    // twice. Pre-aggregate to the (doc, token, count) rollup once and
+    // stage it; both consumers read the narrow artifact. Σ c·f equals
+    // the per-occurrence Σ f exactly (long integers), so the
+    // fixed-point score — and the oracle hash — are unchanged.
+    val stagedPath = Engine.scratch(spark, dir, "l46_doc_tok")
+    Engine.t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), explode(toks).as("t"))
-    val freq = tok.groupBy("t").agg(count(lit(1)).as("f"))
+      .groupBy("doc_id", "lang", "t").agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(stagedPath)
+    val tok = spark.read.parquet(stagedPath)
+    val freq = tok.groupBy("t").agg(sum(col("c")).as("f"))
     val perDoc = tok
       .join(broadcast(freq), Seq("t"))
       .groupBy("doc_id", "lang")
-      .agg(count(lit(1)).as("n_toks"), sum(col("f")).as("sum_freq"))
+      .agg(sum(col("c")).cast("long").as("n_toks"),
+        sum(col("c") * col("f")).as("sum_freq"))
       .withColumn("score_fp", expr(
         "CAST(CAST(sum_freq AS DECIMAL(38,0)) * 1000000 div n_toks AS BIGINT)"))
     val bucketed = DistRank.groupedNtile(spark, dir, "l46_buckets", perDoc,

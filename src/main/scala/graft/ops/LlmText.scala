@@ -557,11 +557,24 @@ object LlmText {
     * only corpus-sized exchanges are the bucket-count agg and the
     * per-doc weight sum. */
   private[graft] def dsirPerDoc(docs: DataFrame, targetCond: Column, B: Int): DataFrame = {
+    // r20 (the l22/l41 multi-consumer rule): the bigram explode feeds
+    // both the model build and the scoring join — without sharing, the
+    // corpus scan + shingle + hash replays per consumer. Pre-aggregate
+    // to the (doc, bucket, count) rollup and cut lineage with
+    // localCheckpoint (the minLabelComponents precedent; no scratch
+    // dir in this factored signature). Integer counts are exactly the
+    // per-occurrence sums; the per-doc float weight becomes Σ c·w
+    // instead of w added c times — the same partition-order-level
+    // float freedom this no-oracle scorer already declares (the
+    // fixed-point l45b twin, which IS oracle-pinned, stays exact).
     val bg = docs
       .select(col("doc_id"), targetCond.as("is_t"), explode(ngrams(toks, 2)).as("bigram"))
       .withColumn("b", pmod(xxhash64(col("bigram")), lit(B)))
+      .groupBy("doc_id", "is_t", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val model = bg.groupBy("b").agg(
-      CH.countIf(col("is_t")).as("ct"), count(lit(1)).as("cr"))
+      sum(when(col("is_t"), col("c")).otherwise(0L)).as("ct"),
+      sum(col("c")).as("cr"))
     val tot = model.agg(sum("ct"), sum("cr")).head
     val (tt, tr) = (tot.getLong(0), tot.getLong(1))
     val weights = model.select(col("b"),
@@ -569,7 +582,7 @@ object LlmText {
         log((col("cr") + 1).cast("double") / lit((tr + B).toDouble))).as("w"))
     bg.join(broadcast(weights), "b")
       .groupBy("doc_id")
-      .agg(sum("w").as("dsir_w"), count(lit(1)).as("n_bigrams"))
+      .agg(sum(col("w") * col("c")).as("dsir_w"), sum(col("c")).as("n_bigrams"))
   }
 
   /** L45 (DSIR importance weights over the corpus, target =
@@ -598,15 +611,24 @@ object LlmText {
     * quantity is a BIGINT, so DuckDB replays the model, the scoring
     * join, and the top-50 election bit-for-bit. */
   private def l45bDsirVerdict(spark: SparkSession, dir: String): DataFrame = {
-    val bg = Engine.t(spark, dir, "documents")
+    // r20: same double-explode share as dsirPerDoc, staged to scratch
+    // (the l22/l41 rule). All quantities are BIGINT, so Σ c·wt is the
+    // exact per-occurrence Σ wt and the DuckDB hash gate pins the
+    // refactor.
+    val stagedPath = Engine.scratch(spark, dir, "l45b_doc_bigram")
+    Engine.t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), explode(ngrams(toks, 2)).as("bigram"))
+      .groupBy("doc_id", "lang", "bigram").agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(stagedPath)
+    val bg = spark.read.parquet(stagedPath)
     val model = bg.groupBy("bigram").agg(
-      CH.countIf(col("lang") === "en").as("ct"), count(lit(1)).as("cr"))
+      sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("ct"),
+      sum(col("c")).as("cr"))
       .orderBy(col("ct").desc, col("bigram")).limit(64)
       .select(col("bigram"), expr("(ct + 1) * 1000000 DIV (cr + 1)").as("wt"))
     bg.join(broadcast(model), "bigram")
       .groupBy("doc_id")
-      .agg(sum("wt").as("score"), count(lit(1)).as("n_hits"))
+      .agg(sum(col("wt") * col("c")).as("score"), sum(col("c")).as("n_hits"))
       .orderBy(col("score").desc, col("doc_id")).limit(50)
   }
 
