@@ -981,35 +981,43 @@ object Aggregates {
     * (`rankCorr`), Dockerfile:102-126. */
   private def d36Spearman(spark: SparkSession, dir: String): DataFrame = {
     // r20 reshape (guide §2.3/§2.4 — shuffle fewer bytes, remove the
-    // join-back): the r19 form staged a (x, y, cnt) pair rollup and
-    // joined BOTH u-maps back to it; measured at sf0.1 the pair rollup
-    // compresses nothing (599 646 pairs from 600 572 rows —
-    // l_extendedprice is near-unique), so the query paid a full-width
-    // staging write (1.4 s warm) plus a 600 k × 583 k sort-merge
-    // join-back (the dominant term of the 2.0 s tail). The five
-    // sufficient sums never need the joint table: su/suu are pure
-    // x-marginal sums, sv/svv pure y-marginal sums, and the one joint
-    // term factors through the y-rollup —
+    // join-back): the r19 form joined BOTH u-maps back to the pair
+    // rollup — a distinct-pairs × distinct-y sort-merge join (600 k ×
+    // 583 k at sf0.1, the dominant tail term) plus a tagged marginal
+    // staging pass. The five sufficient sums never need that join:
+    // su/suu are pure x-marginal sums, sv/svv pure y-marginal sums,
+    // and the one joint term factors through the y-rollup —
     //   suv = Σ_rows ux·uy = Σ_y uy · (Σ_{rows with y} ux) = Σ_y uy·sxy
-    // so the per-distinct-y rollup CARRIES sxy = Σ ux and the staged
-    // y-pass aggregates suv directly: no pair staging, no join-back.
-    // The x-side u-map attaches to the row stream by a plain equi-join
-    // (value-bounded here — 50 quantity levels — so AQE broadcasts it;
-    // stays a scale-safe shuffle join for a continuous x). Every sum
-    // is the same exact DECIMAL(38,0) integer as the r19 form
-    // (u ≤ 2n, sxy ≤ 2n², suv ≤ 4n³ — exact past 10¹² rows) and the
-    // last-mile double expression is unchanged, so the oracle hash
-    // pins equivalence.
-    val rows = Engine.t(spark, dir, "lineitem")
+    // where the per-distinct-y rollup CARRIES sxy = Σ_x cnt(x,y)·ux,
+    // so the staged y-pass aggregates suv directly: no join-back.
+    // The x-side u-map attaches to the pair rollup by a plain
+    // equi-join (value-bounded here — 50 quantity levels — so AQE
+    // broadcasts it; stays a scale-safe shuffle join for a continuous
+    // x). Every sum is the same exact DECIMAL(38,0) integer as the
+    // r19 form (u ≤ 2n, sxy ≤ 2n², suv ≤ 4n³ — exact past 10¹² rows)
+    // and the last-mile double expression is unchanged, so the oracle
+    // hash pins equivalence.
+    // The corpus is read ONCE into the pair rollup (the sf100 lesson
+    // of this round: at 12 GB+ the scan is DISK-bound at ~120 s/pass
+    // on this host, so corpus pass count dominates everything
+    // downstream — a first marginal-factored form read the corpus
+    // twice, once per marginal, and measured 245 s vs 150 s
+    // head-to-head at the sf100 replica); all downstream algebra runs
+    // over the rollup (≤ distinct-pair rows).
+    val pairPath = Engine.scratch(spark, dir, "d36_pairs")
+    Engine.t(spark, dir, "lineitem")
       .select(CH.dec(col("l_quantity")).as("x"),
         CH.dec(col("l_extendedprice")).as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(pairPath)
+    val pairs = spark.read.parquet(pairPath)
     val wOff = Window.partitionBy("__pid").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, -1)
     def uCol = (lit(2) * (col("__off_cnt") + coalesce(sum("cnt").over(wOff), lit(0L)))
       + col("cnt") + 1).cast("decimal(19,0)")
     // x marginal: distinct-value rollup → staged cumulative offsets →
     // exact doubled average rank u(v)
-    val xVal = rows.groupBy(col("x").as("v")).agg(count(lit(1)).as("cnt"))
+    val xVal = pairs.groupBy(col("x").as("v")).agg(sum(col("cnt")).as("cnt"))
     val (xStaged, _) = stagedCumOffsets(spark, dir, "d36_xrank", xVal, "v", Seq("cnt"))
     val xMap = xStaged.withColumn("ux", uCol)
     // su/suu from the x marginal alone (value-count-sized aggregate)
@@ -1017,10 +1025,13 @@ object Aggregates {
     val sx = xMap.agg(
       sum(cxd * col("ux")).as("su"),
       sum(cxd * col("ux") * col("ux")).as("suu"))
-    // y rollup over the ux-attached row stream: cnt + the joint term
-    val byY = rows.join(xMap.select(col("v").as("x"), col("ux")), "x")
+    // y rollup over the ux-attached PAIR rollup: cnt + the joint term
+    // sxy = Σ_x cnt(x,y)·ux — the same exact integer as the
+    // per-occurrence Σ ux
+    val byY = pairs.join(xMap.select(col("v").as("x"), col("ux")), "x")
       .groupBy(col("y").as("v"))
-      .agg(count(lit(1)).as("cnt"), sum(col("ux")).as("sxy"))
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("cnt").cast("decimal(19,0)") * col("ux")).as("sxy"))
     val (yStaged, _) = stagedCumOffsets(spark, dir, "d36_yrank", byY, "v", Seq("cnt"))
     val cyd = col("cnt").cast("decimal(19,0)")
     val s = yStaged.withColumn("uy", uCol)

@@ -556,22 +556,26 @@ object LlmText {
     * table (B rows) broadcasts back into the scoring join, so the
     * only corpus-sized exchanges are the bucket-count agg and the
     * per-doc weight sum. */
-  private[graft] def dsirPerDoc(docs: DataFrame, targetCond: Column, B: Int): DataFrame = {
+  private[graft] def dsirPerDoc(docs: DataFrame, targetCond: Column, B: Int,
+      stagePath: String): DataFrame = {
     // r20 (the l22/l41 multi-consumer rule): the bigram explode feeds
     // both the model build and the scoring join — without sharing, the
     // corpus scan + shingle + hash replays per consumer. Pre-aggregate
-    // to the (doc, bucket, count) rollup and cut lineage with
-    // localCheckpoint (the minLabelComponents precedent; no scratch
-    // dir in this factored signature). Integer counts are exactly the
-    // per-occurrence sums; the per-doc float weight becomes Σ c·w
-    // instead of w added c times — the same partition-order-level
-    // float freedom this no-oracle scorer already declares (the
-    // fixed-point l45b twin, which IS oracle-pinned, stays exact).
-    val bg = docs
+    // to the (doc, bucket, count) rollup once and stage it to SCRATCH
+    // PARQUET (a first localCheckpoint form held the corpus-sized
+    // rollup in block storage and OOM'd the sf100 heap — disk staging
+    // is the l41 shape and is what the other staged ops use). Integer
+    // counts are exactly the per-occurrence sums; the per-doc float
+    // weight becomes Σ c·w instead of w added c times — the same
+    // partition-order-level float freedom this no-oracle scorer
+    // already declares (the fixed-point l45b twin, which IS
+    // oracle-pinned, stays exact).
+    docs
       .select(col("doc_id"), targetCond.as("is_t"), explode(ngrams(toks, 2)).as("bigram"))
       .withColumn("b", pmod(xxhash64(col("bigram")), lit(B)))
       .groupBy("doc_id", "is_t", "b").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .write.mode("overwrite").parquet(stagePath)
+    val bg = docs.sparkSession.read.parquet(stagePath)
     val model = bg.groupBy("b").agg(
       sum(when(col("is_t"), col("c")).otherwise(0L)).as("ct"),
       sum(col("c")).as("cr"))
@@ -595,7 +599,8 @@ object LlmText {
     * THIS scorer. */
   private def l45DsirWeights(spark: SparkSession, dir: String): DataFrame = {
     val docs = Engine.t(spark, dir, "documents")
-    dsirPerDoc(docs, col("lang") === "en", 1024)
+    dsirPerDoc(docs, col("lang") === "en", 1024,
+      Engine.scratch(spark, dir, "l45_doc_bucket"))
       .join(docs.select("doc_id", "lang"), "doc_id")
       .select(col("doc_id"), col("lang"),
         round(col("dsir_w"), 6).as("dsir_w"), col("n_bigrams"))
@@ -611,24 +616,22 @@ object LlmText {
     * quantity is a BIGINT, so DuckDB replays the model, the scoring
     * join, and the top-50 election bit-for-bit. */
   private def l45bDsirVerdict(spark: SparkSession, dir: String): DataFrame = {
-    // r20: same double-explode share as dsirPerDoc, staged to scratch
-    // (the l22/l41 rule). All quantities are BIGINT, so Σ c·wt is the
-    // exact per-occurrence Σ wt and the DuckDB hash gate pins the
-    // refactor.
-    val stagedPath = Engine.scratch(spark, dir, "l45b_doc_bigram")
-    Engine.t(spark, dir, "documents")
+    // Deliberately NOT staged (r20): unlike l45's B-bucketed rollup
+    // (≤1024 buckets per doc — massive compression), this rollup keys
+    // on raw bigram STRINGS and barely compresses, so staging it would
+    // trade two scan passes for a corpus-width write plus two reads —
+    // strictly worse once the corpus is disk-bound (the d36 sf100
+    // lesson). The two consumers each re-run the explode; the model
+    // side collapses immediately into a 64-row broadcast.
+    val bg = Engine.t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), explode(ngrams(toks, 2)).as("bigram"))
-      .groupBy("doc_id", "lang", "bigram").agg(count(lit(1)).as("c"))
-      .write.mode("overwrite").parquet(stagedPath)
-    val bg = spark.read.parquet(stagedPath)
     val model = bg.groupBy("bigram").agg(
-      sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("ct"),
-      sum(col("c")).as("cr"))
+      CH.countIf(col("lang") === "en").as("ct"), count(lit(1)).as("cr"))
       .orderBy(col("ct").desc, col("bigram")).limit(64)
       .select(col("bigram"), expr("(ct + 1) * 1000000 DIV (cr + 1)").as("wt"))
     bg.join(broadcast(model), "bigram")
       .groupBy("doc_id")
-      .agg(sum(col("wt") * col("c")).as("score"), sum(col("c")).as("n_hits"))
+      .agg(sum("wt").as("score"), count(lit(1)).as("n_hits"))
       .orderBy(col("score").desc, col("doc_id")).limit(50)
   }
 
